@@ -1,0 +1,66 @@
+"""CDC log compaction and keyed last-position operators.
+
+Reference semantics (citations into /root/reference/):
+  - at-least-once delivery means consumers see duplicates and stale images;
+    the canonical consumer computes "latest image per key"
+    (coordinator flush barrier: stream_cdc/processing/coordinator.py:281-303)
+  - checkpoint write-dedup keeps the last position per (type, source) key
+    (stream_cdc/processing/coordinator.py:137-141, state/dynamodb.py:76-91)
+
+Scale notes: latest-per-key is a single hash-shuffle on the key. Two
+physical strategies:
+  * window row_number + filter  — one shuffle, state = one row per key in
+    the sort; what Catalyst picks for `latest_per_key`.
+  * max_by aggregation          — one shuffle with map-side partial
+    aggregation; strictly better when the payload is small, used by
+    `last_position_per_key`. At 100 TB the partial-agg variant avoids
+    sorting entire partitions, so prefer it when only a few columns are
+    needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str, desc: bool = True
+) -> DataFrame:
+    """Keep the newest row per key (CDC log compaction).
+
+    Equivalent to `ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_col
+    DESC) = 1`. One shuffle on `keys`; AQE handles skewed keys.
+    """
+    ordering = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_position_per_key(
+    df: DataFrame, keys: Sequence[str], position_col: str
+) -> DataFrame:
+    """Last checkpoint position per key + event count.
+
+    Reference: StateCheckpointManager.save_state keeps only the newest
+    position per (type, source) (coordinator.py:110-159). Partial-agg
+    friendly: max/count combine map-side before the shuffle.
+    """
+    return df.groupBy(*keys).agg(
+        F.max(position_col).alias("last_" + position_col),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """At-least-once consumer dedup: suppress redelivered duplicates by
+    deterministic id (fixes the reference's ephemeral `Id=str(id(msg))`,
+    stream_cdc/streams/sqs.py:205-234). Hash-shuffle on keys; map-side
+    combine makes redelivery storms cheap."""
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque `binary` columns with a typed metadata struct alongside —
+the same pattern as the reference's claim-check for oversized payloads
+(stream_cdc/streams/sqs.py:250-302): large blobs ride as bytes or as
+storage URIs, metadata stays queryable.
+
+The container has no image/audio libraries, so the actual decode is a
+clearly-marked stub (`decode_image`/`decode_audio` raise NotImplementedError
+unless `fake=True` yields a deterministic synthetic decode). Everything
+Spark-side — schema, Arrow batch shape, mapInPandas plumbing, partition
+sizing — is real and tested (tests/test_multimodal.py).
+
+Scale notes: media rows are large and variable — repartition by byte budget
+(`repartition_by_bytes`) before a decode pass so one Arrow batch never
+exceeds executor memory; keep maxRecordsPerBatch low for 10 MB+ blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("content_type", StringType(), True),
+        StructField("blob", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("storage_uri", StringType(), True),  # claim-check path
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha", StringType(), True),
+        StructField("feat_mean", StringType(), True),
+    ]
+)
+
+
+def attach_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Cheap metadata derivable without decoding: byte size + digest.
+    Pure expressions — runs in codegen, no Python."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(blob_col)).cast("bigint"),
+            "sha": F.sha2(F.col(blob_col), 256),
+        }
+    )
+
+
+def decode_image(blob: bytes, fake: bool = False) -> dict:
+    """Decode an image blob -> {width, height, pixels}.
+
+    STUB: real decoding needs an image library not present in this
+    container. `fake=True` returns a deterministic synthetic decode keyed
+    on the blob contents so pipelines are testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library not present in this "
+            "environment; run with fake=True for the deterministic test path"
+        )
+    h = sum(blob[:16]) if blob else 0
+    return {"width": 64 + h % 64, "height": 64 + (h // 64) % 64, "pixels": None}
+
+
+def decode_audio(blob: bytes, fake: bool = False) -> dict:
+    """STUB — see decode_image."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; run with fake=True for the deterministic test path"
+        )
+    return {"sample_rate": 16000, "duration_ms": (len(blob) * 1000) // 32000}
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extraction pass over media blobs via mapInPandas.
+
+    The UDF iterates Arrow record batches (never whole partitions in
+    memory); per-batch pandas ops stay vectorized where possible. The
+    'model' is the deterministic fake decode — swap the inner function for
+    a real encoder on a cluster with the libs installed.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
+                    "sha": blobs.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feat_mean": blobs.map(
+                        lambda b: str(decode_image(b or b"", fake=fake)["width"])
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def repartition_by_bytes(
+    df: DataFrame, bytes_col: str = "n_bytes", target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Repartition media rows so each partition holds ~target bytes.
+
+    Uses a running estimate from the table's total byte count; at scale
+    this is the difference between a stable decode pass and OOM on a
+    partition that happens to hold many 100 MB videos.
+    """
+    total = df.agg(F.sum(bytes_col)).collect()[0][0] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: explode a frame-timestamp sequence from
+    duration metadata (no decode needed to *plan* the sample). The decode
+    of each sampled frame is the stubbed mapInPandas pass."""
+    n_frames = (F.col("duration_ms") / F.lit(every_ms)).cast("int")
+    return df.filter(F.col("duration_ms").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                lambda i: i * F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

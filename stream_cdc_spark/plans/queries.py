@@ -1,0 +1,833 @@
+"""Declared query inventory — the engine's correctness contract.
+
+Every entry pairs an idiomatic-Spark DataFrame builder with an equivalent
+DuckDB oracle SQL (SURVEY.md §2.4, adapted to the driver's real testdata
+schema — TESTDATA.md / FIXTURES.md). The driver runs both at sf=0.01 and
+compares row-count + schema + order-insensitive value-hash.
+
+Schema mapping vs SURVEY §2.4's draft (the materialized `events` table is a
+generic event stream, not the five-field envelope):
+    seq  -> event_id     (unique, monotone — stands in for GTID order)
+    pk   -> user_id      (joins against customer.c_custkey / orders.o_custkey)
+    tbl  -> event_type   (stream partition label)
+    payload -> props     (serialized row image)
+'error' events play the role of 'Delete' in filter semantics.
+
+Cross-engine determinism rules used throughout (SURVEY §7 "oracle parity
+traps"):
+  - money/double sums go through DECIMAL(18,4) so aggregation order cannot
+    perturb the result, then ROUND(.,2) and cast back to DOUBLE;
+  - integer outputs are cast to BIGINT on both sides;
+  - floating similarity scores are quantized with FLOOR(K*x) -> BIGINT
+    rather than ROUND so no half-way rounding-mode differences can bite;
+  - every LIMIT query carries a total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import batching, compaction, dedup, similarity, text
+from stream_cdc_spark.tables import load
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, headline, doc)
+        return fn
+
+    return deco
+
+
+def money_sum(col: Column, alias: str) -> Column:
+    """Order-insensitive double sum: exact decimal accumulate -> round ->
+    double. Matches oracle `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))),2) AS
+    DOUBLE)`."""
+    return F.round(F.sum(col.cast("decimal(18,4)")), 2).cast("double").alias(alias)
+
+
+_MONEY = "CAST(ROUND(SUM(CAST({x} AS DECIMAL(18,4))), 2) AS DOUBLE) AS {a}"
+
+
+# ---------------------------------------------------------------------------
+# CDC-semantics queries over `events` (reference operators O6-O25)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_envelope_filter_project",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events WHERE event_type <> 'error'
+    ORDER BY event_id
+    """,
+    doc="O8 envelope projection + O9 drop-events filter "
+    "(reference mysql.py:416-426, :386-393). Narrow map; filter and "
+    "3-column pruning reach the parquet scan.",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "q02_classify_count",
+    """
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="O6 event-type classification rollup (mysql.py:344-352). "
+    "Partial-agg hash aggregate; one shuffle on a 5-value key.",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q03_log_compaction",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    headline=True,
+    doc="CDC log compaction — latest image per key; the canonical consumer "
+    "of the reference's at-least-once stream (coordinator.py:281-303).",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "event_type")
+    return (
+        compaction.latest_per_key(ev, ["user_id"], "event_id")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q04_last_position",
+    """
+    SELECT event_type, MAX(event_id) AS last_event_id, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="O19 keyed last-position dedup (coordinator.py:137-141) as a "
+    "max_by-style partial aggregation — no sort, map-side combine.",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_type", "event_id")
+    return compaction.last_position_per_key(ev, ["event_type"], "event_id").orderBy(
+        "event_type"
+    )
+
+
+@_register(
+    "q05_batch_assembly",
+    """
+    SELECT batch_id, COUNT(*) AS batch_n,
+           MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+    FROM (
+      SELECT event_id,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 10) AS BIGINT) AS batch_id
+      FROM events
+    ) GROUP BY batch_id ORDER BY batch_id
+    """,
+    doc="O15/O16 micro-batch assembly (coordinator.py:26-59, BATCH_SIZE=10) "
+    "declared as a deterministic computation over arrival order. Global "
+    "window mirrors the reference's single consumer; batching.assign_batches "
+    "offers the partition-local variant for scale.",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id")
+    return (
+        batching.batch_stats(batching.assign_batches(ev, "event_id", 10))
+        .orderBy("batch_id")
+    )
+
+
+@_register(
+    "q06_claim_check_routing",
+    """
+    SELECT CASE WHEN LENGTH(CONCAT(event_type, ':', props)) > 15
+                THEN 'oversized' ELSE 'inline' END AS route,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY route
+    """,
+    doc="O22 oversize claim-check routing (sqs.py:250-302): size threshold "
+    "evaluated as a codegen'd expression, no UDF.",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    size = F.length(F.concat(F.col("event_type"), F.lit(":"), F.col("props")))
+    return (
+        ev.select(batching.claim_check_route(size, threshold=15).alias("route"))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("route")
+    )
+
+
+@_register(
+    "q07_cdc_apply_join",
+    """
+    SELECT u.user_id, c.c_name, u.event_id AS last_event_id
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) u JOIN customer c ON c.c_custkey = u.user_id
+    WHERE u.rn = 1 AND u.event_type <> 'error'
+    ORDER BY u.user_id
+    """,
+    headline=True,
+    doc="CDC apply: replay latest non-error images against the customer "
+    "dimension. Dimension side broadcast — no shuffle of the fact stream.",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "event_type")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    latest = compaction.latest_per_key(ev, ["user_id"], "event_id").filter(
+        F.col("event_type") != "error"
+    )
+    return (
+        latest.join(F.broadcast(cust), latest.user_id == cust.c_custkey)
+        .select("user_id", "c_name", F.col("event_id").alias("last_event_id"))
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q08_delete_anti_join",
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = c.c_custkey AND e.event_type = 'error'
+    ) ORDER BY c.c_custkey
+    """,
+    doc="Anti-join: snapshot minus tombstoned keys (SURVEY §2.2 joins). "
+    "Broadcast anti-join — the distinct tombstone set is tiny.",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select("c_custkey")
+    errs = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(errs), cust.c_custkey == errs.user_id, "left_anti")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q09_changed_keys_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
+    ) ORDER BY o.o_orderkey
+    """,
+    doc="Semi-join: only orders of customers with purchase events "
+    "(incremental-view maintenance shape). Broadcast left-semi.",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    buyers = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        orders.join(F.broadcast(buyers), orders.o_custkey == buyers.user_id, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "q10_hourly_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS w, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           {_MONEY.format(x="value", a="total_value")}
+    FROM events GROUP BY 1 ORDER BY w
+    """,
+    headline=True,
+    doc="Event-time tumbling window (Spark-native upgrade of O15's "
+    "processing-time batching; SURVEY §2.2 streaming). Same plan serves "
+    "batch and structured-streaming (streaming/pipeline.py).",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("active_users"),
+            money_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("w")
+    )
+
+
+@_register(
+    "q11_scalar_pipeline",
+    """
+    SELECT event_id,
+           CONCAT(event_type, ':', CAST(user_id AS VARCHAR)) AS msg_key,
+           CAST(LENGTH(props) AS BIGINT) AS props_len,
+           UPPER(event_type) AS event_type_uc
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+    doc="O10/O11 scalar pipeline: string coercion + key construction "
+    "(serializer.py:15-37) as chained codegen expressions.",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.concat(
+                F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+            ).alias("msg_key"),
+            F.length(F.col("props")).cast("bigint").alias("props_len"),
+            F.upper(F.col("event_type")).alias("event_type_uc"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@_register(
+    "q12_consumer_dedup",
+    """
+    SELECT COUNT(*) AS total, COUNT(DISTINCT event_id) AS distinct_msgs
+    FROM events
+    """,
+    doc="At-least-once consumer dedup check (fixes O25's ephemeral ids, "
+    "sqs.py:205-234): total vs distinct message count.",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct(F.col("event_id")).alias("distinct_msgs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse queries (SURVEY §2.2 — joins/aggs/sorts/set-ops the reference
+# lacks but a real engine provides; TPC-H shapes per §2.4 Q13/Q14)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q13_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_MONEY.format(x="l_quantity", a="sum_qty")},
+           {_MONEY.format(x="l_extendedprice", a="sum_base_price")},
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 shape: scan-heavy agg; pushdown+pruning verified in "
+    "tests/test_plans.py. Decimal accumulation for order-insensitivity.",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity"), "sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_REVENUE = (
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue"
+)
+
+
+def _disc_price() -> Column:
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+
+
+@_register(
+    "q14_tpch_q3",
+    f"""
+    SELECT o.o_orderkey, {_REVENUE}, o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3 shape: selective dims broadcast into the fact join; "
+    "filters pushed below the joins by Catalyst.",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q15_star_join_revenue",
+    f"""
+    SELECT n.n_name, {_REVENUE}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape star join: region->nation->customer broadcast down "
+    "the chain; only the orders-lineitem join shuffles (and AQE may convert "
+    "it too at small SF).",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@_register(
+    "q16_top_k_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Top-k: TakeOrderedAndProject — per-partition heaps, no global "
+    "sort, driver merges k*partitions rows.",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q17_set_intersect",
+    """
+    SELECT user_id AS key FROM events
+    INTERSECT
+    SELECT c_custkey AS key FROM customer
+    ORDER BY key
+    """,
+    doc="Set operation (SURVEY §2.2): active-user keys ∩ customer keys.",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(F.col("user_id").alias("key"))
+    cust = load(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    return ev.intersect(cust).orderBy("key")
+
+
+@_register(
+    "q18_rollup_value",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           {_MONEY.format(x="value", a="total_value")}
+    FROM events GROUP BY ROLLUP(event_type)
+    ORDER BY event_type NULLS FIRST
+    """,
+    doc="ROLLUP grouping-set aggregate with grand total.",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value"), "total_value"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis + dedup over `documents`
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q19_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+    FROM documents GROUP BY 1 ORDER BY fp
+    """,
+    headline=True,
+    doc="Exact dedup by normalized-text fingerprint: one hash-shuffle on a "
+    "128-bit key, map-side combine — the 100 TB-safe formulation.",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_groups(load(spark, sf, "documents")).orderBy("fp")
+
+
+@_register(
+    "q20_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_q
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting (whitespace tokenizer) — narrow map, scan-bandwidth "
+    "bound; tokens_regex offers the BPE-ish variant.",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length(F.col("text")).cast("bigint").alias("n_chars_q"),
+    ).orderBy("doc_id")
+
+
+_TOK = "string_split(text, ' ')"
+_STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+
+@_register(
+    "q21_quality_scores",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           no_space / n_tok AS avg_token_len,
+           n_stop / n_tok AS stopword_ratio,
+           (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                   THEN 0.25 ELSE 0.0 END) AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+    doc="Document quality features + composite score (C4-style filters): "
+    "pure expressions, identical IEEE arithmetic on both engines.",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.quality_score(text.quality_features(load(spark, sf, "documents")))
+    return d.select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q22_lang_id",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_stop / n_tok >= 0.08 THEN 'en'
+                WHEN no_space / n_tok >= 5.2 THEN 'de'
+                WHEN no_space / n_tok <= 4.1 THEN 'zh'
+                ELSE 'es' END AS lang_pred
+    FROM f ORDER BY doc_id
+    """,
+    doc="Heuristic language ID from surface statistics — deterministic, "
+    "shuffle-free, decision function identical in the oracle.",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.lang_id(load(spark, sf, "documents"))
+    return d.select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@_register(
+    "q23_doc_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Canonical per-document fingerprint (rolling-hash equivalent): "
+    "md5 over normalized text.",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(load(spark, sf, "documents")).select("doc_id", "fp").orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "q24_ngram_jaccard_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(FLOOR(1000000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT)
+             AS jaccard_ppm
+    FROM shared
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 500000.0
+    ORDER BY id_a, id_b
+    """,
+    headline=True,
+    doc="N-gram (word-3-shingle) Jaccard near-dup pairs via shingle join — "
+    "only co-shingled pairs are materialized, never the n^2 cross product. "
+    "Similarity quantized to ppm with FLOOR for cross-engine determinism.",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    sh = dedup.shingles(d, "text", "doc_id", k=3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ratio = (
+        F.lit(1000000.0)
+        * F.col("shared")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+    )
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .filter(ratio >= 500000.0)
+        .select(
+            "id_a", "id_b", F.floor(ratio).cast("bigint").alias("jaccard_ppm")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q25_ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(qv, cv)) AS BIGINT) AS sim_bp
+      FROM q, c WHERE c_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim_bp,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_bp DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, c_id, sim_bp, rnk AS rank FROM ranked
+    WHERE rnk <= 5 ORDER BY q_id, rank
+    """,
+    headline=True,
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast query "
+    "vectors x corpus scan, JVM-side zip_with/aggregate dot product, "
+    "per-query window top-k. Similarity quantized to basis points.",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    sim_bp = F.floor(
+        F.lit(10000) * similarity.cosine(F.col("qv"), F.col("cv"))
+    ).cast("bigint")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim_bp.alias("sim_bp"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_bp").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column + metadata; decode itself is stubbed)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q26_multimodal_meta",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Multimodal column plumbing: opaque binary payload + queryable "
+    "metadata (size, digest) without decoding — the claim-check pattern "
+    "from sqs.py:250-302 applied to media blobs.",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (hash-function-dependent; no SQL oracle by design —
+# the driver records the weaker rows-only check, per the contract)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q27_minhash_lsh_pairs",
+    None,
+    headline=True,
+    doc="MinHash(64)+LSH(16x4) candidate near-dup pairs. xxhash64-based "
+    "signatures are engine-specific, hence no value oracle; structural "
+    "properties are pytest-verified against exact Jaccard (tests/test_dedup.py).",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, sf, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register(
+    "q28_simhash_near_pairs",
+    None,
+    doc="SimHash-64 near-dup pairs within Hamming distance 3 via pigeonhole "
+    "banding (4x16-bit keys).",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load(spark, sf, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register(
+    "q29_ann_lsh_topk",
+    None,
+    doc="LSH-bucketed approximate top-k (random-hyperplane signs, 8 bits): "
+    "the scale path for q25 — per-query cost / 2^bits. Recall vs exact "
+    "checked in tests/test_similarity.py.",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_ann_topk(emb, q, dim=64, k=5).orderBy("q_id", "rank")
+
+
+@_register(
+    "q30_embedding_near_dup",
+    None,
+    doc="Embedding-cosine near-duplicate pairs (>=0.95) via LSH buckets — "
+    "linear in corpus size, never n^2.",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )

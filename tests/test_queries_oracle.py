@@ -1,0 +1,26 @@
+"""Every declared query with an oracle must hash-match DuckDB (driver t2
+gate, run here at sf0.001 for speed; the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_cdc_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMALL
+from tests.oracle import compare
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in QUERIES.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, name):
+    spec = QUERIES[name]
+    compare(spec.builder(spark, SF_SMALL), spec.oracle, SF_SMALL)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    df = QUERIES[name].builder(spark, SF_SMALL)
+    assert df.count() >= 0
+    assert df.schema is not None

@@ -1,0 +1,271 @@
+"""Queue sink with SQS-style packing, claim-check and failure handling.
+
+Re-expresses the reference's sink surface (citations into /root/reference/):
+  O21 batching under hard limits   stream_cdc/streams/sqs.py:149-203, :22-29
+  O22 oversized-message claim-check           sqs.py:250-302
+  O23 recursive batch split on overflow error sqs.py:360-373
+  O24 partial-failure handling                sqs.py:318-357
+  O25 per-message id + attribute stamping     sqs.py:205-234
+      (fixed: deterministic sha256 id instead of ephemeral CPython id(msg))
+
+Architecture: the packing/claim-check/split logic is plain Python executed
+*inside* ``foreachBatch`` per partition — exactly where Spark wants
+sink-client code. Each executor partition packs its own greedy batches and
+talks to its own client instance (connection-per-partition pattern), so the
+sink scales horizontally with the stream instead of serializing through a
+single consumer like the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+# Hard limits mirroring stream_cdc/streams/sqs.py:22-29.
+MAX_BATCH_SIZE = 10
+MAX_BATCH_SIZE_BYTES = 262_000
+MAX_MESSAGE_SIZE_BYTES = 245_760  # 240 KB effective
+
+
+class BatchRequestTooLong(Exception):
+    """Sink rejected the request for total size (sqs.py:360-373 trigger)."""
+
+
+class StreamError(Exception):
+    """Unrecoverable sink failure (mirrors stream_cdc/utils/exceptions.py)."""
+
+
+def message_size(msg: str) -> int:
+    """Byte size of a serialized message (sqs.py:236-248)."""
+    return len(msg.encode("utf-8"))
+
+
+def deterministic_id(msg: str) -> str:
+    """Deterministic message id — replaces the reference's `str(id(msg))`
+    (sqs.py:214), which changes across replays and breaks consumer dedup.
+    sha256 of the payload makes at-least-once redelivery idempotent."""
+    return hashlib.sha256(msg.encode("utf-8")).hexdigest()
+
+
+def make_oversize_reference(msg: str, source: str = "stream-cdc-spark") -> str | None:
+    """Claim-check reference for an oversized message (sqs.py:250-302).
+
+    Keeps routing metadata from the original envelope when it parses as
+    JSON; double-fallback to a minimal stub if even the reference is too
+    big (sqs.py:284-296 second-chance path).
+    """
+    meta: dict[str, Any] = {}
+    try:
+        parsed = json.loads(msg)
+        if isinstance(parsed, dict):
+            meta = {
+                k: parsed.get(k)
+                for k in ("event_type", "database", "table")
+                if k in parsed
+            }
+    except (json.JSONDecodeError, TypeError):
+        pass
+    ref = {
+        "original_size_exceeded": True,
+        "message_type": "reference",
+        "message_id": deterministic_id(msg),
+        "original_size": message_size(msg),
+        "source": source,
+        **meta,
+    }
+    out = json.dumps(ref)
+    if message_size(out) > MAX_MESSAGE_SIZE_BYTES:
+        out = json.dumps(
+            {
+                "original_size_exceeded": True,
+                "message_type": "reference",
+                "message_id": deterministic_id(msg),
+            }
+        )
+        if message_size(out) > MAX_MESSAGE_SIZE_BYTES:
+            return None
+    return out
+
+
+def prepare_message(msg: str, source: str = "stream-cdc-spark") -> dict[str, Any] | None:
+    """Entry preparation (sqs.py:205-234): id + body + attributes; oversize
+    payloads are claim-checked first (trigger points sqs.py:190-196)."""
+    body = msg
+    oversized = False
+    if message_size(msg) > MAX_MESSAGE_SIZE_BYTES:
+        ref = make_oversize_reference(msg, source)
+        if ref is None:
+            return None
+        body, oversized = ref, True
+    entry = {
+        "Id": deterministic_id(body)[:32],
+        "MessageBody": body,
+        "MessageAttributes": {"source": source},
+    }
+    if oversized:
+        entry["MessageAttributes"]["oversized"] = "true"
+    return entry
+
+
+def pack_entries(
+    entries: Iterable[dict[str, Any]],
+    max_batch: int = MAX_BATCH_SIZE,
+    max_bytes: int = MAX_BATCH_SIZE_BYTES,
+) -> Iterator[list[dict[str, Any]]]:
+    """Greedy size-and-count-aware packing (sqs.py:169-203): flush the
+    current batch when the next entry would overflow either cap."""
+    batch: list[dict[str, Any]] = []
+    batch_bytes = 0
+    for e in entries:
+        size = message_size(e["MessageBody"])
+        if batch and (len(batch) >= max_batch or batch_bytes + size > max_bytes):
+            yield batch
+            batch, batch_bytes = [], 0
+        batch.append(e)
+        batch_bytes += size
+    if batch:
+        yield batch
+
+
+@dataclass
+class InMemoryQueue:
+    """Process-local queue double for tests/demos (the LocalStack stand-in).
+
+    Optional failure injection mirrors the reference's unit-test matrix
+    (tests/unit/streams/test_sqs.py): `fail_ids` marks entries as Failed,
+    `too_long_above` raises BatchRequestTooLong for big requests.
+    """
+
+    messages: list[dict[str, Any]] = field(default_factory=list)
+    requests: list[int] = field(default_factory=list)
+    fail_ids: set[str] = field(default_factory=set)
+    too_long_above: int | None = None
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def send_message_batch(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
+        total = sum(message_size(e["MessageBody"]) for e in entries)
+        if self.too_long_above is not None and total > self.too_long_above:
+            raise BatchRequestTooLong(f"batch of {total} bytes rejected")
+        failed = [
+            {"Id": e["Id"], "Code": "InternalError", "SenderFault": False}
+            for e in entries
+            if e["Id"] in self.fail_ids
+        ]
+        ok = [e for e in entries if e["Id"] not in self.fail_ids]
+        with self._lock:
+            self.requests.append(len(entries))
+            self.messages.extend(ok)
+        return {"Successful": [{"Id": e["Id"]} for e in ok], "Failed": failed}
+
+
+@dataclass
+class FileQueue:
+    """Durable queue double backed by a directory of JSON-lines files.
+
+    Unlike InMemoryQueue this works from executor worker *processes* (the
+    real foreachPartition execution context): every send_message_batch
+    writes one uniquely-named file, so concurrent partitions never contend.
+    Reading back (`drain`) is for tests/verification — a real deployment
+    swaps in an SQS/Kafka client with the same send_message_batch shape.
+    """
+
+    path: str = ""
+
+    def send_message_batch(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"batch-{uuid.uuid4().hex}.jsonl")
+        with open(fname, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        return {"Successful": [{"Id": e["Id"]} for e in entries], "Failed": []}
+
+    def drain(self) -> list[dict[str, Any]]:
+        import glob
+        import os
+
+        out: list[dict[str, Any]] = []
+        for fname in sorted(glob.glob(os.path.join(self.path, "batch-*.jsonl"))):
+            with open(fname) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+        return out
+
+    def request_sizes(self) -> list[int]:
+        import glob
+        import os
+
+        sizes = []
+        for fname in sorted(glob.glob(os.path.join(self.path, "batch-*.jsonl"))):
+            with open(fname) as f:
+                sizes.append(sum(1 for line in f if line.strip()))
+        return sizes
+
+
+class QueueSink:
+    """Sink façade: send(messages) with packing, split-retry and partial-
+    failure semantics (the reference's Stream protocol, streams/base.py:14-38).
+    """
+
+    def __init__(self, client_factory: Callable[[], Any], source: str = "stream-cdc-spark"):
+        self._client_factory = client_factory
+        self._source = source
+
+    def send(self, messages: Iterable[str]) -> int:
+        client = self._client_factory()
+        entries = [
+            e for m in messages if (e := prepare_message(m, self._source)) is not None
+        ]
+        sent = 0
+        for batch in pack_entries(entries):
+            sent += self._send_batch(client, batch)
+        return sent
+
+    def _send_batch(self, client: Any, batch: list[dict[str, Any]]) -> int:
+        """Send with recursive halving on BatchRequestTooLong (sqs.py:360-373)
+        and raise-only-if-all-failed partial handling (sqs.py:318-357)."""
+        try:
+            resp = client.send_message_batch(batch)
+        except BatchRequestTooLong:
+            if len(batch) <= 1:
+                raise StreamError("single message exceeds request size cap")
+            mid = len(batch) // 2
+            return self._send_batch(client, batch[:mid]) + self._send_batch(
+                client, batch[mid:]
+            )
+        failed = resp.get("Failed", [])
+        if failed and len(failed) == len(batch):
+            raise StreamError(f"all {len(batch)} entries failed: {failed[:3]}")
+        return len(batch) - len(failed)
+
+    def close(self) -> None:  # Stream protocol parity (streams/base.py:27-38)
+        pass
+
+
+def foreach_batch_writer(
+    client_factory: Callable[[], Any],
+    payload_col: str = "payload",
+    source: str = "stream-cdc-spark",
+) -> Callable:
+    """Build a foreachBatch function that packs+sends each micro-batch.
+
+    Work happens on executors via foreachPartition — the driver never
+    materializes the batch. Each partition builds its own client
+    (connection-per-partition; reference caches one global client,
+    sqs.py:119-147, which cannot scale past one node).
+    """
+
+    def _write(batch_df, batch_id: int) -> None:
+        sink = QueueSink(client_factory, source)
+
+        def _part(rows) -> None:
+            sink.send(r[payload_col] for r in rows)
+
+        batch_df.select(payload_col).foreachPartition(_part)
+
+    return _write

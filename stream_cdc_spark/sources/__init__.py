@@ -1,0 +1,65 @@
+"""Source/sink/state registries — the reference's plugin system (O28).
+
+Reference: three name->class registries with case-insensitive lookup and
+import-time registration (stream_cdc/datasources/factory.py:7-60,
+streams/factory.py:7-56, state/factory.py:7-47). Here the same contract
+resolves names to reader/sink/state constructors, so a config-driven
+pipeline (`DS_TYPE=events_replay STREAM_TYPE=memory_queue`) wires itself
+exactly like the reference's main() — but each registered source returns a
+(streaming) DataFrame and each sink a foreachBatch function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any, Generic, TypeVar
+
+T = TypeVar("T")
+
+
+class Registry(Generic[T]):
+    """Case-insensitive name->factory registry (factory contract of O28)."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self._reg: dict[str, Callable[..., T]] = {}
+
+    def register(self, name: str, factory: Callable[..., T]) -> None:
+        self._reg[name.lower()] = factory
+
+    def create(self, name: str, **kwargs: Any) -> T:
+        key = name.lower()
+        if key not in self._reg:
+            raise ValueError(
+                f"unsupported {self.kind} type: {name!r}; "
+                f"registered: {sorted(self._reg)}"
+            )
+        return self._reg[key](**kwargs)
+
+    def names(self) -> list[str]:
+        return sorted(self._reg)
+
+
+datasource_registry: Registry = Registry("datasource")
+sink_registry: Registry = Registry("sink")
+state_registry: Registry = Registry("state-manager")
+
+
+def _register_builtins() -> None:
+    from stream_cdc_spark.sinks.queue import InMemoryQueue, foreach_batch_writer
+    from stream_cdc_spark.sources.state import ParquetKVState
+    from stream_cdc_spark.streaming.pipeline import replay_stream
+    from stream_cdc_spark.tables import load
+
+    datasource_registry.register("events_replay", replay_stream)
+    datasource_registry.register("parquet", load)
+    sink_registry.register(
+        "memory_queue",
+        lambda client=None, **kw: foreach_batch_writer(
+            (lambda: client) if client is not None else InMemoryQueue, **kw
+        ),
+    )
+    state_registry.register("parquet_kv", ParquetKVState)
+
+
+_register_builtins()

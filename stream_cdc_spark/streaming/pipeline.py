@@ -1,0 +1,155 @@
+"""Structured Streaming spine — the reference's coordinator/worker loop
+re-expressed as a streaming query.
+
+Reference -> Spark mapping (citations into /root/reference/):
+  Worker.run / process_next loop (processing/worker.py:26-77,
+    coordinator.py:220-279)         -> MicroBatchExecution (built-in)
+  BatchSizeAndTimePolicy (coordinator.py:26-59) -> maxFilesPerTrigger rate
+    limit + ProcessingTime trigger (documented deviation: count-triggered
+    flush becomes rate-limited time trigger, SURVEY §4)
+  flush-then-checkpoint barrier (coordinator.py:281-303) -> foreachBatch +
+    epoch commit: offsets are committed only after the batch function
+    returns, preserving at-least-once into a non-idempotent sink and
+    effectively-exactly-once with deterministic message ids
+  load_state/save_state (coordinator.py:73-159) -> checkpointLocation
+  graceful shutdown (main.py:59-64, worker.py:87-99) -> query.stop()
+
+The file-based replay source treats the events parquet as an append-only
+log — the testbench stand-in for a Kafka/Debezium topic. Swapping
+`replay_stream` for `spark.readStream.format("kafka")` + envelope parsing
+(operators/envelope.from_debezium_json) is the production path; everything
+downstream is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.config import AppConfig
+from stream_cdc_spark.filters import FilterChain
+from stream_cdc_spark.tables import _ensure_session_conf, table_path
+
+
+def replay_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream over the driver's parquet fixture as an append-only log.
+
+    Schema comes from a batch read of the same path (file sources need an
+    explicit schema); the nanos timestamp fix is applied like tables.load.
+    """
+    _ensure_session_conf(spark)
+    path = table_path(sf_dir, table)
+    schema = spark.read.parquet(path).schema
+    # The fixture is a single parquet file; Spark's file stream source wants
+    # a directory, so stream the sf dir with a glob filter for the table.
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    if table == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class CdcPipeline:
+    """source -> filter chain -> serialize -> foreachBatch sink, with
+    checkpointing. The whole reference object graph (main.py:16-66) in one
+    declarative pipeline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        sink_fn: Callable,  # foreachBatch(batch_df, batch_id)
+        checkpoint_dir: str,
+        config: AppConfig | None = None,
+        filters: FilterChain | None = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.sink_fn = sink_fn
+        self.checkpoint_dir = checkpoint_dir
+        self.config = config or AppConfig()
+        self.filters = filters or FilterChain()
+        self.query = None
+
+    def transformed(self) -> DataFrame:
+        """Apply the filter chain and serialize each event to a JSON payload
+        (serializer semantics of O10: stringify at the boundary)."""
+        df = self.filters.apply(self.source)
+        cols = df.columns
+        return df.withColumn(
+            "payload",
+            F.to_json(F.struct(*[F.col(c) for c in cols])),
+        )
+
+    def start(self, available_now: bool = True):
+        """Start the streaming query.
+
+        available_now=True drains everything currently in the log then
+        stops — the deterministic test/replay mode. False uses the
+        ProcessingTime trigger from config (production pacing, O15).
+        """
+        writer = (
+            self.transformed()
+            .writeStream.foreachBatch(self.sink_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(**self.config.trigger())
+        self.query = writer.start()
+        return self.query
+
+    def await_and_stop(self, timeout: int | None = None) -> None:
+        """Graceful shutdown (O27): drain, then stop. With availableNow the
+        query terminates itself once the log is consumed."""
+        if self.query is None:
+            return
+        self.query.awaitTermination(timeout)
+        if self.query.isActive:
+            self.query.stop()
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window with watermarked late-data handling —
+    the Spark-native upgrade the reference lacks entirely (its envelope has
+    no event time; SURVEY §2.2 'streaming-only'). Works identically over a
+    batch DataFrame (watermark is a no-op there), which is how the oracle
+    checks it (q10)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "approx_users")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Consumer-side duplicate suppression for at-least-once delivery:
+    dropDuplicatesWithinWatermark on the deterministic event id (the fix of
+    O25's ephemeral ids, bounded state via watermark — RocksDB-backed state
+    store recommended at scale). Batch DataFrames (replay/backfill mode)
+    get plain dropDuplicates — same result, no state store needed."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

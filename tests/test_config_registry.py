@@ -1,0 +1,46 @@
+"""Config loader (O29) + plugin registries (O28) + KV state (O20) tests,
+mirroring the reference's factory/state unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_cdc_spark.config import AppConfig
+from stream_cdc_spark.sources import datasource_registry, sink_registry, state_registry
+from stream_cdc_spark.sources.state import ParquetKVState
+
+
+def test_config_defaults_and_env():
+    cfg = AppConfig.load(env={})
+    assert cfg.batch_size == 10 and cfg.flush_interval == 5.0  # loader.py:29-30
+    cfg2 = AppConfig.load(
+        env={"BATCH_SIZE": "25", "FLUSH_INTERVAL": "0.5", "STREAM_TYPE": "MEMORY_QUEUE"}
+    )
+    assert cfg2.batch_size == 25
+    assert cfg2.flush_interval == 0.5
+    assert cfg2.trigger() == {"processingTime": "0.5 seconds"}
+
+
+def test_registries_resolve_case_insensitive():
+    assert "events_replay" in datasource_registry.names()
+    assert "memory_queue" in sink_registry.names()
+    assert "parquet_kv" in state_registry.names()
+    fn = sink_registry.create("MEMORY_QUEUE")
+    assert callable(fn)
+
+
+def test_registry_unknown_type_errors():
+    with pytest.raises(ValueError, match="unsupported datasource"):
+        datasource_registry.create("mysql-binlog-direct")
+
+
+def test_parquet_kv_state_roundtrip(spark, tmp_path):
+    st = ParquetKVState(spark, str(tmp_path / "state"))
+    assert st.read("mysql", "db1") is None
+    st.store("mysql", "db1", "uuid:1-100")
+    st.store("mysql", "db2", "uuid:1-5")
+    st.store("mysql", "db1", "uuid:1-200")  # newer position wins
+    assert st.read("mysql", "db1") == "uuid:1-200"
+    assert st.read("mysql", "db2") == "uuid:1-5"
+    # write-dedup: identical position is a no-op (coordinator.py:137-141)
+    assert st.store("mysql", "db1", "uuid:1-200") is True

@@ -1,0 +1,103 @@
+"""Streaming-spine tests: availableNow replay through the queue sink with
+checkpointing (O15-O27 equivalents), restart-no-duplicates, convergence of
+the streaming pipeline with batch answers, watermarked dedup.
+
+The sink double is FileQueue: foreachPartition runs in executor worker
+processes, so the queue must be an external side effect (like real SQS) —
+an in-memory list in the driver would silently observe nothing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from stream_cdc_spark.config import AppConfig
+from stream_cdc_spark.filters import FilterChain, RedactFilter
+from stream_cdc_spark.sinks.queue import FileQueue, foreach_batch_writer
+from stream_cdc_spark.streaming.pipeline import (
+    CdcPipeline,
+    dedup_within_watermark,
+    replay_stream,
+    windowed_counts,
+)
+from stream_cdc_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _run_pipeline(spark, tmp_path, qname, filters=None, runs=1):
+    qdir = str(tmp_path / qname)
+    ckpt = str(tmp_path / f"{qname}-ckpt")
+    for _ in range(runs):
+        pipe = CdcPipeline(
+            spark,
+            replay_stream(spark, SF_SMALL),
+            foreach_batch_writer(lambda: FileQueue(qdir)),
+            checkpoint_dir=ckpt,
+            config=AppConfig(batch_size=10, flush_interval=0.1),
+            filters=filters,
+        )
+        pipe.start(available_now=True)
+        pipe.await_and_stop(timeout=120)
+    return FileQueue(qdir)
+
+
+def test_replay_end_to_end(spark, tmp_path):
+    q = _run_pipeline(spark, tmp_path, "e2e")
+    msgs = q.drain()
+    n_events = load(spark, SF_SMALL, "events").count()
+    assert len(msgs) == n_events
+    # payloads are the serialized envelopes (O10 boundary stringify)
+    body = json.loads(msgs[0]["MessageBody"])
+    assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= set(body)
+    # sink hard limits respected (O21): <=10 messages per request
+    assert max(q.request_sizes()) <= 10
+    # deterministic ids (O25 fix)
+    assert all(len(m["Id"]) == 32 for m in msgs)
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    # second run resumes from the checkpoint -> no redelivery
+    q = _run_pipeline(spark, tmp_path, "restart", runs=2)
+    n_events = load(spark, SF_SMALL, "events").count()
+    assert len(q.drain()) == n_events
+
+
+def test_filter_chain_in_stream(spark, tmp_path):
+    q = _run_pipeline(
+        spark,
+        tmp_path,
+        "filtered",
+        filters=FilterChain([RedactFilter("props", "[REDACTED]")]),
+    )
+    msgs = q.drain()
+    assert msgs
+    assert all(json.loads(m["MessageBody"])["props"] == "[REDACTED]" for m in msgs)
+
+
+def test_streaming_window_converges_to_batch(spark, tmp_path):
+    """Windowed streaming agg over the replay equals the batch computation
+    on the same data (SURVEY §7 step 4 convergence requirement)."""
+    stream = windowed_counts(replay_stream(spark, SF_SMALL))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r.w_start, r.n)
+        for r in spark.sql("SELECT w_start, n FROM win_stream").collect()
+    }
+    batch = windowed_counts(load(spark, SF_SMALL, "events"))
+    want = {(r.w_start, r.n) for r in batch.collect()}
+    assert got == want
+
+
+def test_dedup_within_watermark_batch_semantics(spark):
+    ev = load(spark, SF_SMALL, "events")
+    doubled = ev.unionAll(ev)
+    out = dedup_within_watermark(doubled)
+    assert out.count() == ev.count()

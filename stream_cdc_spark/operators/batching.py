@@ -47,13 +47,17 @@ def assign_batches(
         rn = F.row_number().over(w)
         batch_id = F.floor((rn - F.lit(1)) / F.lit(batch_size)).cast("bigint")
         return df.withColumn("batch_id", batch_id)
-    part = F.spark_partition_id()
-    w = Window.partitionBy(part).orderBy(F.col(order_col))
+    # Materialize the partition id BEFORE the window (a window partitioned
+    # on a raw spark_partition_id() expression would evaluate it after its
+    # own shuffle, collapsing distinct source partitions into one).
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
     rn = F.row_number().over(w)
     local = F.floor((rn - F.lit(1)) / F.lit(batch_size))
-    return df.withColumn(
-        "batch_id", (part.cast("bigint") * F.lit(1 << 32)) + local.cast("bigint")
-    )
+    return with_pid.withColumn(
+        "batch_id",
+        (F.col("__pid").cast("bigint") * F.lit(1 << 32)) + local.cast("bigint"),
+    ).drop("__pid")
 
 
 def batch_stats(df_with_batches: DataFrame) -> DataFrame:
@@ -106,7 +110,12 @@ def make_claim_check_reference(df: DataFrame, payload_col: str, id_col: str) -> 
             size.alias("original_size"),
         )
     )
-    return df.withColumn(
-        payload_col,
-        F.when(size > F.lit(MAX_MESSAGE_BYTES), ref).otherwise(F.col(payload_col)),
-    ).withColumn("oversized", size > F.lit(MAX_MESSAGE_BYTES))
+    # Flag first: once the payload column is rewritten, a size expression
+    # over it would measure the (small) reference instead of the original.
+    return (
+        df.withColumn("oversized", size > F.lit(MAX_MESSAGE_BYTES))
+        .withColumn(
+            payload_col,
+            F.when(F.col("oversized"), ref).otherwise(F.col(payload_col)),
+        )
+    )

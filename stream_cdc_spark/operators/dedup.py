@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.operators.text import tokens
+from stream_cdc_spark.operators.util import ensure_parallelism
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -32,14 +33,19 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     minimum id as the canonical representative, counts members."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return (
-        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        ensure_parallelism(df).select(F.md5(norm).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
     )
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
+    """Distinct word k-shingles per document: (id, shingle).
+
+    The explode is the fan-out hot spot — ensure_parallelism first so a
+    single-row-group input doesn't serialize the whole corpus onto one core.
+    """
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= k,
@@ -189,6 +195,7 @@ def simhash_signatures(
     explode(bit) -> signed counts -> bit reassembly. Two shuffles, both
     with map-side combine; at 100 TB prefer sampling long docs first.
     """
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     h = tok.withColumn("h", F.xxhash64(F.col("tok")))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from stream_cdc_spark.operators.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<float/double> columns."""
@@ -63,7 +65,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
@@ -108,31 +112,44 @@ def lsh_ann_topk(
     dim: int,
     k: int = 5,
     bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. Corpus bucket assignment is a narrow map (cacheable /
-    persistable as a bucketed table at scale); the bucket equi-join
-    replaces the cross join — per-query cost drops ~2^bits."""
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    """Approximate top-k with L independent hash tables (classic LSH):
+    a candidate is scored if it shares a bucket with the query in ANY
+    table, so recall ~ 1-(1-p^bits)^tables while per-query cost stays
+    ~ tables * n / 2^bits. Bucket assignments are narrow maps over the
+    corpus (persistable as a bucketed table at scale); the per-table
+    bucket equi-join replaces the cross join entirely."""
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")]
+        tabs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tab"),
+                    lsh_bucket(F.col(vec_col), dim, bits, seed=42 + 101 * t).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
         )
+        return df.select(*cols, F.explode(tabs).alias("bk")).select(
+            f"{prefix}_id", f"{prefix}_vec", "bk.tab", "bk.bucket"
+        )
+
+    c = bucketed(ensure_parallelism(corpus), "c")
+    q = bucketed(queries, "q")
+    cand = (
+        c.join(F.broadcast(q), ["tab", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return (
@@ -153,6 +170,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
     only scored within a bucket (plus one rotated-seed pass to reduce
     boundary misses). Returns (id_a, id_b, sim) with id_a < id_b."""
+    df = ensure_parallelism(df)
     out = None
     for seed in (42, 1337):
         b = df.select(

@@ -732,7 +732,11 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    c = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    )
     sim_bp = F.floor(
         F.lit(10000) * similarity.cosine(F.col("qv"), F.col("cv"))
     ).cast("bigint")

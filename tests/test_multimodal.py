@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: the Spark-side schema/partitioning/UDF wiring
+is real; the decode itself is a clearly-marked stub (no media libs in this
+container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import multimodal
+
+
+def _media(spark, n=20):
+    rows = [
+        (i, "image", "image/png", bytes([i % 256]) * (100 + i), None)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, kind STRING, content_type STRING, blob BINARY, duration_ms LONG"
+    )
+    return df
+
+
+def test_decode_stubs_raise_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"abc")
+
+
+def test_fake_decode_deterministic():
+    a = multimodal.decode_image(b"hello", fake=True)
+    b = multimodal.decode_image(b"hello", fake=True)
+    assert a == b and 64 <= a["width"] < 128
+
+
+def test_attach_metadata(spark):
+    out = multimodal.attach_metadata(_media(spark)).collect()
+    for r in out:
+        assert r.n_bytes == len(r.blob)
+        assert len(r.sha) == 64
+
+
+def test_extract_features_mapinpandas(spark):
+    df = _media(spark, 50)
+    feats = multimodal.extract_features(df, fake=True)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "n_bytes", "sha", "feat_mean",
+    ]
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes > 0 and len(r.sha) == 64 for r in rows)
+
+
+def test_repartition_by_bytes(spark):
+    df = multimodal.attach_metadata(_media(spark, 40))
+    out = multimodal.repartition_by_bytes(df, target_partition_bytes=500)
+    assert out.count() == 40
+    assert out.rdd.getNumPartitions() > 1
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3500), (2, 900), (3, None)], "media_id LONG, duration_ms LONG"
+    )
+    out = multimodal.frame_sample_plan(df, every_ms=1000)
+    frames = {(r.media_id, r.frame_ts_ms) for r in out.collect()}
+    assert {(1, 0), (1, 1000), (1, 2000)} <= frames
+    assert (2, 0) in frames
+    assert all(m != 3 for m, _ in frames)  # null duration filtered

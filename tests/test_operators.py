@@ -1,0 +1,88 @@
+"""Operator-level unit tests mirroring the reference's test strategy
+(SURVEY §5): envelope mapping, classification, explode, batching/claim-check
+boundaries, compaction semantics, Debezium parsing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import batching, compaction, envelope
+
+
+def test_classify_event_type(spark):
+    df = spark.createDataFrame(
+        [("WriteRowsEvent",), ("UpdateRowsEvent",), ("DeleteRowsEvent",),
+         ("c",), ("u",), ("d",), ("QueryEvent",)],
+        ["raw"],
+    )
+    out = df.select(envelope.classify_event_type(F.col("raw")).alias("t")).collect()
+    got = [r.t for r in out]
+    # mysql.py:344-352 mapping; unknown classes -> NULL (skip path :386-393)
+    assert got == ["Insert", "Update", "Delete", "Insert", "Update", "Delete", None]
+
+
+def test_explode_rows_and_envelope(spark):
+    df = spark.createDataFrame(
+        [Row(gtid="u:1", rows=[{"id": "1"}, {"id": "2"}]),
+         Row(gtid="u:2", rows=[{"id": "3"}])]
+    )
+    out = envelope.explode_rows(df)
+    assert out.count() == 3  # 1 event with N rows -> N records (mysql.py:404-414)
+    assert set(out.columns) == {"gtid", "row"}
+
+
+def test_drop_non_row_events(spark):
+    df = spark.createDataFrame(
+        [Row(gtid="u:1", rows=[{"a": "1"}]), Row(gtid="u:2", rows=None),
+         Row(gtid="u:3", rows=[])]
+    )
+    assert envelope.drop_non_row_events(df).count() == 1
+
+
+def test_gtid_parts(spark):
+    df = spark.createDataFrame([("550e8400-aaaa:42",)], ["gtid"])
+    uuid_c, tx = envelope.gtid_parts(F.col("gtid"))
+    r = df.select(uuid_c.alias("u"), tx.alias("t")).collect()[0]
+    assert r.u == "550e8400-aaaa" and r.t == 42
+
+
+def test_from_debezium_json(spark):
+    payload = (
+        '{"op":"u","source":{"db":"shop","table":"users","gtid":"u:9"},'
+        '"before":{"id":"1","name":"a"},"after":{"id":"1","name":"b"}}'
+    )
+    df = spark.createDataFrame([(payload,), ('{"op":"x"}',)], ["value"])
+    out = envelope.from_debezium_json(df).collect()
+    assert len(out) == 1  # unknown op dropped
+    r = out[0]
+    assert r.event_type == "Update"
+    assert r.database == "shop" and r.table == "users" and r.gtid == "u:9"
+    assert r.content.before["name"] == "a" and r.content.after["name"] == "b"
+
+
+def test_latest_per_key_tie_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "seq", "v"]
+    )
+    out = {r.k: r.v for r in compaction.latest_per_key(df, ["k"], "seq").collect()}
+    assert out == {1: "b", 2: "c"}
+    asc = compaction.latest_per_key(df, ["k"], "seq", desc=False)
+    assert {r.k: r.v for r in asc.collect()} == {1: "a", 2: "c"}
+
+
+def test_assign_batches_partition_local_mode(spark):
+    df = spark.range(100).withColumnRenamed("id", "seq").repartition(4)
+    out = batching.assign_batches(df, "seq", batch_size=10, global_order=False)
+    stats = out.groupBy("batch_id").count().collect()
+    assert sum(r["count"] for r in stats) == 100
+    assert all(r["count"] <= 10 for r in stats)  # cap holds per batch
+
+
+def test_claim_check_reference_projection(spark):
+    big = "x" * (batching.MAX_MESSAGE_BYTES + 10)
+    df = spark.createDataFrame([(1, "small"), (2, big)], ["id", "payload"])
+    out = {r.id: r for r in batching.make_claim_check_reference(df, "payload", "id").collect()}
+    assert out[1].payload == "small" and not out[1].oversized
+    assert out[2].oversized and '"original_size_exceeded":true' in out[2].payload
+    assert len(out[2].payload) < 1000

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must be visible in .explain output — filter pushdown, column
+pruning, broadcast joins, whole-stage codegen, no accidental cartesian
+products (SURVEY §4)."""
+
+from __future__ import annotations
+
+from stream_cdc_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].builder(spark, SF_SMALL)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q01_envelope_filter_project")
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(event_type)" in plan or "Not(EqualTo(event_type,error))" in plan
+    # only the three projected columns are read (props/value/ts pruned)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_q13_scan_pushdown(spark):
+    plan = _plan(spark, "q13_tpch_q1")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_q07_broadcast_join(spark):
+    plan = _plan(spark, "q07_cdc_apply_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q14_broadcast_joins(spark):
+    plan = _plan(spark, "q14_tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q08_q09_broadcast_semi_anti(spark):
+    anti = _plan(spark, "q08_delete_anti_join")
+    semi = _plan(spark, "q09_changed_keys_semi_join")
+    assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+    assert "BroadcastHashJoin" in semi and "LeftSemi" in semi
+
+
+def test_q16_topk_no_global_sort(spark):
+    plan = _plan(spark, "q16_top_k_orders")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, not a sort
+
+
+def test_whole_stage_codegen_in_scan_queries(spark):
+    # AQE hides codegen spans until the final plan exists — execute first.
+    for name in ("q02_classify_count", "q20_token_stats", "q13_tpch_q1"):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the formatted final plan tags codegen'd operators with
+        # "[codegen id : N]" — their absence would mean the hot path fell
+        # out of whole-stage codegen
+        assert "codegen id" in plan, name
+
+
+def test_no_cartesian_outside_intended(spark):
+    # q25 intentionally cross-joins a 5-row broadcast side; everything else
+    # must be free of cartesian/broadcast-nested-loop surprises
+    for name, spec in QUERIES.items():
+        if name == "q25_ann_bruteforce_topk":
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name

@@ -51,8 +51,18 @@ def _register_builtins() -> None:
     from stream_cdc_spark.streaming.pipeline import replay_stream
     from stream_cdc_spark.tables import load
 
+    def _cdc_replay(spark, path, **opts):
+        from stream_cdc_spark.sources.cdc_replay import register as _reg
+
+        _reg(spark)
+        reader = spark.readStream.format("cdc_replay").option("path", path)
+        for k, v in opts.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+
     datasource_registry.register("events_replay", replay_stream)
     datasource_registry.register("parquet", load)
+    datasource_registry.register("cdc_replay", _cdc_replay)
     sink_registry.register(
         "memory_queue",
         lambda client=None, **kw: foreach_batch_writer(

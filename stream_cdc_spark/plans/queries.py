@@ -835,3 +835,335 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended SQL surface: sessionization, running aggregates, lag analytics,
+# set ops, pivot, discrete percentiles, corpus filtering (SURVEY §2.2 —
+# operator families the reference lacks; all oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q31_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                    THEN 1 ELSE 0 END) AS n_sessions
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    headline=True,
+    doc="Sessionization (30-min inactivity gap) via lag over event time — "
+    "the batch twin of a session window; one shuffle on user_id serves "
+    "both window functions and the final aggregate (same partitioning, "
+    "no second exchange).",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_s"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_s").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q32_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
+             (PARTITION BY user_id ORDER BY event_id), 2) AS DOUBLE)
+             AS running_value
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+    doc="Per-key running total (exact decimal accumulation inside the "
+    "window frame so parallel execution cannot perturb the doubles).",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+            .cast("double")
+            .alias("running_value"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@_register(
+    "q33_lag_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER
+             (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+    doc="Lag/lead analytics: per-key delta between consecutive events.",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@_register(
+    "q34_tpch_q6",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+    doc="TPC-H Q6 shape: pure scan-filter-agg; every predicate reaches the "
+    "parquet scan (PushedFilters), zero shuffle beyond the final combine.",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q35_having_filter",
+    f"""
+    SELECT c.c_custkey, COUNT(*) AS n_orders,
+           {_MONEY.format(x="o.o_totalprice", a="total_spend")}
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey HAVING COUNT(*) >= 12
+    ORDER BY c.c_custkey
+    """,
+    doc="Aggregate + HAVING: high-frequency customers.",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q36_set_except",
+    """
+    SELECT o_custkey AS key FROM orders
+    EXCEPT
+    SELECT user_id AS key FROM events
+    ORDER BY key
+    """,
+    doc="Set difference: customers with orders but no event activity.",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    ev = load(spark, sf, "events").select(F.col("user_id").alias("key"))
+    return o.exceptAll(ev).distinct().orderBy("key")
+
+
+@_register(
+    "q37_pivot_counts",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Pivot (wide aggregation): event-type counts per user bucket. "
+    "Explicit pivot values keep the plan a single pass (no distinct-scan).",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "q38_discrete_percentiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END) AS p90
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact discrete percentiles via rank selection — deterministic "
+    "across engines (interpolating percentile implementations differ in "
+    "floating arithmetic; rank selection returns an actual data value).",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q39_near_dedup_filter",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    drop_ids AS (
+      SELECT DISTINCT id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 800000.0
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+    ORDER BY doc_id
+    """,
+    doc="Near-dedup corpus filter: keep the lowest-id representative of "
+    "every >=0.8-Jaccard pair, drop the rest — the actual training-data "
+    "pipeline output (dedup operators produce pair lists; this consumes "
+    "them). Anti-join against the broadcast-sized drop set.",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import dedup as _dd
+
+    d = load(spark, sf, "documents")
+    sh = _dd.shingles(d, "text", "doc_id", k=3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ratio = (
+        F.lit(1000000.0)
+        * F.col("shared")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+    )
+    drop_ids = (
+        shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(ratio >= 800000.0)
+        .select(F.col("id_b"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(drop_ids), d.doc_id == drop_ids.id_b, "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q40_token_frequencies",
+    """
+    SELECT tok, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    doc="Corpus token-frequency table (vocabulary head): explode + "
+    "hash-aggregate with map-side combine + top-k.",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf, "documents"))
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(20)
+    )

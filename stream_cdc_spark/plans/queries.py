@@ -1167,3 +1167,110 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+@_register(
+    "q41_regex_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_tokens_regex
+    FROM documents ORDER BY doc_id
+    """,
+    doc="BPE-ish regex tokenization (words | numbers | single symbols) — "
+    "the portable-pattern variant of token counting.",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens_regex"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q42_vector_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           SUM(CAST(FLOOR(10000 * sqrt(list_dot_product(
+             CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])
+           ))) AS BIGINT)) AS sum_norm_bp
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding statistics: count + quantized L2-norm sum "
+    "(norms floor-quantized per vector before the sum, so the aggregate "
+    "is integer-exact and order-insensitive).",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    norm_bp = F.floor(F.lit(10000) * similarity.l2_norm(F.col("embedding"))).cast(
+        "bigint"
+    )
+    return (
+        emb.select("label", norm_bp.alias("norm_bp"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("norm_bp").alias("sum_norm_bp"))
+        .orderBy("label")
+    )
+
+
+@_register(
+    "q43_ivf_cells",
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    d AS (
+      SELECT vec_id, cid,
+             CAST(FLOOR(10000 * (list_dot_product(vv, vv)
+                                 - 2 * list_dot_product(vv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM v, c
+    ),
+    r AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_bp, cid) AS rn
+      FROM d
+    )
+    SELECT cid AS cell, COUNT(*) AS n_assigned
+    FROM r WHERE rn = 1 GROUP BY cid ORDER BY cell
+    """,
+    doc="IVF coarse quantization (similarity.ivf_assign): every vector "
+    "assigned to its nearest deterministic centroid; cell histogram. The "
+    "cell id is the partition key for cell-local ANN at scale.",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return (
+        similarity.ivf_assign(emb, cents)
+        .groupBy(F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("cell")
+    )
+
+
+@_register(
+    "q44_ivf_ann_topk",
+    None,
+    doc="IVF ANN top-k (nprobe=2 cells per query): the partition-pruned "
+    "scale path for similarity search; recall vs brute force checked in "
+    "tests/test_dedup_similarity.py.",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_ann_topk(emb, q, cents, k=5, nprobe=2).orderBy(
+        "q_id", "rank"
+    )

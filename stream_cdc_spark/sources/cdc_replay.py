@@ -66,8 +66,34 @@ class _SeqRange(InputPartition):
     end: int
 
 
+def validate_settings(options: dict) -> dict:
+    """Fail-fast settings validation before streaming starts — the parity
+    of the reference's MySQLSettingsValidator (O2, mysql.py:24-128): wrong
+    source configuration must error at connect time, not mid-stream."""
+    import os
+
+    errors = []
+    path = options.get("path")
+    if not path:
+        errors.append("required option 'path' is missing")
+    elif not os.path.exists(path):
+        errors.append(f"path does not exist: {path!r}")
+    for key, lo in (("batchEvents", 1), ("readPartitions", 1), ("startingSeq", 0)):
+        raw = options.get(key)
+        if raw is not None:
+            try:
+                if int(raw) < lo:
+                    errors.append(f"option {key!r} must be >= {lo}, got {raw}")
+            except ValueError:
+                errors.append(f"option {key!r} must be an integer, got {raw!r}")
+    if errors:
+        raise ValueError("cdc_replay settings invalid: " + "; ".join(errors))
+    return options
+
+
 class CdcReplayStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
+        validate_settings(options)
         self.path = options["path"]
         self.batch_events = int(options.get("batchEvents", "10000"))
         self.start_seq = int(options.get("startingSeq", "0"))

@@ -44,3 +44,50 @@ def test_parquet_kv_state_roundtrip(spark, tmp_path):
     assert st.read("mysql", "db2") == "uuid:1-5"
     # write-dedup: identical position is a no-op (coordinator.py:137-141)
     assert st.store("mysql", "db1", "uuid:1-200") is True
+
+
+def test_cdc_replay_settings_validation():
+    from stream_cdc_spark.sources.cdc_replay import validate_settings
+
+    validate_settings({"path": "/root/testdata/sf0.001/events.parquet"})
+    with pytest.raises(ValueError, match="path"):
+        validate_settings({})
+    with pytest.raises(ValueError, match="does not exist"):
+        validate_settings({"path": "/nope"})
+    with pytest.raises(ValueError, match="batchEvents"):
+        validate_settings(
+            {"path": "/root/testdata/sf0.001/events.parquet", "batchEvents": "0"}
+        )
+    with pytest.raises(ValueError, match="integer"):
+        validate_settings(
+            {"path": "/root/testdata/sf0.001/events.parquet", "readPartitions": "x"}
+        )
+
+
+def test_retry_with_backoff():
+    from stream_cdc_spark.sinks.retry import TransientError, with_retries
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise TransientError("throttled")
+        return "ok"
+
+    assert with_retries(flaky, sleep=delays.append) == "ok"
+    assert calls["n"] == 4
+    assert len(delays) == 3 and delays[0] < delays[1] < delays[2]  # backoff grows
+
+    def always_fails():
+        raise TransientError("down")
+
+    with pytest.raises(TransientError):
+        with_retries(always_fails, attempts=3, sleep=lambda _: None)
+
+    def fatal():
+        raise RuntimeError("not retriable")
+
+    with pytest.raises(RuntimeError):
+        with_retries(fatal, sleep=lambda _: None)

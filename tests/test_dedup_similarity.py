@@ -104,3 +104,22 @@ def test_exact_dedup_finds_planted_dup(spark):
     groups = dedup.exact_dedup_groups(planted)
     g = {r.keep_id: r.n_members for r in groups.collect()}
     assert g.get(0) == 2  # doc 0 and its case-mangled copy share a group
+
+
+def test_ivf_ann_recall_and_cells(spark):
+    emb = load(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cells = similarity.ivf_assign(emb, cents)
+    assert cells.count() == emb.count()  # every vector assigned exactly once
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.c_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.c_id)
+        for r in similarity.ivf_ann_topk(emb, q, cents, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 5 cells, probing 3 -> >= 60% of the corpus scored per query; on
+    # near-random data recall tracks coverage
+    assert recall >= 0.5, f"IVF recall {recall}"

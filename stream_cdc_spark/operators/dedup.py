@@ -103,6 +103,20 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_array(text_col: str, k: int = 3) -> "F.Column":
+    """Word k-shingles of a text column as an array expression (no explode)."""
+    toks = tokens(F.col(text_col))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -112,11 +126,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of xxhash64(shingle, i).
 
-    Computed without UDFs: explode shingles, one aggregate with `num_hashes`
-    min(xxhash64(...)) columns — a single shuffle with map-side combine, so
-    signature state never exceeds num_hashes longs per doc per task.
+    One shuffle, no UDFs: explode raw shingles (duplicates kept — min over
+    a multiset equals min over its set, so the distinct() shuffle of
+    `shingles()` is skipped) and aggregate `num_hashes` mins with map-side
+    combine: per-doc partial state is num_hashes longs regardless of
+    document length. (A fully-narrow array_min(transform(...)) variant
+    benchmarks slower: Catalyst's projection collapse re-inlines the
+    shingle-building expression into all 64 hash positions.)
     """
-    sh = shingles(df, text_col, id_col, k)
+    df = ensure_parallelism(df)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("shingle")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)

@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the pure-Python sink logic — the
+invariants the SQS caps demand must hold for arbitrary payload mixes, not
+just the reference's example cases."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stream_cdc_spark.sinks.queue import (
+    MAX_BATCH_SIZE,
+    MAX_BATCH_SIZE_BYTES,
+    MAX_MESSAGE_SIZE_BYTES,
+    InMemoryQueue,
+    QueueSink,
+    deterministic_id,
+    message_size,
+    pack_entries,
+    prepare_message,
+)
+
+payloads = st.lists(
+    st.text(min_size=0, max_size=2000).map(lambda s: json.dumps({"v": s})),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(payloads)
+@settings(max_examples=50, deadline=None)
+def test_packing_never_exceeds_caps(msgs):
+    entries = [e for m in msgs if (e := prepare_message(m))]
+    batches = list(pack_entries(entries))
+    # caps hold for every batch (sqs.py:22-29 hard limits)
+    for b in batches:
+        assert 1 <= len(b) <= MAX_BATCH_SIZE
+        assert sum(message_size(e["MessageBody"]) for e in b) <= MAX_BATCH_SIZE_BYTES
+    # nothing lost, nothing duplicated, order preserved
+    flat = [e for b in batches for e in b]
+    assert flat == entries
+
+
+@given(payloads)
+@settings(max_examples=30, deadline=None)
+def test_send_delivers_everything(msgs):
+    q = InMemoryQueue()
+    sent = QueueSink(lambda: q).send(msgs)
+    assert sent == len(msgs)
+    assert [m["MessageBody"] for m in q.messages] == msgs
+
+
+@given(st.binary(min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_deterministic_id_is_stable_and_distinct(blob):
+    s = blob.hex()
+    assert deterministic_id(s) == deterministic_id(s)
+    assert deterministic_id(s) != deterministic_id(s + "x")
+
+
+@given(st.integers(min_value=0, max_value=3 * MAX_MESSAGE_SIZE_BYTES))
+@settings(max_examples=20, deadline=None)
+def test_prepared_messages_always_fit(n):
+    entry = prepare_message("y" * n)
+    assert entry is not None
+    assert message_size(entry["MessageBody"]) <= MAX_MESSAGE_SIZE_BYTES
+    if n > MAX_MESSAGE_SIZE_BYTES:
+        assert entry["MessageAttributes"].get("oversized") == "true"

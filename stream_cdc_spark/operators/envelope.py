@@ -115,6 +115,31 @@ def gtid_parts(gtid: Column) -> tuple[Column, Column]:
     return F.split(gtid, ":").getItem(0), F.split(gtid, ":").getItem(1).cast("bigint")
 
 
+def to_debezium_json(df: DataFrame) -> DataFrame:
+    """Serialize envelope rows to Debezium-format JSON values (the inverse
+    of from_debezium_json) — the egress format for a Kafka sink so any
+    Debezium consumer can read the engine's output."""
+    op = (
+        F.when(F.col("event_type") == "Insert", F.lit("c"))
+        .when(F.col("event_type") == "Update", F.lit("u"))
+        .when(F.col("event_type") == "Delete", F.lit("d"))
+    )
+    return df.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.col("content.before").alias("before"),
+                F.col("content.after").alias("after"),
+                F.struct(
+                    F.col("database").alias("db"),
+                    F.col("table").alias("table"),
+                    F.col("gtid").alias("gtid"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+
+
 def from_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse a Debezium-format JSON change feed (e.g. a Kafka topic) into the
     envelope. This is the production-scale CDC ingest path: the binlog tail

@@ -63,6 +63,17 @@ def _register_builtins() -> None:
     datasource_registry.register("events_replay", replay_stream)
     datasource_registry.register("parquet", load)
     datasource_registry.register("cdc_replay", _cdc_replay)
+    # File formats the reference lacks entirely (SURVEY §2.2 scans) —
+    # stock Spark readers behind the same registry contract.
+    datasource_registry.register(
+        "csv",
+        lambda spark, path, **opts: spark.read.options(
+            header="true", inferSchema="true", **opts
+        ).csv(path),
+    )
+    datasource_registry.register(
+        "json", lambda spark, path, **opts: spark.read.options(**opts).json(path)
+    )
     sink_registry.register(
         "memory_queue",
         lambda client=None, **kw: foreach_batch_writer(

@@ -91,3 +91,20 @@ def test_retry_with_backoff():
 
     with pytest.raises(RuntimeError):
         with_retries(fatal, sleep=lambda _: None)
+
+
+def test_file_format_sources_roundtrip(spark, tmp_path):
+    from stream_cdc_spark.tables import load as _load
+
+    ev = _load(spark, "/root/testdata/sf0.001", "events").limit(100)
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    ev.select("event_id", "user_id", "event_type").write.option(
+        "header", "true"
+    ).csv(csv_dir)
+    ev.select("event_id", "user_id", "event_type").write.json(json_dir)
+    csv_df = datasource_registry.create("csv", spark=spark, path=csv_dir)
+    json_df = datasource_registry.create("json", spark=spark, path=json_dir)
+    assert csv_df.count() == 100 and json_df.count() == 100
+    assert {r.event_type for r in csv_df.select("event_type").distinct().collect()} == {
+        r.event_type for r in json_df.select("event_type").distinct().collect()
+    }

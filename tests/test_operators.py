@@ -86,3 +86,14 @@ def test_claim_check_reference_projection(spark):
     assert out[1].payload == "small" and not out[1].oversized
     assert out[2].oversized and '"original_size_exceeded":true' in out[2].payload
     assert len(out[2].payload) < 1000
+
+
+def test_debezium_roundtrip(spark):
+    payload = (
+        '{"op":"u","source":{"db":"shop","table":"users","gtid":"u:9"},'
+        '"before":{"id":"1","name":"a"},"after":{"id":"1","name":"b"}}'
+    )
+    env = envelope.from_debezium_json(spark.createDataFrame([(payload,)], ["value"]))
+    back = envelope.from_debezium_json(envelope.to_debezium_json(env))
+    a, b = env.collect()[0], back.collect()[0]
+    assert a == b  # envelope -> debezium -> envelope is the identity

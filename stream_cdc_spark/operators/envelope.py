@@ -110,6 +110,27 @@ def stringify(col: Column) -> Column:
     return F.to_json(col) if not isinstance(col, str) else F.to_json(F.col(col))
 
 
+def typed_content(
+    df: DataFrame, table_schema: StructType, image: str = "after"
+) -> DataFrame:
+    """Typed fast path (SURVEY §1.2): convert a stringly MAP<STRING,STRING>
+    row image into a declared per-table StructType by casting each field.
+
+    The map form reproduces the reference's stringify-everything
+    compatibility mode (serializer.py:15-37); this projection upgrades it
+    to real types so downstream filters/aggregations run on native columns
+    (codegen, pushdown) instead of string compares. Unparseable values
+    become NULL — the same lossy-coercion contract as the reference's
+    `default=str`, in the opposite direction.
+    """
+    img = F.col(f"content.{image}")
+    fields = [
+        img.getItem(f.name).cast(f.dataType).alias(f.name)
+        for f in table_schema.fields
+    ]
+    return df.withColumn(f"typed_{image}", F.struct(*fields))
+
+
 def gtid_parts(gtid: Column) -> tuple[Column, Column]:
     """Split '<server_uuid>:<txno>' (mysql.py:253-256) into components."""
     return F.split(gtid, ":").getItem(0), F.split(gtid, ":").getItem(1).cast("bigint")

@@ -97,3 +97,24 @@ def test_debezium_roundtrip(spark):
     back = envelope.from_debezium_json(envelope.to_debezium_json(env))
     a, b = env.collect()[0], back.collect()[0]
     assert a == b  # envelope -> debezium -> envelope is the identity
+
+
+def test_typed_content_fast_path(spark):
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    payload = (
+        '{"op":"c","source":{"db":"d","table":"t","gtid":"u:1"},'
+        '"after":{"id":"42","price":"19.99","name":"x","bad":"zzz"}}'
+    )
+    env = envelope.from_debezium_json(spark.createDataFrame([(payload,)], ["value"]))
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("price", DoubleType()),
+            StructField("name", StringType()),
+            StructField("missing", LongType()),
+        ]
+    )
+    r = envelope.typed_content(env, schema).collect()[0].typed_after
+    assert r.id == 42 and r.price == 19.99 and r.name == "x"
+    assert r.missing is None  # absent field -> NULL, same as lossy coercion

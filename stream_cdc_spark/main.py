@@ -1,0 +1,79 @@
+"""Runnable pipeline entrypoint — the engine's `python -m stream_cdc.main`.
+
+Reference main() (stream_cdc/main.py:16-66) wires components from env and
+runs the worker loop until SIGINT/SIGTERM. Same contract here, resolved
+through the registries (O28) from the same env names (O29):
+
+  DS_TYPE=cdc_replay|events_replay   source (default cdc_replay)
+  DS_PATH=<events parquet path>      source path
+  STREAM_TYPE=memory_queue           sink (FileQueue dir via QUEUE_DIR)
+  CHECKPOINT_DIR=<dir>               offset/state checkpoint (O18-O20)
+  BATCH_SIZE / FLUSH_INTERVAL        rate cap / trigger (O15)
+  DRAIN_AND_EXIT=1                   availableNow mode (backfill/replay)
+
+SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
+commits, the buffer is never lost, resume continues from the checkpoint.
+
+Run:  python -m stream_cdc_spark.main
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+
+from stream_cdc_spark.config import AppConfig
+from stream_cdc_spark.filters import FilterChain
+from stream_cdc_spark.session import get_spark
+from stream_cdc_spark.sinks.queue import FileQueue, foreach_batch_writer
+from stream_cdc_spark.sources import datasource_registry
+from stream_cdc_spark.streaming.pipeline import CdcPipeline
+
+
+def main() -> int:
+    cfg = AppConfig.load()
+    spark = get_spark(app_name="stream-cdc-spark-pipeline")
+    spark.sparkContext.setLogLevel(cfg.log_level)
+
+    ds_type = os.environ.get("DS_TYPE", "cdc_replay")
+    ds_path = os.environ.get(
+        "DS_PATH", "/root/testdata/sf0.001/events.parquet"
+    )
+    queue_dir = os.environ.get("QUEUE_DIR", "/tmp/stream-cdc-spark-queue")
+    ckpt = os.environ.get("CHECKPOINT_DIR", "/tmp/stream-cdc-spark-ckpt")
+    drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
+
+    if ds_type == "cdc_replay":
+        source = datasource_registry.create(
+            ds_type, spark=spark, path=ds_path, batchEvents=cfg.batch_size * 1000
+        )
+    else:
+        source = datasource_registry.create(
+            ds_type, spark=spark, sf_dir=os.path.dirname(ds_path)
+        )
+
+    pipe = CdcPipeline(
+        spark,
+        source,
+        foreach_batch_writer(lambda: FileQueue(queue_dir)),
+        checkpoint_dir=ckpt,
+        config=cfg,
+        filters=FilterChain(),
+    )
+    query = pipe.start(available_now=drain)
+
+    def _stop(signum, frame):  # O27 graceful shutdown
+        print(f"signal {signum}: stopping query", file=sys.stderr)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+
+    pipe.await_and_stop()
+    print(f"pipeline stopped; queue at {queue_dir}, checkpoint at {ckpt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Skew-aware aggregation: explicit salting for hot keys.
+
+AQE's skew-join splitting covers joins, but a groupBy on a pathologically
+hot key (one key = 30% of 100 TB) still funnels that key's rows into one
+reducer before AQE can help — partial aggregation bounds the damage for
+algebraic aggregates, yet high-cardinality payload aggs (collect/distinct)
+or very wide rows still hurt. `salted_agg` is the classic two-phase fix:
+
+  phase 1: group on (key, salt = pmod(hash(row-id-ish), S)) — the hot key
+           spreads over S reducers
+  phase 2: re-aggregate the S partials per key (combine step)
+
+Supported aggregates are the algebraic ones whose combine is itself the
+aggregate (count->sum, sum->sum, min->min, max->max) — exactly the shapes
+that decompose correctly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs maps output column -> (agg_name, input_col); agg_name in
+    {count, sum, min, max} ('count' ignores input_col). Result equals the
+    unsalted groupBy exactly.
+    """
+    for name, (kind, _) in aggs.items():
+        if kind not in _COMBINE:
+            raise ValueError(
+                f"aggregate {kind!r} for {name!r} is not algebraic-decomposable; "
+                f"supported: {sorted(_COMBINE)}"
+            )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias("__salt")
+    phase1_aggs: list[Column] = []
+    for name, (kind, col) in aggs.items():
+        expr = F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(F.col(col))
+        phase1_aggs.append(expr.alias(f"__p_{name}"))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*phase1_aggs)
+    )
+    phase2_aggs = [
+        _COMBINE[kind](F.col(f"__p_{name}")).alias(name)
+        for name, (kind, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*phase2_aggs)

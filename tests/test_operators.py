@@ -118,3 +118,31 @@ def test_typed_content_fast_path(spark):
     r = envelope.typed_content(env, schema).collect()[0].typed_after
     assert r.id == 42 and r.price == 19.99 and r.name == "x"
     assert r.missing is None  # absent field -> NULL, same as lossy coercion
+
+
+def test_salted_agg_equals_unsalted(spark):
+    from stream_cdc_spark.operators.skew import salted_agg
+    from stream_cdc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.event_type: (r.n, r.last_id)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", ""), "last_id": ("max", "event_id")},
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.last_id)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("last_id"))
+        .collect()
+    }
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(ev, ["event_type"], {"bad": ("avg", "value")})

@@ -1274,3 +1274,63 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, q, cents, k=5, nprobe=2).orderBy(
         "q_id", "rank"
     )
+
+
+@_register(
+    "q45_date_rollup",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+           COUNT(*) AS n_orders,
+           {_MONEY.format(x="o_totalprice", a="month_total")}
+    FROM orders GROUP BY 1, 2 ORDER BY y, m
+    """,
+    doc="Calendar rollup: year/month extraction + monthly totals "
+    "(date-function family).",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), "month_total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@_register(
+    "q46_above_customer_avg",
+    """
+    SELECT o.o_orderkey FROM orders o
+    JOIN (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey
+    ) a ON o.o_custkey = a.k
+    WHERE o.o_totalprice > a.avg_price
+    ORDER BY o.o_orderkey
+    """,
+    doc="Correlated-subquery shape (decorrelated to a join): orders above "
+    "their customer's average price. The average divides an exact decimal "
+    "sum so both engines compare against the identical double.",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        o.join(avg, o.o_custkey == avg.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )

@@ -142,6 +142,34 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in session windows (dynamic gap-close): per-key sessions with
+    an inactivity gap. Third implementation of the same semantics as batch
+    q31 (lag-gap) and streaming/stateful.session_tracker
+    (applyInPandasWithState) — the three cross-validate in tests. Streaming
+    input gets a watermark so session state closes; batch input runs as-is.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Consumer-side duplicate suppression for at-least-once delivery:
     dropDuplicatesWithinWatermark on the deterministic event id (the fix of

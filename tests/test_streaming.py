@@ -101,3 +101,25 @@ def test_dedup_within_watermark_batch_semantics(spark):
     doubled = ev.unionAll(ev)
     out = dedup_within_watermark(doubled)
     assert out.count() == ev.count()
+
+
+def test_session_window_matches_lag_gap_q31(spark):
+    """Three sessionization implementations agree: built-in session_window
+    (batch mode) vs the lag-gap window query (q31)."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.plans.queries import QUERIES
+    from stream_cdc_spark.streaming.pipeline import session_windows
+
+    ev = load(spark, SF_SMALL, "events")
+    sw = (
+        session_windows(ev, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in QUERIES["q31_sessionization"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == want

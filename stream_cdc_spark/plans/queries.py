@@ -589,10 +589,10 @@ _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
            CAST(n_tok AS BIGINT) AS n_tokens,
            no_space / n_tok AS avg_token_len,
            n_stop / n_tok AS stopword_ratio,
-           (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
-            + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
-            + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
-                   THEN 0.25 ELSE 0.0 END) AS quality_score
+           CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+                + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                       THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score
     FROM f ORDER BY doc_id
     """,
     doc="Document quality features + composite score (C4-style filters): "
@@ -854,8 +854,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
-                    THEN 1 ELSE 0 END) AS n_sessions
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM g GROUP BY user_id ORDER BY user_id
     """,
     headline=True,
@@ -1198,9 +1198,9 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "q42_vector_stats",
     """
     SELECT label, COUNT(*) AS n,
-           SUM(CAST(FLOOR(10000 * sqrt(list_dot_product(
+           CAST(SUM(CAST(FLOOR(10000 * sqrt(list_dot_product(
              CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])
-           ))) AS BIGINT)) AS sum_norm_bp
+           ))) AS BIGINT)) AS BIGINT) AS sum_norm_bp
     FROM embeddings GROUP BY label ORDER BY label
     """,
     doc="Per-label embedding statistics: count + quantized L2-norm sum "

@@ -24,3 +24,28 @@ def test_rows_only_runs(spark, name):
     df = QUERIES[name].builder(spark, SF_SMALL)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_oracle_output_types_are_transport_safe():
+    """DuckDB HUGEINT/DECIMAL outputs convert inconsistently across result
+    transports (int vs float vs Decimal) — every oracle column must be a
+    plain BIGINT/INT/DOUBLE/VARCHAR/TIMESTAMP/BOOLEAN so the driver's
+    comparison cannot drift."""
+    import duckdb
+
+    from stream_cdc_spark.tables import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_SMALL, t)}'"
+        )
+    allowed_prefixes = ("BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR",
+                        "TIMESTAMP", "BOOLEAN", "DATE")
+    offenders = []
+    for name in ORACLE_QUERIES:
+        cur = con.execute(f"DESCRIBE {QUERIES[name].oracle}")
+        for col, typ, *_ in cur.fetchall():
+            if not str(typ).startswith(allowed_prefixes):
+                offenders.append((name, col, str(typ)))
+    assert not offenders, f"transport-fragile oracle output types: {offenders}"

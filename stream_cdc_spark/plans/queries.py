@@ -747,7 +747,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_bp").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .orderBy("q_id", "rank")
     )

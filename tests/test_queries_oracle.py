@@ -49,3 +49,41 @@ def test_oracle_output_types_are_transport_safe():
             if not str(typ).startswith(allowed_prefixes):
                 offenders.append((name, col, str(typ)))
     assert not offenders, f"transport-fragile oracle output types: {offenders}"
+
+
+def test_spark_and_oracle_schemas_pairwise_consistent(spark):
+    """Column names must match exactly and types must map 1:1 between the
+    Spark result and the DuckDB oracle result for every query — the
+    driver's schema comparison must never be the thing that fails."""
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    from stream_cdc_spark.tables import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_SMALL, t)}'")
+    type_map = {
+        "BIGINT": (T.LongType,),
+        "INTEGER": (T.IntegerType,),
+        "DOUBLE": (T.DoubleType,),
+        "VARCHAR": (T.StringType,),
+        "TIMESTAMP": (T.TimestampType, T.TimestampNTZType),
+        "BOOLEAN": (T.BooleanType,),
+    }
+    problems = []
+    for name in ORACLE_QUERIES:
+        o_schema = {
+            col: str(typ)
+            for col, typ, *_ in con.execute(f"DESCRIBE {QUERIES[name].oracle}").fetchall()
+        }
+        s_schema = {f.name: f.dataType for f in QUERIES[name].builder(spark, SF_SMALL).schema.fields}
+        if set(o_schema) != set(s_schema):
+            problems.append((name, "columns", sorted(o_schema), sorted(s_schema)))
+            continue
+        for col, o_typ in o_schema.items():
+            expected = type_map.get(o_typ.split("(")[0])
+            if expected and not isinstance(s_schema[col], expected):
+                problems.append((name, col, o_typ, str(s_schema[col])))
+    assert not problems, f"schema drift: {problems}"

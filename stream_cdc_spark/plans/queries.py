@@ -1334,3 +1334,24 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey")
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "q47_cube_counts",
+    """
+    SELECT event_type, CAST(user_id % 5 AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY CUBE(event_type, bucket)
+    ORDER BY event_type NULLS FIRST, bucket NULLS FIRST
+    """,
+    doc="CUBE grouping sets: all 4 aggregation granularities in one pass "
+    "(expand + single shuffle).",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").withColumn(
+        "bucket", (F.col("user_id") % 5).cast("bigint")
+    )
+    return (
+        ev.cube("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("bucket").asc_nulls_first())
+    )

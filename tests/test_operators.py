@@ -146,3 +146,20 @@ def test_salted_agg_equals_unsalted(spark):
 
     with _pytest.raises(ValueError, match="not algebraic"):
         salted_agg(ev, ["event_type"], {"bad": ("avg", "value")})
+
+
+def test_approx_aggregates_within_bounds(spark):
+    """Approximate aggregation family (the scale substitutes for exact
+    distinct/percentile): HLL++ count-distinct within its standard error,
+    approx_percentile within rank tolerance of the exact answer."""
+    from stream_cdc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.1
+
+    med_exact = ev.approxQuantile("value", [0.5], 0.0)[0]  # relErr=0 -> exact
+    med_approx = ev.approxQuantile("value", [0.5], 0.01)[0]
+    lo, hi = ev.approxQuantile("value", [0.45, 0.55], 0.0)
+    assert lo <= med_approx <= hi, (med_exact, med_approx)

@@ -123,3 +123,56 @@ def test_session_window_matches_lag_gap_q31(spark):
         for r in QUERIES["q31_sessionization"].builder(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_debezium_stream_ingest(spark, tmp_path):
+    """Production ingest shape: a streaming feed of Debezium-format JSON
+    values (Kafka stand-in: rate source) parsed into envelopes in-flight."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.envelope import from_debezium_json
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.concat(
+                F.lit('{"op":"'),
+                F.element_at(
+                    F.array(F.lit("c"), F.lit("u"), F.lit("d")),
+                    (F.col("value") % 3 + 1).cast("int"),
+                ),
+                F.lit('","source":{"db":"shop","table":"t","gtid":"u:'),
+                F.col("value").cast("string"),
+                F.lit('"},"after":{"id":"'),
+                F.col("value").cast("string"),
+                F.lit('"}}'),
+            ).alias("value")
+        )
+    )
+    env = from_debezium_json(raw)
+    q = (
+        env.writeStream.format("memory")
+        .queryName("dbz_stream")
+        .option("checkpointLocation", str(tmp_path / "dbz-ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql("SELECT COUNT(*) c FROM dbz_stream").collect()[0].c
+        if n >= 100:
+            break
+        time.sleep(1)
+    q.stop()
+    assert n >= 100
+    rows = spark.sql(
+        "SELECT DISTINCT event_type FROM dbz_stream"
+    ).collect()
+    assert {r.event_type for r in rows} == {"Insert", "Update", "Delete"}
+    sample = spark.sql("SELECT * FROM dbz_stream LIMIT 1").collect()[0]
+    assert sample.database == "shop" and sample.content.after["id"] is not None

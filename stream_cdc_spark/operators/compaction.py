@@ -58,6 +58,43 @@ def last_position_per_key(
     )
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    snapshot_key: str,
+    change_key: str,
+    seq_col: str,
+    op_col: str,
+    delete_label: str = "Delete",
+) -> DataFrame:
+    """MERGE-style CDC apply: fold a change log into a snapshot.
+
+    Semantics (the consumer contract implied by the reference's
+    at-least-once envelope stream, coordinator.py:281-303):
+      - compact the log to the latest change per key (duplicates from
+        redelivery collapse here, making the apply idempotent);
+      - keys whose latest op is `delete_label` are removed;
+      - all other keys keep their snapshot row, annotated with the latest
+        sequence number (`last_<seq_col>`, NULL when never changed).
+
+    Plan shape: one shuffle to compact the log, then a single left join
+    against the snapshot (broadcast when the compacted log is small —
+    typical for incremental batches). Equivalent to Delta/Iceberg MERGE
+    for this envelope, expressed over plain DataFrames.
+    """
+    latest = latest_per_key(changes, [change_key], seq_col).select(
+        F.col(change_key).alias("__k"),
+        F.col(seq_col).alias(f"last_{seq_col}"),
+        F.col(op_col).alias("__op"),
+    )
+    joined = snapshot.join(
+        F.broadcast(latest), snapshot[snapshot_key] == F.col("__k"), "left"
+    )
+    return joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != delete_label)
+    ).drop("__k", "__op")
+
+
 def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """At-least-once consumer dedup: suppress redelivered duplicates by
     deterministic id (fixes the reference's ephemeral `Id=str(id(msg))`,

@@ -1355,3 +1355,37 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("event_type").asc_nulls_first(), F.col("bucket").asc_nulls_first())
     )
+
+
+@_register(
+    "q48_cdc_merge_apply",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, l.event_id AS last_event_id
+    FROM customer c LEFT JOIN latest l ON l.user_id = c.c_custkey
+    WHERE l.event_type IS NULL OR l.event_type <> 'error'
+    ORDER BY c.c_custkey
+    """,
+    headline=True,
+    doc="MERGE-style CDC apply (compaction.apply_changes): fold the change "
+    "log into the customer snapshot — latest 'error' deletes the row, other "
+    "changes annotate it, untouched rows pass through. The full consumer "
+    "semantics of the reference's envelope stream in one compact+join.",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    snap = load(spark, sf, "customer").select("c_custkey", "c_name")
+    ev = load(spark, sf, "events").select("user_id", "event_id", "event_type")
+    return (
+        compaction.apply_changes(
+            snap, ev, "c_custkey", "user_id", "event_id", "event_type",
+            delete_label="error",
+        )
+        .select("c_custkey", "c_name", F.col("last_event_id"))
+        .orderBy("c_custkey")
+    )

@@ -163,3 +163,27 @@ def test_approx_aggregates_within_bounds(spark):
     med_approx = ev.approxQuantile("value", [0.5], 0.01)[0]
     lo, hi = ev.approxQuantile("value", [0.45, 0.55], 0.0)
     assert lo <= med_approx <= hi, (med_exact, med_approx)
+
+
+def test_apply_changes_merge_semantics(spark):
+    from stream_cdc_spark.operators.compaction import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "Update"), (1, 20, "Delete"),   # delete wins (latest)
+            (2, 5, "Delete"), (2, 9, "Update"),     # update wins (latest)
+            (3, 7, "Update"), (3, 7, "Update"),     # redelivered duplicate
+        ],
+        ["k", "seq", "op"],
+    )
+    out = {
+        r.k: r.last_seq
+        for r in apply_changes(snap, changes, "k", "k", "seq", "op").collect()
+    }
+    assert 1 not in out          # deleted
+    assert out[2] == 9           # latest update annotates
+    assert out[3] == 7           # idempotent under redelivery
+    assert out[4] is None        # untouched row kept, never changed

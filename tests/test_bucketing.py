@@ -37,3 +37,54 @@ def test_bucketed_join_is_shuffle_free_and_correct(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from stream_cdc_spark.operators.layout import read_partitioned, write_partitioned
+
+    ev = load(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    df = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the filter must become a partition filter (directory pruning), not a
+    # data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", "(ignore)") or \
+        "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert df.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_sink_payload_roundtrip_through_pipeline(spark, tmp_path):
+    """Full-circle fidelity: source table -> streaming pipeline -> queue
+    payloads -> parsed back -> equals the source (per-type counts and ids).
+    Proves the serialization boundary (O10) loses nothing."""
+    import json as _json
+
+    from stream_cdc_spark.config import AppConfig
+    from stream_cdc_spark.sinks.queue import FileQueue, foreach_batch_writer
+    from stream_cdc_spark.streaming.pipeline import CdcPipeline, replay_stream
+
+    qdir = str(tmp_path / "rt-q")
+    pipe = CdcPipeline(
+        spark,
+        replay_stream(spark, SF_SMALL),
+        foreach_batch_writer(lambda: FileQueue(qdir)),
+        checkpoint_dir=str(tmp_path / "rt-ckpt"),
+        config=AppConfig(),
+    )
+    pipe.start(available_now=True)
+    pipe.await_and_stop(timeout=120)
+
+    bodies = [_json.loads(m["MessageBody"]) for m in FileQueue(qdir).drain()]
+    parsed = spark.createDataFrame(bodies)
+    ev = load(spark, SF_SMALL, "events")
+    got = {r.event_type: r.n for r in parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    assert {r.event_id for r in parsed.select("event_id").collect()} == {
+        r.event_id for r in ev.select("event_id").collect()
+    }

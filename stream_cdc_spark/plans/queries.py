@@ -1389,3 +1389,61 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "c_name", F.col("last_event_id"))
         .orderBy("c_custkey")
     )
+
+
+@_register(
+    "q49_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+    """,
+    doc="Per-group top-k (rank window): top-3 orders per market segment — "
+    "the grouped variant of q16's global top-k.",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@_register(
+    "q50_string_pipeline",
+    """
+    SELECT c_custkey,
+           UPPER(SUBSTRING(c_name, 1, 8)) AS name_prefix,
+           REPLACE(c_name, 'Customer#', 'C-') AS short_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           CAST(POSITION('#' IN c_name) AS BIGINT) AS hash_pos,
+           REVERSE(c_mktsegment) AS seg_rev
+    FROM customer ORDER BY c_custkey LIMIT 500
+    """,
+    doc="String-function pipeline: substring/replace/pad/position/reverse "
+    "chained in one codegen'd projection.",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+            (F.instr("c_name", "#")).cast("bigint").alias("hash_pos"),
+            F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )

@@ -1447,3 +1447,64 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(500)
     )
+
+
+@_register(
+    "q51_asof_join",
+    """
+    SELECT p.event_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    headline=True,
+    doc="As-of join (operators/temporal.asof_join_prior): each purchase "
+    "paired with the user's latest strictly-prior click. Implemented via "
+    "the union-trick carry-forward window — one shuffle, O(1) state per "
+    "key, no |L|x|R| explosion (the oracle's correlated subquery IS the "
+    "naive quadratic form).",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.temporal import asof_join_prior
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    out = asof_join_prior(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+        right_filter=F.col("event_type") == "click",
+        left_filter=F.col("event_type") == "purchase",
+        value_col="event_id",
+        out_col="last_click_id",
+    )
+    return out.select("event_id", "last_click_id").orderBy("event_id")
+
+
+@_register(
+    "q52_range_join",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+    ORDER BY id_a, id_b
+    """,
+    doc="Bounded range join (operators/temporal.range_join_within): "
+    "same-user event pairs within 24h, via time-bucketing so fan-out is "
+    "bounded by local density (the oracle is the naive inequality join).",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.temporal import range_join_within
+
+    ev = load(spark, sf, "events")
+    return (
+        range_join_within(ev, "user_id", "ts", "event_id", 86_400_000_000)
+        .select("id_a", "id_b", "gap_us")
+        .orderBy("id_a", "id_b")
+    )

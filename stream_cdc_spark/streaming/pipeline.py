@@ -181,3 +181,38 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pairs (l, r) on the key with
+    r.ts in [l.ts, l.ts + max_gap]. Watermarks on both sides bound the join
+    state Spark must retain — without them a stream-stream join grows
+    unboundedly. Batch inputs run the same plan without state."""
+    l = left.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("id_a"),
+    )
+    r = right.select(
+        F.col(key_col).alias("r_k"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("id_b"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    return l.join(r, cond).select("k", "id_a", "id_b", "l_ts", "r_ts")

@@ -176,3 +176,77 @@ def test_debezium_stream_ingest(spark, tmp_path):
     assert {r.event_type for r in rows} == {"Insert", "Update", "Delete"}
     sample = spark.sql("SELECT * FROM dbz_stream LIMIT 1").collect()[0]
     assert sample.database == "shop" and sample.content.after["id"] is not None
+
+
+def test_stream_stream_join_converges_to_batch(spark, tmp_path):
+    """Watermarked stream-stream join over the replay equals the same join
+    computed in batch."""
+    from stream_cdc_spark.streaming.pipeline import stream_stream_join_within
+
+    l_s = replay_stream(spark, SF_SMALL).filter("event_type = 'purchase'")
+    r_s = replay_stream(spark, SF_SMALL).filter("event_type = 'click'")
+    q = (
+        stream_stream_join_within(l_s, r_s, max_gap="24 hours")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ssj-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT id_a, id_b FROM ss_join").collect()
+    }
+    ev = load(spark, SF_SMALL, "events")
+    want = {
+        (r.id_a, r.id_b)
+        for r in stream_stream_join_within(
+            ev.filter("event_type = 'purchase'"),
+            ev.filter("event_type = 'click'"),
+            max_gap="24 hours",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The scale-grade state store: the stateful sessionizer runs (and
+    converges) with RocksDB-backed streaming state instead of the default
+    in-memory HDFS-backed store."""
+    from stream_cdc_spark.streaming.stateful import session_tracker
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            session_tracker(replay_stream(spark, SF_SMALL), gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("rocks_sess")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rocks-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            int(r.key): r.ns
+            for r in spark.sql(
+                "SELECT key, MAX(n_sessions) ns FROM rocks_sess GROUP BY key"
+            ).collect()
+        }
+        from stream_cdc_spark.plans.queries import QUERIES
+
+        want = {
+            r.user_id: r.n_sessions
+            for r in QUERIES["q31_sessionization"].builder(spark, SF_SMALL).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

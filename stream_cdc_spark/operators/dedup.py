@@ -31,9 +31,12 @@ from stream_cdc_spark.operators.util import ensure_parallelism
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups by normalized-text fingerprint: keeps the
     minimum id as the canonical representative, counts members."""
+    # No ensure_parallelism here: the groupBy's own shuffle redistributes,
+    # and the map-side md5 is cheap — a pre-shuffle repartition would be a
+    # second, pure-overhead exchange.
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return (
-        ensure_parallelism(df).select(F.md5(norm).alias("fp"), F.col(id_col))
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
     )

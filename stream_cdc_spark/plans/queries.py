@@ -1508,3 +1508,96 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b", "gap_us")
         .orderBy("id_a", "id_b")
     )
+
+
+@_register(
+    "q53_tpch_q18",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_MONEY.format(x="l.l_quantity", a="total_qty")}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): semi-join against a "
+    "HAVING-filtered aggregate of the same fact table — Catalyst reuses "
+    "the lineitem scan across both sides.",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+               F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money_sum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "q54_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(FLOOR(1000000.0 * tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                               / CAST(df.df AS DOUBLE)))
+                  AS BIGINT) AS tfidf_ppm
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf_ppm FROM (
+      SELECT doc_id, tok, tfidf_ppm,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_ppm DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="TF-IDF top term per document: term frequencies, document "
+    "frequencies (one shuffle each), broadcast doc count, floor-quantized "
+    "scores for cross-engine determinism, per-doc argmax window.",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf, "documents"))
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .cast("bigint")
+        .alias("tfidf_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "tfidf_ppm")
+        .orderBy("doc_id")
+    )

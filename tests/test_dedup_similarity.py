@@ -123,3 +123,19 @@ def test_ivf_ann_recall_and_cells(spark):
     # 5 cells, probing 3 -> >= 60% of the corpus scored per query; on
     # near-random data recall tracks coverage
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_operators_on_empty_and_tiny_inputs(spark):
+    """Edge robustness: empty corpus, single doc, k larger than corpus."""
+    empty = _docs(spark).filter("doc_id < 0")
+    assert dedup.exact_dedup_groups(empty).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty).count() == 0
+    assert dedup.minhash_lsh_pairs(empty).count() == 0
+
+    one = _docs(spark).limit(1)
+    assert dedup.ngram_jaccard_pairs(one).count() == 0  # no pairs from one doc
+
+    emb = load(spark, SF_SMALL, "embeddings").limit(3)
+    q = emb.filter(F.col("vec_id") == emb.collect()[0].vec_id)
+    topk = similarity.brute_force_topk(emb, q, k=10)  # k > corpus
+    assert topk.count() == 2  # everything except self

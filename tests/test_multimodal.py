@@ -68,3 +68,30 @@ def test_frame_sample_plan(spark):
     assert {(1, 0), (1, 1000), (1, 2000)} <= frames
     assert (2, 0) in frames
     assert all(m != 3 for m, _ in frames)  # null duration filtered
+
+
+def test_audio_fake_decode_and_frame_plan_integration(spark):
+    # audio: deterministic fake decode derives duration from byte length
+    meta = multimodal.decode_audio(b"\x00" * 64000, fake=True)
+    assert meta == {"sample_rate": 16000, "duration_ms": 2000}
+    # plumb the decoded duration into the frame-sampling plan
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 64000))], "media_id LONG, blob BINARY"
+    )
+    with_dur = df.withColumn(
+        "duration_ms", (F.octet_length("blob") * 1000 / 32000).cast("long")
+    )
+    frames = multimodal.frame_sample_plan(with_dur, every_ms=500)
+    assert frames.count() == 4  # 2000ms @ 500ms steps
+
+
+def test_multimodal_edge_cases(spark):
+    # empty blob and null blob must not break metadata or features
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None)], "media_id LONG, blob BINARY"
+    )
+    meta = {r.media_id: r for r in multimodal.attach_metadata(df).collect()}
+    assert meta[1].n_bytes == 0
+    assert meta[2].n_bytes is None
+    feats = {r.media_id: r for r in multimodal.extract_features(df, fake=True).collect()}
+    assert feats[1].n_bytes == 0 and feats[2].n_bytes == 0

@@ -250,3 +250,34 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: the CDC enrichment pattern — streaming events
+    joined against a static dimension (broadcast per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    stream = replay_stream(spark, SF_SMALL)
+    dim = load(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    q = (
+        enriched.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "enrich-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.c_mktsegment: r.n for r in spark.sql("SELECT * FROM enrich").collect()}
+    ev = load(spark, SF_SMALL, "events")
+    want = {
+        r.c_mktsegment: r.n
+        for r in ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) >= 3

@@ -1633,3 +1633,35 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@_register(
+    "q56_scd2_history",
+    """
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="SCD2 history build (slowly-changing-dimension type 2): each change "
+    "becomes a validity interval [valid_from, valid_to) closed by the next "
+    "change of the same key; the open interval is the current image. One "
+    "shuffle; the standard warehouse materialization of a CDC log.",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "event_id")
+    )

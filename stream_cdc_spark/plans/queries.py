@@ -1665,3 +1665,178 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@_register(
+    "q57_tpch_q5_local_supplier",
+    f"""
+    SELECT n.n_name, {_REVENUE}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="Full TPC-H Q5 (local supplier volume): the customer-nation = "
+    "supplier-nation equality makes this a cyclic join the optimizer must "
+    "handle; suppliers/nations/region fold into one broadcast dim, customer "
+    "broadcasts onto the fact shuffle. Reference analogue: cross-entity "
+    "consistency checks a CDC consumer runs (stream_cdc has no joins).",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf, "lineitem")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    # suppliers in the region, pre-joined with their nation name: one small dim
+    s_dim = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s_dim),
+            (l.l_suppkey == s_dim.s_suppkey)
+            & (F.col("c_nationkey") == s_dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@_register(
+    "q58_tpch_q12_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping priority): conditional aggregation "
+    "(pivoted CASE sums) over a selective fact filter that reaches the "
+    "parquet scan; two-table shuffle join with map-side partial agg.",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_register(
+    "q59_tpch_q4_late_orders",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): EXISTS with a "
+    "non-equi correlated predicate (shipped >90 days after order) -> "
+    "left-semi join with a compound condition; Spark keeps the equi part "
+    "as the join key and evaluates the range part as a post-filter.",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q60_tpch_q2_min_cost_supplier",
+    """
+    SELECT p_partkey, p_brand, s_suppkey, s_name, min_price FROM (
+      SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+             l.l_extendedprice AS min_price,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY l.l_extendedprice, s.s_suppkey) AS rn
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ) WHERE rn = 1 ORDER BY p_partkey LIMIT 200
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated MIN "
+    "subquery is realized as a per-part argmin window with a deterministic "
+    "supplier tiebreak. The window runs on the slim fact before the part "
+    "dim joins in, so only (partkey, suppkey, price) shuffles.",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    l = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    s_dim = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice", "s_suppkey")
+    best = (
+        l.join(F.broadcast(s_dim), l.l_suppkey == s_dim.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -1,4 +1,4 @@
-"""Storage-layout operators: partitioned writes for partition pruning.
+"""Storage-layout operators: partitioned writes and Z-order clustering.
 
 At 100 TB the cheapest byte is the one never read: writing fact tables
 hive-partitioned by a low-cardinality predicate column (event date, event
@@ -7,13 +7,21 @@ type, tenant) lets Catalyst prune entire directories at planning time —
 the storage-side complement to `bucketing.py` (which pre-shuffles for
 joins); together they are the ingest-time layout contract a CDC pipeline
 should write: partition by time/type, bucket by join key.
+
+For point/range predicates on MULTIPLE numeric dimensions a single sort
+order can only serve one of them; `write_zordered` interleaves the bits of
+several columns into one Morton (Z-curve) key and range-partitions + sorts
+by it, so every output file covers a small hyper-rectangle of the combined
+key space and parquet row-group/file min-max statistics prune on EVERY
+dimension at once (same idea as Delta OSS `OPTIMIZE ZORDER BY`).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -33,3 +41,71 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> tuple[DataFrame, str]:
+    """Append a Morton (bit-interleaved) Z-curve key over `cols`.
+
+    Each column is min-max scaled into a `bits`-bit integer grid (one tiny
+    agg pass collects the 2×k bounds to the driver), then the grids are
+    bit-interleaved into a single BIGINT — entirely with built-in
+    shiftleft/shiftright/bitwise expressions, so the whole key stays inside
+    whole-stage codegen; no Python runs per row. `bits * len(cols)` must be
+    ≤ 63. NULLs map to grid cell 0 (they sort first, same as NULLS FIRST).
+
+    Returns (df_with_key, key_column_name).
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds BIGINT")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    grid_max = (1 << bits) - 1
+    cells: list[Column] = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * grid_max
+        )
+        cells.append(
+            F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(grid_max)), F.lit(0))
+        )
+    z: Column = F.lit(0).cast("long")
+    for b in range(bits):  # interleave: bit b of col i lands at b*k + i
+        for i, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * len(cells) + i
+                )
+            )
+    key = "_zorder_key"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-curve of `cols`.
+
+    repartitionByRange on the key gives each file a contiguous Z-range (a
+    small hyper-rectangle in col-space); sortWithinPartitions tightens
+    row-group min-max stats inside each file. Readers need no special API:
+    plain predicates on any of `cols` prune via parquet statistics.
+    """
+    keyed, key = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1840,3 +1840,131 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+@_register(
+    "q61_tpch_q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1,5,10,15,20,25,30,35,40,45,50)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier variety): COUNT(DISTINCT) after a "
+    "dimension-filtered join — the selective part predicates broadcast "
+    "onto the fact, and Spark expands the distinct into a two-phase "
+    "partial/final aggregate so no single reducer sees all suppliers.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    ).select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size"))
+    )
+
+
+@_register(
+    "q62_tpch_q11_value_concentration",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS t
+      FROM lineitem
+    )
+    SELECT l_partkey, part_value FROM pv, tot WHERE part_value > t * 0.001
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (value concentration): per-key aggregate filtered "
+    "against a scalar subquery over the same fact — the one-row total "
+    "cross-joins (broadcast) onto the grouped values; both sides of the "
+    "comparison are exact-decimal sums rounded to identical doubles, so "
+    "the selected set cannot drift between engines.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.col("l_quantity").cast("decimal(18,4)")
+        ).alias("v"),
+    )
+    pv = l.groupBy("l_partkey").agg(
+        F.round(F.sum("v"), 2).cast("double").alias("part_value")
+    )
+    tot = l.agg(F.round(F.sum("v"), 2).cast("double").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("t") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+@_register(
+    "q63_tpch_q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (dormant wealthy customers): global scalar "
+    "subquery (average balance, broadcast) + anti-join against recent "
+    "orders; the anti side is pre-filtered so only recent order keys "
+    "shuffle. Reference analogue: consumer-side liveness audit of a CDC "
+    "feed (keys with no recent change events).",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    recent = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            money_sum(F.col("c_acctbal"), "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -261,3 +261,56 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterative
+    min-label propagation: every vertex starts labeled with its own id and
+    repeatedly takes the minimum of its own and its neighbors' labels until
+    a fixpoint — the label converges to the smallest id in the component,
+    i.e. the canonical representative a dedup pipeline keeps.
+
+    This is the standard scalable CC formulation (Pregel-style message
+    passing, cf. GraphX/GraphFrames): each round is one shuffle-join + one
+    min-aggregate, converging in O(component diameter) rounds — tiny for
+    dedup clusters. `localCheckpoint` truncates the growing lineage each
+    round so plans stay flat at any scale; the fixpoint test is a cheap
+    count aggregate, not a collect of the labels.
+
+    Returns (vertex BIGINT, component BIGINT). Reference analogue: the
+    reference has no graph ops at all; this consumes the pair lists its
+    dedup queries produce (SURVEY.md §7 north-star operators).
+    """
+    und = edges.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).union(
+        edges.select(F.col(id_b).cast("long").alias("u"), F.col(id_a).cast("long").alias("v"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("u", "w"), F.col("v") == F.col("w"))
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = new_labels.select("u", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("vertex"), F.col("lbl").alias("component"))

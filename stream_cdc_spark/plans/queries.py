@@ -1968,3 +1968,101 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@_register(
+    "q64_dedup_components",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 500000.0
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT u FROM und),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+    )
+    SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u
+    ORDER BY vertex
+    """,
+    doc="Dedup cluster assembly: connected components over the >=0.5-"
+    "Jaccard pair graph by iterative min-label propagation (Pregel-style; "
+    "O(diameter) shuffle rounds, lineage truncated per round). The oracle "
+    "computes the same fixpoint with a recursive CTE — an iterative Spark "
+    "algorithm checked value-level against declarative SQL.",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    sh = dedup.shingles(d, "text", "doc_id", k=3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ratio = (
+        F.lit(1000000.0)
+        * F.col("shared")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+    )
+    edges = (
+        shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(ratio >= 500000.0)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(edges).orderBy("vertex")
+
+
+@_register(
+    "q65_kmeans_assign",
+    """
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                  p -> CAST(FLOOR(1000000.0 *
+                         ((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                       AS BIGINT)))
+                  AS BIGINT) AS dist_q
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, cid AS centroid_id, dist_q FROM (
+      SELECT vec_id, cid, dist_q,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_q, cid) AS rn
+      FROM pairs
+    ) WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="K-means assignment step (k=8, deterministic first-k init): "
+    "distances to all broadcast centroid literals computed with zip_with/"
+    "aggregate inside codegen and argmin via array_min over (dist, cid) "
+    "structs — a NARROW shuffle-free map that scales with scan bandwidth. "
+    "Per-element FLOOR(1e6*diff^2) BIGINT quantization makes the sums "
+    "exact and engine-independent.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import clustering
+
+    e = load(spark, sf, "embeddings")
+    cents = clustering.initial_centroids(e, 8)
+    return clustering.kmeans_assign(e, cents).orderBy("vec_id")

@@ -2066,3 +2066,54 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     cents = clustering.initial_centroids(e, 8)
     return clustering.kmeans_assign(e, cents).orderBy("vec_id")
+
+
+@_register(
+    "q66_winnow_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', '', 'g') AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(s) >= 5 THEN
+               list_transform(range(1, len(s) - 3),
+                 i -> CAST(ascii(s[i]) AS BIGINT) * 923521
+                    + ascii(s[i+1]) * 29791
+                    + ascii(s[i+2]) * 961
+                    + ascii(s[i+3]) * 31
+                    + ascii(s[i+4]))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM norm
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+               ELSE list_transform(
+                      range(1, greatest(len(hs) - 3, 1) + 1),
+                      p -> list_min(hs[p : p + 3]))
+               END) AS fps
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS fp_min,
+           COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS fp_sum
+    FROM wins ORDER BY doc_id
+    """,
+    headline=True,
+    doc="Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 / "
+    "MOSS): char-5-gram Horner hashes over whitespace-stripped text, "
+    "window-4 minima, distinct — a chain of narrow array stages, zero "
+    "shuffle, zero Python, so it runs at parquet scan bandwidth at "
+    "100 TB. Each stage is materialized as a column because higher-order "
+    "functions are CodegenFallback (no subexpression elimination). "
+    "Base-31 Horner over ASCII stays < 2^40 so BIGINT-exact in "
+    "both engines; summary stats (count / min / exact sum) make the full "
+    "fingerprint sets value-level comparable.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.winnow_stats(d).orderBy("doc_id")

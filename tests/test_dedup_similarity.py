@@ -139,3 +139,49 @@ def test_operators_on_empty_and_tiny_inputs(spark):
     q = emb.filter(F.col("vec_id") == emb.collect()[0].vec_id)
     topk = similarity.brute_force_topk(emb, q, k=10)  # k > corpus
     assert topk.count() == 2  # everything except self
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Winnowing guarantee (Schleimer et al. §3): any shared substring of
+    # length >= k+w-1 (= 8 chars for k=5,w=4) produces >= 1 shared
+    # fingerprint. Plant a long shared run inside otherwise-distinct docs.
+    from stream_cdc_spark.operators import text as T
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zzzz qqqq " + shared + " wwww vvvv"),
+            (3, "completely unrelated content with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in T.winnow_fingerprints(df).collect()
+    }
+    assert out[1] & out[2], "docs sharing a 40+ char substring must share a fp"
+    # doc 3 shares only 'he' (<8 chars) runs with the others -> overlap of
+    # full fingerprint sets must be much smaller than the planted pair's.
+    assert len(out[1] & out[2]) > len(out[1] & out[3])
+
+
+def test_winnow_edge_cases_and_determinism(spark):
+    from stream_cdc_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abcd"), (4, "abcde"), (5, "  a b\tc\nd e ")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.winnow_stats(df).collect()}
+    assert rows[1]["n_fps"] == 0 and rows[1]["fp_sum"] == 0
+    assert rows[2]["n_fps"] == 0  # shorter than k after stripping
+    assert rows[3]["n_fps"] == 0  # len 4 < k=5
+    assert rows[4]["n_fps"] == 1  # exactly one 5-gram
+    # whitespace stripped: "abcde" == "  a b\tc\nd e " -> identical fp
+    assert rows[5]["fp_min"] == rows[4]["fp_min"]
+    # Horner value of "abcde" base 31 is exact & reproducible
+    expect = 0
+    for ch in "abcde":
+        expect = expect * 31 + ord(ch)
+    assert rows[4]["fp_min"] == expect

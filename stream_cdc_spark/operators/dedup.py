@@ -65,20 +65,59 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     )
 
 
+def stop_shingle_filter(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df` (standard
+    stop-shingle filter, cf. stop-word removal in MinHash pipelines).
+
+    The shingle self-join groups rows by shingle value, so a shingle shared
+    by d documents materializes d^2/2 candidate rows *before* the pair
+    aggregate: one trigram in 10^6 docs of a 100 TB corpus is ~5*10^11 join
+    rows on a single key. Shingles that common carry no near-dup signal
+    (they cannot push a pair over any useful Jaccard threshold on their
+    own), so capping df bounds every join group at max_df^2 with negligible
+    recall loss. The hot-shingle list is tiny by construction (only values
+    with df > max_df), so the removal is a broadcast anti-join — no extra
+    shuffle on the big side.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = 1000,
+    storage_level=None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard similarity.
 
     shingle join -> count shared -> |A ∪ B| = |A| + |B| - shared.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
     for cross-engine determinism. Only co-shingled pairs are scored.
+
+    `max_shingle_df` caps the per-shingle join-group size (see
+    stop_shingle_filter); sizes are computed on the capped set so the
+    Jaccard stays internally consistent (hot shingles leave both the
+    intersection and the union). Pass None to disable.
+
+    `storage_level` optionally persists the shingle set between the sizes
+    aggregate and the self-join. Off by default: caching the exploded
+    shingles of a 100 TB corpus is an executor-memory hazard, and the
+    recompute is a narrow re-scan Catalyst pipelines with the join.
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        sh = stop_shingle_filter(sh, max_shingle_df)
+    if storage_level is not None:
+        sh = sh.persist(storage_level)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -293,6 +332,7 @@ def connected_components(
     )
     und = und.localCheckpoint(eager=True)
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.withColumnRenamed("u", "w"), F.col("v") == F.col("w"))
@@ -313,4 +353,10 @@ def connected_components(
         labels = new_labels.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iter — raise max_iter (rounds needed = O(diameter))."
+        )
     return labels.select(F.col("u").alias("vertex"), F.col("lbl").alias("component"))

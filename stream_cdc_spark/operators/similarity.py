@@ -258,7 +258,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
     only scored within a bucket (plus one rotated-seed pass to reduce
-    boundary misses). Returns (id_a, id_b, sim) with id_a < id_b."""
+    boundary misses). Returns (id_a, id_b, sim) with id_a < id_b; `sim` is
+    the raw double cosine — callers quantize (FLOOR(K*sim), never ROUND)
+    when the output must be cross-engine stable."""
     df = ensure_parallelism(df)
     out = None
     for seed in (42, 1337):
@@ -273,7 +275,7 @@ def embedding_near_dup_pairs(
             .select(
                 F.col("x.id").alias("id_a"),
                 F.col("y.id").alias("id_b"),
-                F.round(cosine(F.col("x.vec"), F.col("y.vec")), 4).alias("sim"),
+                cosine(F.col("x.vec"), F.col("y.vec")).alias("sim"),
             )
             .filter(F.col("sim") >= threshold)
         )

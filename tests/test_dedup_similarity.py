@@ -185,3 +185,54 @@ def test_winnow_edge_cases_and_determinism(spark):
     for ch in "abcde":
         expect = expect * 31 + ord(ch)
     assert rows[4]["fp_min"] == expect
+
+
+def test_stop_shingle_filter_bounds_hot_shingle_groups(spark):
+    """A shingle shared by d documents creates a d^2/2 self-join group; the
+    df cap must remove exactly the hot shingles (and only those) before the
+    join so one common phrase can't go quadratic at scale."""
+    hot = "the same common phrase repeated"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c {hot}") for i in range(40)]
+    # one genuine near-dup pair sharing rare shingles
+    rows += [(100, "rare alpha beta gamma delta"), (101, "rare alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingles(df, "text", "doc_id", k=3)
+    capped = dedup.stop_shingle_filter(sh, max_df=10)
+    freq = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert freq <= 10, f"hot shingle survived the cap: max df {freq}"
+    # the genuine pair still comes out; no hot-phrase-only pair does
+    pairs = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(100, 101)}, got
+
+
+def test_shingle_df_cap_is_no_op_on_testdata(spark):
+    """max_shingle_df=1000 must not change q24-family results at test SF
+    (measured max shingle df is 25 at sf0.1) — the uncapped DuckDB oracles
+    stay exact."""
+    capped = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, max_shingle_df=1000
+        ).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a path graph of diameter 6 cannot converge in 2 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2)

@@ -36,6 +36,15 @@ def salted_agg(
     aggs maps output column -> (agg_name, input_col); agg_name in
     {count, sum, min, max} ('count' ignores input_col). Result equals the
     unsalted groupBy exactly.
+
+    The salt is derived from row content (hash of key + all aggregated
+    input columns), not monotonically_increasing_id: a non-deterministic
+    salt re-salts rows differently when a shuffle-fetch failure recomputes
+    part of the map stage, double-counting or losing partials in phase 2.
+    A content hash recomputes identically, and still spreads a hot key
+    because the aggregated values vary within it; spark_partition_id (stable
+    for a given partition under task retry) is mixed in so even a hot key of
+    byte-identical rows spreads across input partitions.
     """
     for name, (kind, _) in aggs.items():
         if kind not in _COMBINE:
@@ -43,7 +52,12 @@ def salted_agg(
                 f"aggregate {kind!r} for {name!r} is not algebraic-decomposable; "
                 f"supported: {sorted(_COMBINE)}"
             )
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias("__salt")
+    salt_inputs = (
+        [F.col(k) for k in keys]
+        + [F.col(col) for _, (kind, col) in sorted(aggs.items()) if kind != "count"]
+        + [F.spark_partition_id()]
+    )
+    salt = F.pmod(F.xxhash64(*salt_inputs), F.lit(salt_buckets)).alias("__salt")
     phase1_aggs: list[Column] = []
     for name, (kind, col) in aggs.items():
         expr = F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(F.col(col))

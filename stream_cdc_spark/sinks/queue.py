@@ -104,11 +104,21 @@ def prepare_message(msg: str, source: str = "stream-cdc-spark") -> dict[str, Any
     entry = {
         "Id": deterministic_id(body)[:32],
         "MessageBody": body,
-        "MessageAttributes": {"source": source},
+        # full content hash travels as an attribute so consumer-side dedup
+        # survives the per-request Id uniquification in pack_entries
+        "MessageAttributes": {"source": source, "content_sha256": deterministic_id(body)},
     }
     if oversized:
         entry["MessageAttributes"]["oversized"] = "true"
     return entry
+
+
+def entry_size(entry: dict[str, Any]) -> int:
+    """Size of the whole serialized entry (Id + body + attributes), matching
+    the reference's sizing (sqs.py:236-248) — counting only MessageBody
+    would let ~50+ B/entry of attribute overhead blow past SQS's real
+    262,144-byte request limit and trigger avoidable split-retries."""
+    return message_size(json.dumps(entry, sort_keys=True))
 
 
 def pack_entries(
@@ -117,18 +127,36 @@ def pack_entries(
     max_bytes: int = MAX_BATCH_SIZE_BYTES,
 ) -> Iterator[list[dict[str, Any]]]:
     """Greedy size-and-count-aware packing (sqs.py:169-203): flush the
-    current batch when the next entry would overflow either cap."""
+    current batch when the next entry would overflow either cap.
+
+    Ids are uniquified *within* each request: two identical payloads (an
+    at-least-once redelivery artifact) share a content hash, and real SQS
+    rejects the whole request on duplicate entry Ids
+    (BatchEntryIdsNotDistinct). The first occurrence keeps the bare hash
+    Id; repeats get an index suffix. Consumer dedup keys on the
+    content_sha256 attribute, which is identical for both copies.
+    """
+    def _unique_ids(batch: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        seen: dict[str, int] = {}
+        out = []
+        for e in batch:
+            base = e["Id"]
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            out.append(e if n == 0 else {**e, "Id": f"{base[:28]}-{n}"})
+        return out
+
     batch: list[dict[str, Any]] = []
     batch_bytes = 0
     for e in entries:
-        size = message_size(e["MessageBody"])
+        size = entry_size(e)
         if batch and (len(batch) >= max_batch or batch_bytes + size > max_bytes):
-            yield batch
+            yield _unique_ids(batch)
             batch, batch_bytes = [], 0
         batch.append(e)
         batch_bytes += size
     if batch:
-        yield batch
+        yield _unique_ids(batch)
 
 
 @dataclass
@@ -147,6 +175,11 @@ class InMemoryQueue:
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def send_message_batch(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
+        ids = [e["Id"] for e in entries]
+        if len(set(ids)) != len(ids):
+            # real SQS rejects the whole request (BatchEntryIdsNotDistinct);
+            # the double must enforce it or tests can't catch redelivery dups
+            raise StreamError(f"BatchEntryIdsNotDistinct: {ids}")
         total = sum(message_size(e["MessageBody"]) for e in entries)
         if self.too_long_above is not None and total > self.too_long_above:
             raise BatchRequestTooLong(f"batch of {total} bytes rejected")

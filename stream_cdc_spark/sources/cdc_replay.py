@@ -108,17 +108,15 @@ class CdcReplayStreamReader(DataSourceStreamReader):
     # -- offset protocol (O4/O5 analogue; driver-side, tiny) ----------------
 
     def _max_event_seq(self) -> int:
-        if self._max_seq is None:
-            import pyarrow.parquet as pq
+        # Re-read on every call: the log is append-only, so a cached max
+        # would make rows appended after reader construction invisible to
+        # latestOffset forever. The read is footer statistics + one column
+        # of the driver-side file — cheap relative to a micro-batch.
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
-            t = pq.read_table(self.path, columns=["event_id"])
-            self._max_seq = (
-                int(t.column("event_id").to_pylist()[-1]) + 1 if t.num_rows else 0
-            )
-            # append-only log: max is the upper bound of what exists now
-            import pyarrow.compute as pc
-
-            self._max_seq = int(pc.max(t.column("event_id")).as_py()) + 1 if t.num_rows else 0
+        t = pq.read_table(self.path, columns=["event_id"])
+        self._max_seq = int(pc.max(t.column("event_id")).as_py()) + 1 if t.num_rows else 0
         return self._max_seq
 
     def initialOffset(self) -> dict:

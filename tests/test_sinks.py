@@ -100,3 +100,36 @@ def test_single_oversized_request_raises():
     q = InMemoryQueue(too_long_above=10)
     with pytest.raises(StreamError):
         QueueSink(lambda: q).send([json.dumps({"b": "x" * 100})])
+
+
+def test_duplicate_payloads_in_one_batch_get_distinct_ids():
+    # at-least-once redelivery: identical payloads share a content hash,
+    # but real SQS rejects a request with duplicate entry Ids — pack must
+    # uniquify within the request while keeping content_sha256 for dedup
+    msg = json.dumps({"k": "same"})
+    q = InMemoryQueue()
+    assert QueueSink(lambda: q).send([msg, msg, msg]) == 3
+    ids = [e["Id"] for e in q.messages]
+    assert len(set(ids)) == 3, ids
+    hashes = {e["MessageAttributes"]["content_sha256"] for e in q.messages}
+    assert len(hashes) == 1  # consumer dedup key unchanged
+
+
+def test_inmemory_queue_rejects_duplicate_ids():
+    e = prepare_message(json.dumps({"k": 1}))
+    with pytest.raises(StreamError, match="BatchEntryIdsNotDistinct"):
+        InMemoryQueue().send_message_batch([e, dict(e)])
+
+
+def test_packing_counts_whole_entry_size():
+    from stream_cdc_spark.sinks.queue import entry_size
+
+    e = prepare_message(json.dumps({"k": 1}))
+    overhead = entry_size(e) - len(e["MessageBody"])
+    assert overhead > 40  # Id + attributes really counted
+    # a batch that fits by body-bytes alone but overflows with overhead
+    # must split: 262_000-cap, bodies of 26_100 B x 10 = 261_000 B fits,
+    # + ~10x200 B overhead does not
+    big = [prepare_message("z" * 26_100) for _ in range(10)]
+    batches = list(pack_entries(big))
+    assert len(batches) == 2, [len(b) for b in batches]

@@ -95,3 +95,94 @@ def test_session_tracker_converges_to_batch_q31(spark, tmp_path):
         for r in QUERIES["q31_sessionization"].builder(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_rocksdb_state_store_with_restart(spark, tmp_path):
+    """SURVEY §7 day-one 100 TB risk: streaming state larger than executor
+    heap needs the RocksDB state store. Run the position tracker under
+    RocksDBStateStoreProvider across multiple micro-batches WITH a
+    mid-stream stop/restart: state must reload from the RocksDB checkpoint
+    and the final counts must equal the batch answer."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        cdc_replay.register(spark)
+        ckpt = str(tmp_path / "rocks-ckpt")
+        outdir = str(tmp_path / "rocks-out")
+
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # append each update emission with its batch id so the consumer can
+        # take the last emission per key
+        def emit(batch_df, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(outdir)
+
+        def start():
+            env = (
+                spark.readStream.format("cdc_replay")
+                .option("path", table_path(SF_SMALL, "events"))
+                .option("batchEvents", "300")
+                .load()
+            )
+            out = position_tracker(env, key_col="event_type", seq_col="seq")
+            return (
+                out.writeStream.foreachBatch(emit)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 second")
+                .start()
+            )
+
+        def emitted():
+            try:
+                return spark.read.parquet(outdir)
+            except Exception:
+                return None
+
+        q = start()
+        # let a couple of micro-batches commit, then kill the query
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            df = emitted()
+            if df is not None and df.count() > 0 and len(q.recentProgress) >= 2:
+                break
+            time.sleep(1)
+        assert emitted() is not None and emitted().count() > 0
+        q.stop()
+        mid_batches = {r.batch_id for r in emitted().select("batch_id").distinct().collect()}
+
+        # restart from the RocksDB checkpoint and drain the rest
+        q2 = start()
+        ev = load(spark, SF_SMALL, "events")
+        want_total = ev.count()
+
+        def done():
+            df = emitted()
+            if df is None:
+                return False
+            rows = df.groupBy("key").agg(F.max("n_events").alias("n")).collect()
+            return sum(r.n for r in rows) >= want_total
+
+        _drain(spark, "rocks_pos", q2, done)
+        final = {
+            r.key: r.n
+            for r in emitted().groupBy("key").agg(F.max("n_events").alias("n")).collect()
+        }
+        want: dict[str, int] = {}
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect():
+            op = cdc_replay._OP_MAP[r.event_type]
+            want[op] = want.get(op, 0) + r.n
+        assert final == want
+        # the restart really continued from saved state: new batches appeared
+        post_batches = {r.batch_id for r in emitted().select("batch_id").distinct().collect()}
+        assert post_batches > mid_batches
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

@@ -2139,6 +2139,99 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     return text.winnow_stats(d).orderBy("doc_id")
 
 
+@_register(
+    "q67_approx_distinct_bounded",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Approximate distinct count (HyperLogLog++, rsd=2%) with the error "
+    "bound encoded in the output: within_5pct asserts |approx - exact| <= "
+    "5% of exact, so the exact-computing DuckDB oracle can hash-check an "
+    "approximate operator. HLL++ is deterministic for a fixed input (no "
+    "RNG — fixed hash), so the flag is stable. At 100 TB the approx "
+    "aggregate is the point: fixed-size sketch per group vs a full "
+    "distinct shuffle; partial sketches merge map-side.",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q68_approx_percentile_bounded",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_rank_bounds
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Approximate median (Greenwald-Khanna sketch, accuracy=1000 -> rank "
+    "error <= n/1000) with the guarantee encoded in the output: the approx "
+    "p50 must lie between the exact rank-selected 45th and 55th "
+    "percentile values of the same group. The sketch is deterministic for "
+    "a fixed input order per group... rank bounds are far wider than the "
+    "sketch's guarantee, so the flag is stable under partition-order "
+    "variation. Fixed-size state per group vs a full sort at 100 TB.",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.45 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("p45"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.55 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("p55"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50a")
+    )
+    return (
+        bounds.join(approx, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (
+                (F.col("p50a") >= F.col("p45")) & (F.col("p50a") <= F.col("p55"))
+            ).alias("p50_within_rank_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------

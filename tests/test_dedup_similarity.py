@@ -236,3 +236,14 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iter=2)
+
+
+def test_winnow_vectorized_equals_expression_variant(spark):
+    """The Arrow/numpy winnow twin must be value-identical to the
+    pure-expression variant (q66 swaps between them on speed only)."""
+    from stream_cdc_spark.operators import text as _text
+
+    d = _docs(spark)
+    a = {tuple(r) for r in _text.winnow_stats(d).collect()}
+    b = {tuple(r) for r in _text.winnow_stats_vectorized(d).collect()}
+    assert a == b

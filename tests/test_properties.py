@@ -37,9 +37,18 @@ def test_packing_never_exceeds_caps(msgs):
     for b in batches:
         assert 1 <= len(b) <= MAX_BATCH_SIZE
         assert sum(message_size(e["MessageBody"]) for e in b) <= MAX_BATCH_SIZE_BYTES
-    # nothing lost, nothing duplicated, order preserved
+    # nothing lost, nothing duplicated, order preserved (bodies +
+    # attributes; Ids may gain a per-request uniquifying suffix for
+    # repeated payloads — SQS rejects duplicate Ids in one request)
     flat = [e for b in batches for e in b]
-    assert flat == entries
+    assert [(e["MessageBody"], e["MessageAttributes"]) for e in flat] == [
+        (e["MessageBody"], e["MessageAttributes"]) for e in entries
+    ]
+    for orig, packed in zip(entries, flat):
+        assert packed["Id"].startswith(orig["Id"][:28])
+    for b in batches:
+        ids = [e["Id"] for e in b]
+        assert len(set(ids)) == len(ids)
 
 
 @given(payloads)

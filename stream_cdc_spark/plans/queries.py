@@ -2253,7 +2253,9 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 #   q23 doc fingerprint      -> q20-q22 text analysis + q66 winnowing
 #   q28 simhash (rows-only)  -> q27 minhash-LSH + structural tests
 #   q29 LSH ANN (rows-only)  -> q25 exact ANN + q43 IVF cells
-#   q32 running total        -> q33 lag delta (per-key window family)
+#   q32 running total        -> q31 sessionization (lag) + q49 (per-key window)
+#   q33 lag delta            -> q31 sessionization (lag-gap core) + q03/q49
+#   q39 near-dedup filter    -> q24 shingle-join Jaccard + q64 components edges
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -2271,9 +2273,11 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q28_simhash_near_pairs",
     "q29_ann_lsh_topk",
     "q32_running_total",
+    "q33_lag_delta",
     "q35_having_filter",
     "q36_set_except",
     "q37_pivot_counts",
+    "q39_near_dedup_filter",
     "q40_token_frequencies",
     "q41_regex_tokens",
     "q42_vector_stats",

@@ -1,0 +1,112 @@
+"""Deterministic sampling operators for training-data curation.
+
+Reproducible corpus sampling needs rates that are (a) content-addressed —
+re-running the pipeline, adding executors, or reordering partitions must
+select the *same* rows — and (b) stratified, so a domain-mixture target
+("20% code, 50% web, ...") can be hit exactly. Spark's `df.sample()` is
+seeded per-partition and therefore NOT stable under repartitioning, which
+makes it unusable for resumable 100 TB curation runs; these operators hash
+row content instead (the same technique the reference uses for stable
+message ids, stream_cdc/streams/sqs.py:205-234, applied to sampling).
+
+Mechanics: a row is kept iff the first 3 hex digits of md5(seed || key)
+are lexicographically below a cutoff, giving rates in units of 1/4096
+(0.024% granularity). md5 is available and bit-identical in every engine
+(Spark, DuckDB, Python hashlib), so oracles can verify the exact row set,
+and the selection is a pure codegen expression — no Python, no shuffle,
+full scan bandwidth at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RATE_DENOM = 4096  # 16^3 — cutoff is exactly 3 hex digits
+
+
+def hash_cutoff(rate_4096: int) -> str:
+    """3-hex-digit cutoff string for a rate of rate_4096/4096.
+
+    The full rate returns 'g': format(4096) would be the 4-char '1000',
+    which sorts BELOW almost every 3-hex-digit prefix ('fff' > '1000'
+    lexicographically) and would silently keep only 1/16 of rows; 'g'
+    sorts above every hex digit, so `prefix < 'g'` keeps everything."""
+    if not 0 <= rate_4096 <= RATE_DENOM:
+        raise ValueError(f"rate_4096 must be in [0, {RATE_DENOM}]")
+    if rate_4096 == RATE_DENOM:
+        return "g"
+    return format(rate_4096, "03x")
+
+
+def sample_mark(key: Column, rate_4096: int, seed: str = "") -> Column:
+    """Boolean keep/drop decision, stable across runs and partitionings."""
+    digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return F.substring(digest, 1, 3) < F.lit(hash_cutoff(rate_4096))
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate_4096: int, seed: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample at rate rate_4096/4096."""
+    return df.filter(sample_mark(F.col(key), rate_4096, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates_4096: dict[str, int],
+    key: str,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (domain mixing).
+
+    The rate table is a handful of rows — it broadcasts, so the plan is a
+    broadcast hash join plus a codegen filter: no shuffle of the corpus.
+    Strata missing from `rates_4096` are dropped (rate 0), which is the
+    curation default: an explicit mixture lists everything it wants.
+    """
+    spark = df.sparkSession
+    rate_rows = [(s, hash_cutoff(r)) for s, r in sorted(rates_4096.items())]
+    cutoffs = spark.createDataFrame(rate_rows, f"{stratum_col} string, cutoff string")
+    digest = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    return (
+        df.join(F.broadcast(cutoffs), stratum_col)
+        .filter(F.substring(digest, 1, 3) < F.col("cutoff"))
+        .drop("cutoff")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    target_share: dict[str, float],
+    total_rate_4096: int,
+) -> dict[str, int]:
+    """Planning step: derive per-stratum rates that steer the sampled
+    corpus toward a target mixture while keeping ~total_rate_4096/4096 of
+    the largest achievable volume.
+
+    Runs one aggregate job over the corpus (counts per stratum — K rows to
+    the driver, the same iterative-planning shape as k-means / IVF
+    training). The returned dict feeds `stratified_sample`, which is fully
+    declarative; keep the two phases separate so the sampling query itself
+    stays lazy.
+    """
+    counts = dict(
+        df.groupBy(stratum_col).count().collect()
+    )  # K rows — stratum cardinality, not data
+    total = sum(counts.get(s, 0) for s in target_share)
+    if total == 0:
+        return {s: 0 for s in target_share}
+    # Volume each stratum must contribute for the mixture; the binding
+    # stratum (highest demanded fraction of its own rows) caps the scale.
+    demanded = {
+        s: target_share[s] * total / max(counts.get(s, 0), 1)
+        for s in target_share
+    }
+    scale = total_rate_4096 / RATE_DENOM / max(demanded.values())
+    return {
+        s: min(RATE_DENOM, round(demanded[s] * scale * RATE_DENOM))
+        for s in target_share
+    }

@@ -262,3 +262,73 @@ def winnow_stats_vectorized(
     return src.mapInPandas(
         _batches, schema=f"{id_col} bigint, n_fps bigint, fp_min bigint, fp_sum bigint"
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, top-word
+    fraction, and top-bigram fraction per document (quantized to permille
+    so a DuckDB oracle compares exactly; Rae et al. 2021 use these to drop
+    boilerplate/low-quality web text before LLM training).
+
+    Plan shape: one explode keyed by document, then combiner-friendly
+    (id, token) -> id aggregations — bigrams come from an array transform
+    on the token array, not a window, so there is no per-doc sort. Every
+    shuffle key includes the doc id: at 100 TB this is embarrassingly
+    parallel and AQE-coalescible, with no global hot key (a document's
+    rows all fit one task by construction).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    words = base.select(id_col, F.explode("toks").alias("tok"))
+    bigram_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select(id_col, F.explode(bigram_arr).alias("tok"))
+
+    def top_counts(exploded: DataFrame, total: str, top: str) -> DataFrame:
+        return (
+            exploded.groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("c").cast("bigint").alias(total),
+                F.count(F.lit(1)).cast("bigint").alias(f"{total}_distinct"),
+                F.max("c").cast("bigint").alias(top),
+            )
+        )
+
+    wstat = top_counts(words, "n_words", "top_word_count")
+    bstat = top_counts(bigrams, "n_bigrams", "top_bigram_count").drop(
+        "n_bigrams_distinct"
+    )
+    permille = lambda num, den: F.floor(  # noqa: E731
+        1000.0 * num / F.greatest(den, F.lit(1))
+    ).cast("bigint")
+    return (
+        # Left join: a single-word doc explodes zero bigrams, so it has no
+        # bstat row — an inner join would silently drop it from the report.
+        wstat.join(bstat, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.col("n_words_distinct").alias("n_distinct_words"),
+            permille(
+                F.col("n_words") - F.col("n_words_distinct"), F.col("n_words")
+            ).alias("dup_word_permille"),
+            permille(F.col("top_word_count"), F.col("n_words")).alias(
+                "top_word_permille"
+            ),
+            permille(
+                F.coalesce(F.col("top_bigram_count"), F.lit(0)),
+                F.coalesce(F.col("n_bigrams"), F.lit(0)),
+            ).alias("top_bigram_permille"),
+        )
+    )

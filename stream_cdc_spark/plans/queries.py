@@ -2779,6 +2779,187 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: sampling / quality / privacy / packing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q79_stratified_sample",
+    """
+    WITH rates(lang, cutoff) AS (VALUES
+        ('en', '800'), ('es', '400'), ('zh', '200')),
+    kept AS (
+      SELECT d.lang, d.source, d.doc_id
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE SUBSTR(md5(CONCAT('mix-v1', CAST(d.doc_id AS VARCHAR))), 1, 3)
+            < r.cutoff)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM kept GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Deterministic stratified sampling for domain mixing "
+    "(operators/sampling.py): keep a row iff md5(seed||doc_id) falls under "
+    "a per-stratum 3-hex-digit cutoff (en 1/2, es 1/4, zh 1/8; de/fr rate "
+    "0). Content-addressed, so the selected set is stable across runs, "
+    "partitionings and engines — df.sample() is not. The rate table "
+    "broadcasts; the corpus never shuffles (the output agg here is just "
+    "evidence). doc_id_sum pins the exact row set, not only its size.",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import sampling
+
+    d = load(spark, sf, "documents")
+    kept = sampling.stratified_sample(
+        d, "lang", {"en": 2048, "es": 1024, "zh": 512}, key="doc_id",
+        seed="mix-v1",
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_register(
+    "q80_doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    words AS (
+      SELECT doc_id, unnest(l) AS tok FROM toks),
+    wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok),
+    wstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             MAX(c) AS top_word_count
+      FROM wc GROUP BY doc_id),
+    bigs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i+1])) AS tok
+      FROM toks),
+    bc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM bigs GROUP BY doc_id, tok),
+    bstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             MAX(c) AS top_bigram_count
+      FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words, w.n_distinct_words,
+           CAST(FLOOR(1000.0 * (w.n_words - w.n_distinct_words)
+                / GREATEST(w.n_words, 1)) AS BIGINT) AS dup_word_permille,
+           CAST(FLOOR(1000.0 * w.top_word_count
+                / GREATEST(w.n_words, 1)) AS BIGINT) AS top_word_permille,
+           CAST(FLOOR(1000.0 * COALESCE(b.top_bigram_count, 0)
+                / GREATEST(COALESCE(b.n_bigrams, 0), 1)) AS BIGINT)
+             AS top_bigram_permille
+    FROM wstat w LEFT JOIN bstat b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021; "
+    "operators/text.repetition_features): duplicate-word, top-word and "
+    "top-bigram fractions per document, permille-quantized. Bigrams come "
+    "from an array transform (no per-doc window sort); every shuffle key "
+    "contains doc_id, so the plan is embarrassingly parallel at 100 TB.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.repetition_features(d).orderBy("doc_id")
+
+
+@_register(
+    "q81_pii_redaction",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(props,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+                len(regexp_extract_all(props, '\\+[0-9][0-9()\\- ]{6,}[0-9]')) +
+                len(regexp_extract_all(props, '[0-9]{3,}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_touched,
+           CAST(SUM(len(regexp_extract_all(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_email,
+           CAST(SUM(len(regexp_extract_all(props,
+                '\\+[0-9][0-9()\\- ]{6,}[0-9]'))) AS BIGINT) AS n_phone,
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]{3,}'))) AS BIGINT)
+             AS n_digit_run,
+           CAST(SUM(len(regexp_replace(regexp_replace(regexp_replace(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\\+[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g'),
+                '[0-9]{3,}', '[NUM]', 'g'))) AS BIGINT) AS redacted_len_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="PII scrubbing audit (operators/privacy.py): per-event-type counts "
+    "of redactable spans (email/phone/digit-run) plus the total length of "
+    "the redacted payloads — the length sum pins the exact replacement "
+    "semantics cross-engine (Spark regexp_replace is global; the DuckDB "
+    "oracle needs the explicit 'g' flag). Patterns stay in the Java-regex "
+    "∩ RE2 subset: no lookaround, no backreferences. Pure codegen "
+    "expressions -> scan-bandwidth at 100 TB.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import privacy
+
+    ev = load(spark, sf, "events")
+    report = privacy.redaction_report(ev, "props", "event_type")
+    redacted_len = F.sum(
+        F.length(privacy.redact(F.col("props")))
+    ).cast("bigint")
+    lens = ev.groupBy("event_type").agg(redacted_len.alias("redacted_len_sum"))
+    return report.join(lens, "event_type").orderBy("event_type")
+
+
+@_register(
+    "q82_sequence_packing",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id % 8 AS shard, doc_id,
+             len(string_split(text, ' ')) AS tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      SELECT shard, doc_id, tokens, rn, CAST(0 AS BIGINT) AS seq_no,
+             tokens AS cum
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.doc_id, t.tokens, t.rn,
+             CASE WHEN p.cum + t.tokens > 512
+                  THEN p.seq_no + 1 ELSE p.seq_no END,
+             CASE WHEN p.cum + t.tokens > 512
+                  THEN t.tokens ELSE p.cum + t.tokens END
+      FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1)
+    SELECT CAST(shard AS BIGINT) AS shard, seq_no,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, seq_no ORDER BY shard, seq_no
+    """,
+    doc="Token-budget sequence packing (operators/packing.py): greedy fill "
+    "of 512-token training sequences within 8 deterministic shards. The "
+    "carried-state scan is the one genuinely non-relational op in the "
+    "curation family — Spark side is Arrow-batched applyInPandas per "
+    "shard (parallel across shards, numpy int arrays inside); the oracle "
+    "is a DuckDB recursive CTE replaying the same greedy fold.",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import packing
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("tokens")
+    )
+    packed = packing.pack_sequences(
+        d, token_col="tokens", budget=512, n_shards=8
+    )
+    return packing.sequence_stats(packed, "tokens").orderBy("shard", "seq_no")
+
+
+# ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
 # The external driver verifies only the first 50 registry entries against
@@ -2798,6 +2979,8 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 #   q04 last position        -> q03 log compaction (latest-per-key family)
 #   q07 cdc apply join       -> q48 MERGE-style CDC apply
 #   q09 changed-keys semi    -> q73 Q21 exists/not-exists + q08 anti join
+#   q14 TPC-H Q3             -> q55 Q10 (same join tree + revenue agg)
+#   q15 star join revenue    -> q57 Q5 (star dims + fact revenue rollup)
 #   q32 running total        -> q31 sessionization (lag) + q49 (per-key window)
 #   q33 lag delta            -> q31 sessionization (lag-gap core) + q03/q49
 #   q38 discrete percentiles -> q68 approx-percentile with exact rank bounds
@@ -2808,6 +2991,8 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 #   q76 Q15 top supplier     -> q60 Q2 argmin + q62 Q11 scalar-subquery gate
 #   q77 Q19 disjunctive      -> q34 Q6 (filtered revenue; OR-pushdown in tests)
 #   q78 Q20 heavy shippers   -> q73 Q21 + q61 Q16 (nested-subquery family)
+#   q81 PII redaction        -> q79 sampling (curation scan family) + q50
+#   q82 sequence packing     -> q05 batch assembly (budgeted packing family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -2822,6 +3007,8 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q07_cdc_apply_join",
     "q09_changed_keys_semi_join",
     "q11_scalar_pipeline",
+    "q14_tpch_q3",
+    "q15_star_join_revenue",
     "q16_top_k_orders",
     "q18_rollup_value",
     "q23_doc_fingerprint",
@@ -2846,6 +3033,8 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q76_tpch_q15_top_supplier",
     "q77_tpch_q19_disjunctive_filter",
     "q78_tpch_q20_heavy_shippers",
+    "q81_pii_redaction",
+    "q82_sequence_packing",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

@@ -65,7 +65,9 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     )
 
 
-def stop_shingle_filter(sh: DataFrame, max_df: int) -> DataFrame:
+def stop_shingle_filter(
+    sh: DataFrame, max_df: int, detect_rate_4096: int | None = None
+) -> DataFrame:
     """Drop shingles whose document frequency exceeds `max_df` (standard
     stop-shingle filter, cf. stop-word removal in MinHash pipelines).
 
@@ -78,11 +80,33 @@ def stop_shingle_filter(sh: DataFrame, max_df: int) -> DataFrame:
     recall loss. The hot-shingle list is tiny by construction (only values
     with df > max_df), so the removal is a broadcast anti-join — no extra
     shuffle on the big side.
+
+    `detect_rate_4096`: optionally detect hot shingles on a deterministic
+    content-hash sample (operators/sampling.py) instead of an exact
+    full-shuffle count. A shingle at the cap appears ~max_df*rate/4096
+    times in the sample, so with the safety factor 2 the detector flags
+    (approximately) shingles with df > max_df/2 — fine, since anything
+    near the cap is already uninformative. This replaces a full shuffle of
+    the exploded shingle set with a narrow sampled scan + tiny aggregate:
+    at 100 TB the exact detector's shuffle is itself corpus-sized, the
+    sampled one is 1/128th of it (rate 32). The hash sample is partition-
+    order independent, so detection stays deterministic run-to-run.
     """
+    counted = sh
+    threshold = max_df
+    if detect_rate_4096 is not None:
+        from stream_cdc_spark.operators.sampling import RATE_DENOM, sample_mark
+
+        counted = sh.filter(
+            sample_mark(
+                F.concat_ws("|", "id", "shingle"), detect_rate_4096, "hot-df"
+            )
+        )
+        threshold = max(2, (max_df * detect_rate_4096) // RATE_DENOM // 2)
     hot = (
-        sh.groupBy("shingle")
+        counted.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
+        .filter(F.col("df") > threshold)
         .select("shingle")
     )
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -95,6 +119,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = 1000,
+    hot_detect_rate_4096: int | None = None,
     storage_level=None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard similarity.
@@ -115,7 +140,7 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        sh = stop_shingle_filter(sh, max_shingle_df)
+        sh = stop_shingle_filter(sh, max_shingle_df, hot_detect_rate_4096)
     if storage_level is not None:
         sh = sh.persist(storage_level)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

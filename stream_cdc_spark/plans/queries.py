@@ -652,11 +652,15 @@ def _shingle_pair_stats(d: DataFrame):
 
     The df cap (dedup.stop_shingle_filter, max_df=1000) bounds every
     self-join group at cap^2 candidate rows so one hot shingle can't go
-    quadratic at 100 TB. Testdata max shingle df is 25 (sf0.1), so the cap
-    provably never fires at oracle SF and the uncapped DuckDB oracles stay
-    exact.
+    quadratic at 100 TB; hot shingles are detected on a 1/128
+    deterministic hash sample (detect_rate_4096=32), which replaces the
+    exact detector's corpus-sized shuffle with a narrow sampled scan.
+    Testdata max shingle df is 25 (sf0.1), so neither detector ever fires
+    at oracle SF and the uncapped DuckDB oracles stay exact.
     """
-    sh = dedup.stop_shingle_filter(dedup.shingles(d, "text", "doc_id", k=3), 1000)
+    sh = dedup.stop_shingle_filter(
+        dedup.shingles(d, "text", "doc_id", k=3), 1000, detect_rate_4096=32
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

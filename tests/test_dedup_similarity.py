@@ -227,6 +227,43 @@ def test_shingle_df_cap_is_no_op_on_testdata(spark):
     assert capped == uncapped
 
 
+def test_sampled_hot_detection_full_rate_matches_halved_exact(spark):
+    """detect_rate_4096=4096 samples everything, so the sampled detector is
+    the exact detector with threshold max(2, max_df//2): the planted hot
+    shingle (df=40) must be dropped, the rare pair must survive."""
+    hot = "the same common phrase repeated"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c {hot}") for i in range(40)]
+    rows += [(100, "rare alpha beta gamma delta"), (101, "rare alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingles(df, "text", "doc_id", k=3)
+    capped = dedup.stop_shingle_filter(sh, max_df=20, detect_rate_4096=4096)
+    freq = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert freq <= 20, f"hot shingle survived the sampled cap: max df {freq}"
+    pairs = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=20, hot_detect_rate_4096=4096
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+
+
+def test_sampled_hot_detection_is_no_op_on_testdata(spark):
+    """With detect_rate_4096=32 (the q24-family setting) nothing on the
+    test corpus comes near the cap, so sampled and exact modes agree."""
+    sampled = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, max_shingle_df=1000,
+            hot_detect_rate_4096=32,
+        ).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, max_shingle_df=1000
+        ).collect()
+    }
+    assert sampled == exact
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a path graph of diameter 6 cannot converge in 2 rounds
     edges = spark.createDataFrame(

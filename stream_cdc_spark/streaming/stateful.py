@@ -14,6 +14,11 @@ operators:
     stateful twin of plans q31): emits running session counts as events
     arrive.
 
+  write_dedup_tracker — streaming write-dedup over (key, fingerprint) with
+    TTL retention; prefers the Spark 4 transformWithState API
+    (per-fingerprint MapState) when the runtime has protobuf, else an
+    applyInPandasWithState seen-set fallback.
+
 State is Arrow-transferred pandas per key-batch; at 100 TB keys shard
 across executors and the state store should be RocksDB
 (spark.sql.streaming.stateStore.providerClass) so state >> heap works.
@@ -29,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -140,4 +146,180 @@ def session_tracker(
         stateStructType=SESSION_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+WRITE_DEDUP_OUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("fp", StringType(), False),
+        StructField("seq", LongType(), True),
+    ]
+)
+
+
+class _WriteDedupProcessor:
+    """StatefulProcessor emitting only first-seen fingerprints per key.
+
+    Streaming twin of the reference's write-dedup (state comparison before
+    save, stream_cdc/coordinator.py:110-159 / state/dynamodb.py:92-122) and
+    of this engine's batch ParquetKVState dedup: a MapState of seen
+    fingerprints with a TTL, so redelivered payloads (at-least-once
+    sources) are dropped exactly where the sink hands off.
+
+    Uses the Spark 4 transformWithState API rather than
+    applyInPandasWithState: per-fingerprint MapState entries mean a
+    redelivery probe touches ONE state-store key instead of
+    deserializing a whole per-key blob — the RocksDB-friendly layout for
+    100 TB retention — and the TTL bounds state without a timer loop.
+    """
+
+    def __init__(self, ttl_ms: int | None):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self.seen = handle.getMapState(
+            "seen", "fp STRING", "one LONG", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        first: dict[str, int | None] = {}
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("seq")
+            for fp, seq in zip(pdf["fp"], pdf["seq"]):
+                if fp in first:
+                    continue
+                if self.seen.containsKey((fp,)):
+                    continue
+                first[fp] = None if pd.isna(seq) else int(seq)
+        for fp in first:
+            self.seen.updateValue((fp,), (1,))
+        if first:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(first),
+                    "fp": list(first),
+                    "seq": list(first.values()),
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs Python-side protobuf for the state
+    server protocol; absent in this container (no installs), present on a
+    standard cluster image."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+WRITE_DEDUP_STATE = StructType(
+    [StructField("seen", ArrayType(StringType()), True)]
+)
+
+
+def _write_dedup_legacy(ttl_ms: int | None):
+    """applyInPandasWithState fallback: the seen-set rides in one per-key
+    array blob (fine for bounded key cardinality; the MapState layout in
+    _WriteDedupProcessor is the per-fingerprint-addressable scale path)."""
+
+    def inner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out_fp: list[str] = []
+        out_seq: list[Any] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("seq")
+            for fp, seq in zip(pdf["fp"], pdf["seq"]):
+                if fp in seen:
+                    continue
+                seen.add(fp)
+                out_fp.append(fp)
+                out_seq.append(None if pd.isna(seq) else int(seq))
+        state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_fp:
+            yield pd.DataFrame(
+                {"key": [str(key[0])] * len(out_fp), "fp": out_fp, "seq": out_seq}
+            )
+
+    return inner
+
+
+def write_dedup_tracker(
+    events: DataFrame,
+    key_col: str = "event_type",
+    fp_col: str = "fp",
+    seq_col: str = "seq",
+    ttl_hours: int | None = 24,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Streaming write-dedup: emit each (key, fingerprint) once within the
+    TTL horizon; duplicates from at-least-once redelivery are dropped.
+
+    `use_transform_with_state=None` auto-selects the Spark 4
+    transformWithState implementation when the runtime supports it
+    (per-fingerprint MapState + native TTL — the 100 TB layout) and falls
+    back to applyInPandasWithState with a per-key seen-set blob otherwise.
+    Both implement the same contract and share the output schema.
+    """
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"CAST({fp_col} AS STRING) AS fp",
+        f"CAST({seq_col} AS LONG) AS seq",
+    )
+    ttl_ms = None if ttl_hours is None else ttl_hours * 3_600_000
+    if use_transform_with_state is None:
+        use_transform_with_state = transform_with_state_available()
+    if use_transform_with_state:
+        from pyspark.sql.streaming import StatefulProcessor
+
+        # Subclass lazily so importing this module never requires the
+        # StatefulProcessor ABC (or protobuf) at module load.
+        proc_cls = type(
+            "_WriteDedupStatefulProcessor",
+            (_WriteDedupProcessor, StatefulProcessor),
+            {},
+        )
+        return keyed.groupBy("key").transformWithStateInPandas(
+            statefulProcessor=proc_cls(ttl_ms),
+            outputStructType=WRITE_DEDUP_OUT,
+            outputMode="Update",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _write_dedup_legacy(ttl_ms),
+        outputStructType=WRITE_DEDUP_OUT,
+        stateStructType=WRITE_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

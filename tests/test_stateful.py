@@ -186,3 +186,108 @@ def test_rocksdb_state_store_with_restart(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_write_dedup_tracker_emits_first_seen_only(spark, tmp_path):
+    """transformWithState write-dedup: a fingerprint that recurs across
+    micro-batches must be emitted exactly once per key. fp = event_id % 50
+    guarantees heavy recurrence within the replayed stream."""
+    from stream_cdc_spark.streaming.stateful import write_dedup_tracker
+
+    cdc_replay.register(spark)
+    env = (
+        spark.readStream.format("cdc_replay")
+        .option("path", table_path(SF_SMALL, "events"))
+        .option("batchEvents", "700")  # multiple micro-batches
+        .load()
+    )
+    fp_stream = env.selectExpr(
+        "event_type", "CAST(pmod(seq, 50) AS STRING) AS fp", "seq"
+    )
+    out = write_dedup_tracker(
+        fp_stream, key_col="event_type", fp_col="fp", seq_col="seq",
+        ttl_hours=None,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wdedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    # the stream's event_type is the Debezium-op label (non-injective map:
+    # signup+purchase -> Insert), so compute the expectation op-side
+    ev = load(spark, SF_SMALL, "events")
+    op_expr = (
+        "CASE event_type WHEN 'signup' THEN 'Insert' "
+        "WHEN 'purchase' THEN 'Insert' WHEN 'click' THEN 'Update' "
+        "WHEN 'view' THEN 'Update' WHEN 'error' THEN 'Delete' "
+        "ELSE 'Insert' END"
+    )
+    want = (
+        ev.selectExpr(f"{op_expr} AS op", "pmod(event_id, 50) AS fpv")
+        .distinct()
+        .count()
+    )
+
+    def done():
+        return (
+            spark.sql("SELECT COUNT(*) n FROM wdedup").collect()[0].n >= want
+        )
+
+    _drain(spark, "wdedup", q, done)
+    got = spark.sql("SELECT key, fp, COUNT(*) c FROM wdedup GROUP BY key, fp").collect()
+    # exactly once per (key, fp), and the full first-seen set arrived
+    assert all(r.c == 1 for r in got), [r for r in got if r.c > 1][:5]
+    # keys are Debezium-op labels of event_type; compare counts only
+    assert len(got) == want
+
+
+def test_write_dedup_tracker_native_path(spark, tmp_path):
+    """Same contract through the Spark 4 transformWithState implementation.
+    Skipped where pyspark's state-server protocol deps (protobuf) are
+    absent — this container has no installs; cluster images do."""
+    import pytest
+
+    from stream_cdc_spark.streaming.stateful import (
+        transform_with_state_available,
+        write_dedup_tracker,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithState needs python protobuf; not in env")
+
+    cdc_replay.register(spark)
+    env = (
+        spark.readStream.format("cdc_replay")
+        .option("path", table_path(SF_SMALL, "events"))
+        .option("batchEvents", "700")
+        .load()
+    )
+    fp_stream = env.selectExpr(
+        "event_type", "CAST(pmod(seq, 50) AS STRING) AS fp", "seq"
+    )
+    out = write_dedup_tracker(
+        fp_stream, ttl_hours=None, use_transform_with_state=True
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wdedup_native")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    _drain(
+        spark,
+        "wdedup_native",
+        q,
+        lambda: spark.sql("SELECT COUNT(*) n FROM wdedup_native").collect()[0].n
+        >= 150,
+    )
+    got = spark.sql(
+        "SELECT key, fp, COUNT(*) c FROM wdedup_native GROUP BY key, fp"
+    ).collect()
+    assert all(r.c == 1 for r in got)

@@ -61,6 +61,29 @@ def test_from_debezium_json(spark):
     assert r.content.before["name"] == "a" and r.content.after["name"] == "b"
 
 
+def test_from_debezium_json_schema_drift_tolerant(spark):
+    """Schema evolution at the ingest boundary (the reference drops DDL,
+    mysql.py:354-365; SURVEY flags evolution as a documented deviation):
+    unknown top-level envelope fields are ignored, brand-new columns flow
+    through the schema-fluid before/after maps, and absent fields parse to
+    NULL instead of failing the stream."""
+    drifted = (
+        '{"op":"c","source":{"db":"shop","table":"users","gtid":"u:10"},'
+        '"after":{"id":"2","name":"c","new_col_v2":"added-later"},'
+        '"transaction":{"id":"txn-1","total_order":3},'
+        '"brand_new_top_level":{"nested":true}}'
+    )
+    missing_bits = '{"op":"d","before":{"id":"9"}}'
+    df = spark.createDataFrame([(drifted,), (missing_bits,)], ["value"])
+    out = {r.event_type: r for r in envelope.from_debezium_json(df).collect()}
+    ins = out["Insert"]
+    assert ins.content.after["new_col_v2"] == "added-later"  # new column kept
+    assert ins.table == "users" and ins.gtid == "u:10"
+    dele = out["Delete"]  # absent source block -> NULLs, row survives
+    assert dele.database is None and dele.table is None
+    assert dele.content.before["id"] == "9"
+
+
 def test_latest_per_key_tie_and_order(spark):
     df = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "seq", "v"]

@@ -96,6 +96,13 @@ def test_driver_window_contains_every_primary_query():
         "q63_tpch_q22_dormant_customers", "q64_dedup_components",
         "q65_kmeans_assign", "q66_winnow_fingerprints",
         "q30_embedding_near_dup", "q27_minhash_lsh_pairs",
+        # round-2 additions: approx-bounded aggs, TPC-H completion
+        # primaries, curation primaries
+        "q67_approx_distinct_bounded", "q68_approx_percentile_bounded",
+        "q69_tpch_q7_nation_volume", "q70_tpch_q9_product_profit",
+        "q71_tpch_q13_order_distribution", "q72_tpch_q17_small_quantity",
+        "q73_tpch_q21_waiting_suppliers", "q79_stratified_sample",
+        "q80_doc_repetition",
     }
     assert must_in <= window, sorted(must_in - window)
     # demoted shapes keep full repo-oracle coverage and nothing is lost
@@ -104,3 +111,53 @@ def test_driver_window_contains_every_primary_query():
     # at most one rows-only (un-oracled) query inside the window
     rows_only_in_window = [n for n in names[:50] if QUERIES[n].oracle is None]
     assert rows_only_in_window == ["q27_minhash_lsh_pairs"], rows_only_in_window
+
+
+def test_q69_q70_dims_broadcast(spark):
+    """Q7/Q9 shapes: every nation/supplier/part dim must broadcast; the
+    only shuffle joins are fact-to-orders and the final aggregate."""
+    for name in ("q69_tpch_q7_nation_volume", "q70_tpch_q9_product_profit"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q71_outer_join_not_degraded(spark):
+    """Q13: the non-key ON predicate must stay in the join (an outer join
+    turned inner would drop zero-order customers)."""
+    plan = _plan(spark, "q71_tpch_q13_order_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q73_semi_and_anti_self_joins(spark):
+    plan = _plan(spark, "q73_tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q77_disjunction_pushed_to_part_scan(spark):
+    """Q19: the brand/size disjunction is dim-only, so it must reach the
+    part parquet scan as an Or pushed filter."""
+    plan = _plan(spark, "q77_tpch_q19_disjunctive_filter")
+    part_scan = [s for s in plan.split("Scan parquet")[1:] if "p_brand" in s]
+    assert any("Or(" in s.split("ReadSchema")[0] for s in part_scan), (
+        "no Or(...) in part PushedFilters"
+    )
+
+
+def test_q79_rate_table_broadcasts(spark):
+    plan = _plan(spark, "q79_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    # the md5 keep/drop filter is an expression, not a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q80_no_window_sort(spark):
+    """Repetition features must come from explode+agg, not a per-doc
+    window (no sort-based WindowExec in the plan)."""
+    plan = _plan(spark, "q80_doc_repetition")
+    assert plan.count("Window") == 0
+
+
+def test_q82_single_shard_shuffle_then_pandas(spark):
+    plan = _plan(spark, "q82_sequence_packing")
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan

@@ -385,3 +385,34 @@ def connected_components(
             "max_iter — raise max_iter (rounds needed = O(diameter))."
         )
     return labels.select(F.col("u").alias("vertex"), F.col("lbl").alias("component"))
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word-k-gram
+    with an evaluation set (the GPT-3-style n-gram overlap check run before
+    LLM training).
+
+    Returns (id, n_hit_shingles) for contaminated documents only. The
+    benchmark's distinct shingle set is tiny next to the corpus (eval
+    suites are MBs, corpora are TBs), so it broadcasts and the corpus side
+    never shuffles — the check runs at scan bandwidth. If a benchmark ever
+    outgrows broadcast range, drop the hint and the same plan becomes a
+    shuffle semi-join keyed by shingle.
+    """
+    bench_sh = (
+        shingles(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(corpus, text_col, id_col, k)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )

@@ -2963,6 +2963,40 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     return packing.sequence_stats(packed, "tokens").orderBy("shard", "seq_no")
 
 
+@_register(
+    "q83_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(range(1, len(l) - 2),
+                                   i -> array_to_string(l[i:i+3], ' '))) AS shingle
+      FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0)
+    SELECT a.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+    FROM sh a JOIN bench b USING (shingle)
+    WHERE a.id % 97 <> 0
+    GROUP BY a.id ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination (dedup.contamination_flags; the "
+    "GPT-3-style n-gram overlap check run before LLM training): corpus "
+    "documents sharing any word-4-gram with an eval set — here the "
+    "deterministic ~1% slice doc_id % 97 = 0 plays the benchmark. The "
+    "benchmark shingle set broadcasts (eval suites are MBs, corpora TBs), "
+    "so the corpus side never shuffles for the probe.",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        dedup.contamination_flags(corpus, bench, k=4)
+        .select(F.col("id").alias("doc_id"), "n_hit_shingles")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -2997,6 +3031,7 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 #   q78 Q20 heavy shippers   -> q73 Q21 + q61 Q16 (nested-subquery family)
 #   q81 PII redaction        -> q79 sampling (curation scan family) + q50
 #   q82 sequence packing     -> q05 batch assembly (budgeted packing family)
+#   q83 decontamination      -> q24 shingle join + q79 (curation family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3039,6 +3074,7 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q78_tpch_q20_heavy_shippers",
     "q81_pii_redaction",
     "q82_sequence_packing",
+    "q83_decontamination",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

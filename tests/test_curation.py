@@ -172,3 +172,43 @@ def test_pack_sequences_respects_doc_order(spark):
     }
     # all three land in shard 0: 300+200 fills seq 0, the next overflows
     assert packed == {0: 0, 8: 0, 16: 1}
+
+
+# --------------------------------------------------------------- decontamination
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from stream_cdc_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words the quick brown fox tail"),  # shares a 4-gram
+            (11, "completely different content entirely here now"),
+            (12, "quick brown fox jumps somewhere else"),  # shares a 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.n_hit_shingles
+        for r in dedup.contamination_flags(corpus, bench, k=4).collect()
+    }
+    assert set(got) == {10, 12}
+    assert got[10] == 1 and got[12] == 1
+
+
+def test_contamination_flags_benchmark_broadcasts(spark):
+    from stream_cdc_spark.operators import dedup
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL, "documents")
+    out = dedup.contamination_flags(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0)
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan

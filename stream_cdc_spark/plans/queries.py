@@ -2964,6 +2964,44 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q84_sliding_window",
+    f"""
+    WITH ex AS (
+      SELECT date_trunc('hour', ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+    SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_MONEY.format(x="value", a="total_value")}
+    FROM ex GROUP BY 1 ORDER BY w_start
+    """,
+    doc="Event-time SLIDING window (2h length, 1h slide) — each event lands "
+    "in exactly two epoch-aligned windows. Spark's window() expands rows "
+    "window-count times before the aggregate (the oracle mirrors this with "
+    "a UNION ALL of the two window starts); the fan-out factor is "
+    "length/slide, so state and shuffle scale linearly with it — at 100 TB "
+    "pick slide ratios, not tiny slides, or use tumbling+rollup. Same plan "
+    "serves structured streaming with a watermark.",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+            "total_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+@_register(
     "q83_decontamination",
     """
     WITH toks AS (
@@ -3032,6 +3070,7 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q81 PII redaction        -> q79 sampling (curation scan family) + q50
 #   q82 sequence packing     -> q05 batch assembly (budgeted packing family)
 #   q83 decontamination      -> q24 shingle join + q79 (curation family)
+#   q84 sliding window       -> q10 tumbling window (event-time family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3075,6 +3114,7 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q81_pii_redaction",
     "q82_sequence_packing",
     "q83_decontamination",
+    "q84_sliding_window",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

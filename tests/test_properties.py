@@ -76,3 +76,44 @@ def test_prepared_messages_always_fit(n):
     assert message_size(entry["MessageBody"]) <= MAX_MESSAGE_SIZE_BYTES
     if n > MAX_MESSAGE_SIZE_BYTES:
         assert entry["MessageAttributes"].get("oversized") == "true"
+
+
+token_lists = st.lists(st.integers(min_value=1, max_value=2000), max_size=200)
+
+
+@given(token_lists)
+@settings(max_examples=200, deadline=None)
+def test_greedy_fill_invariants(tokens):
+    from stream_cdc_spark.operators.packing import greedy_fill
+
+    budget = 512
+    seqs = greedy_fill(tokens, budget)
+    assert len(seqs) == len(tokens)
+    if not tokens:
+        return
+    # sequence ids are 0-based, contiguous, non-decreasing (order preserved)
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+    # each sequence fits the budget unless it is a single oversize doc
+    totals: dict[int, list[int]] = {}
+    for s, t in zip(seqs, tokens):
+        totals.setdefault(s, []).append(t)
+    for members in totals.values():
+        assert sum(members) <= budget or len(members) == 1
+    # greedy tightness: a sequence break is only taken when forced
+    for a, b in zip(range(len(tokens) - 1), range(1, len(tokens))):
+        if seqs[b] == seqs[a] + 1:
+            assert sum(totals[seqs[a]]) + tokens[b] > budget
+
+
+@given(st.integers(min_value=0, max_value=4096))
+@settings(max_examples=300, deadline=None)
+def test_hash_cutoff_monotone_and_rate_exact(rate):
+    """The cutoff must keep exactly `rate` of the 4096 possible 3-hex-digit
+    prefixes — the property that makes sampling rates exact, not
+    approximate, over a uniform hash."""
+    from stream_cdc_spark.operators.sampling import hash_cutoff
+
+    cutoff = hash_cutoff(rate)
+    kept = sum(1 for v in range(4096) if format(v, "03x") < cutoff)
+    assert kept == rate

@@ -153,3 +153,53 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Batch image resize via mapInPandas: (media_id, blob) -> fixed-dim
+    blobs ready for an encoder.
+
+    The Spark plumbing is real — Arrow record-batch iteration, explicit
+    output schema, byte-budget-friendly (pair with repartition_by_bytes
+    upstream so a partition of large images cannot OOM the worker). The
+    pixel work itself is the environment-stubbed part (decode_image):
+    `fake=True` emits a deterministic width*height-shaped synthetic blob
+    derived from the input digest, so sizing/partitioning/schema behavior
+    is testable end-to-end; swap the inner kernel for PIL/opencv on a
+    cluster image that ships the libs.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+
+            def one(b) -> bytes:
+                decode_image(b or b"", fake=fake)  # raises unless fake
+                seed = hashlib.sha256(b or b"").digest()
+                reps = (width * height * 3) // len(seed) + 1
+                return (seed * reps)[: width * height * 3]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": blobs.map(one),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -274,6 +274,16 @@ class QueueSink:
         failed = resp.get("Failed", [])
         if failed and len(failed) == len(batch):
             raise StreamError(f"all {len(batch)} entries failed: {failed[:3]}")
+        if failed:
+            from stream_cdc_spark.logging_utils import get_logger
+
+            # partial failure is tolerated (retried via redelivery) but must
+            # not be silent — reference logs each failed id (sqs.py:330-341)
+            get_logger().warning(
+                "queue batch partial failure: %d/%d entries failed",
+                len(failed),
+                len(batch),
+            )
         return len(batch) - len(failed)
 
     def close(self) -> None:  # Stream protocol parity (streams/base.py:27-38)

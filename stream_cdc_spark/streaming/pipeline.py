@@ -109,6 +109,13 @@ class CdcPipeline:
         else:
             writer = writer.trigger(**self.config.trigger())
         self.query = writer.start()
+        from stream_cdc_spark.logging_utils import get_logger
+
+        get_logger().info(
+            "pipeline started: checkpoint=%s available_now=%s",
+            self.checkpoint_dir,
+            available_now,
+        )
         return self.query
 
     def await_and_stop(self, timeout: int | None = None) -> None:
@@ -119,6 +126,9 @@ class CdcPipeline:
         self.query.awaitTermination(timeout)
         if self.query.isActive:
             self.query.stop()
+        from stream_cdc_spark.logging_utils import get_logger
+
+        get_logger().info("pipeline stopped: checkpoint=%s", self.checkpoint_dir)
 
 
 def windowed_counts(

@@ -108,3 +108,37 @@ def test_file_format_sources_roundtrip(spark, tmp_path):
     assert {r.event_type for r in csv_df.select("event_type").distinct().collect()} == {
         r.event_type for r in json_df.select("event_type").distinct().collect()
     }
+
+
+def test_logger_env_configuration(monkeypatch, capsys):
+    import importlib
+    import logging as pylogging
+
+    from stream_cdc_spark import logging_utils
+
+    monkeypatch.setenv("APP_NAME", "cdc-test-logger")
+    monkeypatch.setenv("LOG_LEVEL", "DEBUG")
+    pylogging.getLogger("cdc-test-logger").handlers.clear()
+    lg = logging_utils.get_logger()
+    assert lg.name == "cdc-test-logger" and lg.level == pylogging.DEBUG
+    # idempotent: second call must not stack handlers
+    assert len(logging_utils.get_logger().handlers) == 1
+
+
+def test_logger_json_format(monkeypatch):
+    import io
+    import json as pyjson
+    import logging as pylogging
+
+    from stream_cdc_spark.logging_utils import JsonFormatter
+
+    buf = io.StringIO()
+    h = pylogging.StreamHandler(buf)
+    h.setFormatter(JsonFormatter())
+    lg = pylogging.getLogger("json-test")
+    lg.handlers = [h]
+    lg.setLevel(pylogging.INFO)
+    lg.propagate = False
+    lg.info("hello %s", "world")
+    rec = pyjson.loads(buf.getvalue())
+    assert rec["msg"] == "hello world" and rec["level"] == "INFO"

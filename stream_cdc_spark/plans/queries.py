@@ -2964,6 +2964,72 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q85_full_outer_reconcile",
+    """
+    WITH e AS (SELECT DISTINCT user_id FROM events)
+    SELECT (e.user_id IS NOT NULL) AS has_events,
+           (c.c_custkey IS NOT NULL) AS has_customer,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(COALESCE(e.user_id, c.c_custkey)) AS BIGINT) AS min_key,
+           CAST(SUM(COALESCE(e.user_id, c.c_custkey)) AS BIGINT) AS key_sum
+    FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY has_events, has_customer
+    """,
+    doc="FULL OUTER reconciliation — the one join type the inventory "
+    "lacked: which keys exist only in the stream, only in the dimension, "
+    "or in both (the CDC audit a consumer runs after an apply pass, cf. "
+    "q07/q48). Both sides shuffle on the key; null-extended rows from "
+    "either side survive, pinned by the per-side key sums.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select("user_id").distinct()
+    c = load(spark, sf, "customer").select("c_custkey")
+    k = F.coalesce(e.user_id, c.c_custkey)
+    return (
+        e.join(c, e.user_id == c.c_custkey, "full_outer")
+        .groupBy(
+            e.user_id.isNotNull().alias("has_events"),
+            c.c_custkey.isNotNull().alias("has_customer"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.min(k).cast("bigint").alias("min_key"),
+            F.sum(k).cast("bigint").alias("key_sum"),
+        )
+        .orderBy("has_events", "has_customer")
+    )
+
+
+@_register(
+    "q86_except_all_multiset",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_orderpriority FROM orders
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ) d
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="EXCEPT ALL (multiset difference, duplicate-preserving) — the bag "
+    "semantics sibling of q36's set EXCEPT: per-value multiplicities "
+    "subtract instead of collapsing. Spark plans exceptAll as a "
+    "counted-union aggregate + generate (no distinct), one shuffle on the "
+    "value.",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    all_p = o.select("o_orderpriority")
+    f_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        all_p.exceptAll(f_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
     "q84_sliding_window",
     f"""
     WITH ex AS (
@@ -3071,6 +3137,8 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q82 sequence packing     -> q05 batch assembly (budgeted packing family)
 #   q83 decontamination      -> q24 shingle join + q79 (curation family)
 #   q84 sliding window       -> q10 tumbling window (event-time family)
+#   q85 full outer reconcile -> q07/q08 (join family; outer via q71 Q13)
+#   q86 except all           -> q36 set EXCEPT (set-op family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3115,6 +3183,8 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q82_sequence_packing",
     "q83_decontamination",
     "q84_sliding_window",
+    "q85_full_outer_reconcile",
+    "q86_except_all_multiset",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

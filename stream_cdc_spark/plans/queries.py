@@ -3030,6 +3030,108 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q87_incremental_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental.py): the "
+    "materialized view is kept as mergeable partial aggregates; the delta "
+    "batch (events on/after the cutoff) is aggregated alone and *merged* "
+    "with the base state instead of recomputing over all rows — the "
+    "O(delta) consumer path the reference leaves to its downstream. The "
+    "oracle is the full recompute, proving merge(base, delta) == "
+    "recompute(all). Decimal partial sums keep the merge order-insensitive.",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import incremental
+
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    ev = load(spark, sf, "events")
+    measures = {
+        "n_events": (F.lit(1), "count"),
+        "total_value": (F.col("value").cast("decimal(18,4)"), "sum"),
+        "min_value": (F.col("value"), "min"),
+        "max_value": (F.col("value"), "max"),
+    }
+    kinds = {m: k for m, (_, k) in measures.items()}
+    base = incremental.partial_agg(ev.filter(F.col("ts") < cutoff), ["event_type"], measures)
+    delta = incremental.partial_agg(ev.filter(F.col("ts") >= cutoff), ["event_type"], measures)
+    merged = incremental.merge_partials([base, delta], ["event_type"], kinds)
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+@_register(
+    "q88_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  1000000000000 // n AS r,
+                  ((1000000000000 // n) * 3) // 20 AS base
+           FROM nodes CROSS JOIN nn),
+    s1 AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+           FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+           GROUP BY e.dst),
+    r1 AS (SELECT r0.node, r0.base,
+                  r0.base + (17 * COALESCE(s1.s, 0)) // 20 AS r
+           FROM r0 LEFT JOIN s1 ON r0.node = s1.node),
+    s2 AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+           FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+           GROUP BY e.dst),
+    r2 AS (SELECT r1.node, r1.base,
+                  r1.base + (17 * COALESCE(s2.s, 0)) // 20 AS r
+           FROM r1 LEFT JOIN s2 ON r1.node = s2.node),
+    s3 AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+           FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+           GROUP BY e.dst),
+    r3 AS (SELECT r2.node,
+                  r2.base + (17 * COALESCE(s3.s, 0)) // 20 AS r
+           FROM r2 LEFT JOIN s3 ON r2.node = s3.node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+    FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+    doc="Fixed-point integer PageRank (operators/graph.py) over the "
+    "customer-supplier bipartite graph (orders x lineitem), symmetrized, "
+    "3 synchronous rounds, damping 17/20. All arithmetic is 64-bit integer "
+    "division at scale 1e12, so ranks are bit-exact across engines and the "
+    "oracle can unroll the identical recurrence — hash-checkable iterative "
+    "graph analytics, which a floating-point PageRank never is. Two "
+    "shuffles per round (ranks->edges on src, contributions on dst), the "
+    "Pregel shape shared with q64's connected components.",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import graph
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    pr = graph.pagerank_fixed_point(graph.symmetrize(e0), iters=3)
+    return pr.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@_register(
     "q84_sliding_window",
     f"""
     WITH ex AS (
@@ -3139,6 +3241,8 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q84 sliding window       -> q10 tumbling window (event-time family)
 #   q85 full outer reconcile -> q07/q08 (join family; outer via q71 Q13)
 #   q86 except all           -> q36 set EXCEPT (set-op family)
+#   q87 incremental agg      -> q02/q04 (aggregation family; CDC merge q48)
+#   q88 pagerank             -> q64 connected components (Pregel family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3185,6 +3289,8 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q84_sliding_window",
     "q85_full_outer_reconcile",
     "q86_except_all_multiset",
+    "q87_incremental_agg",
+    "q88_pagerank",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

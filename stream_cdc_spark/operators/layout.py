@@ -109,3 +109,66 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Inventory a parquet directory's files and assign each to a
+    compaction bin of ~target_file_bytes (first-fit on the size-ordered
+    list, computed over the file listing — thousands of rows, not data).
+
+    Small-file proliferation is the classic failure mode of streaming
+    ingest (every micro-batch flush writes one file per partition; cf. the
+    reference's per-batch SQS sends): a 100 TB table ingested in 1-minute
+    batches accretes millions of KB-scale files and scan planning + footer
+    reads come to dominate query time. Returns (file, bytes, bin) so the
+    caller can audit before rewriting.
+    """
+    files = spark.read.format("binaryFile").load(path + "/*.parquet").select(
+        F.col("path").alias("file"), F.col("length").alias("bytes")
+    )
+    # Greedy sequential packing in file order via a running-sum window:
+    # bin = cumulative_bytes div target. One tiny shuffle of the listing.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    return files.select(
+        "file",
+        "bytes",
+        (F.coalesce(F.sum("bytes").over(w), F.lit(0)) / target_file_bytes)
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a small-file parquet directory into ~target-size files.
+
+    The output file count comes from the *measured* input bytes (listing
+    only — no data scan), then one round-robin repartition balances rows
+    across exactly that many files. Returns the number of files written.
+    Contents are preserved row-for-row; layout-only operation (combine
+    with write_zordered when clustering should be re-established).
+    """
+    import math
+
+    total = (
+        spark.read.format("binaryFile")
+        .load(src_path + "/*.parquet")
+        .agg(F.sum("length"))
+        .first()[0]
+        or 0
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    return n_files

@@ -332,3 +332,77 @@ def repetition_features(
             ).alias("top_bigram_permille"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed bag of query terms, with
+    k1 = 1.2, b = 0.75 — the classic Okapi retrieval scorer a training-data
+    pipeline uses for relevance filtering or hard-negative mining.
+
+    Determinism design: idf is quantized once per term
+    (FLOOR(1e6 * LN(1 + (N - df + 0.5)/(df + 0.5))) as BIGINT); the
+    tf/length part is then *exact 64-bit integer arithmetic* — with
+    k1 = 6/5 and b = 3/4, multiplying the classic formula through by 10*L
+    (L = total corpus token count) gives
+
+        term_score = idf_q * 22*L*tf div (10*L*tf + 3*L + 9*dl*N)
+
+    so the only floating-point op in the whole score is the single LN per
+    term. Scores are order-insensitively summed BIGINTs, hash-checkable
+    against an oracle running the identical recurrence.
+
+    Scale shape: the word explode filters to the query-term set *before*
+    the tf shuffle (a tiny isin() pushed into the scan stage), so the only
+    shuffled data is O(matching docs x |query|). df/N/L enter as broadcast
+    one-row or |query|-row aggregates; nothing driver-side, fully lazy.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("t")).cast("bigint").alias("l"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("word"))
+        .filter(F.col("word").isin(list(query_terms)))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = df_.join(F.broadcast(corpus)).select(
+        "word",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("(idf_q * 22 * l * tf) div (10 * l * tf + 3 * l + 9 * dl * n)")
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.col("score").cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

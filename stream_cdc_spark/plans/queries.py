@@ -3132,6 +3132,47 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q89_bm25_topk",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(t)) AS BIGINT) AS l FROM toks),
+    w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w WHERE word IN ('stream', 'vector', 'join')
+           GROUP BY doc_id, word),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    idf AS (SELECT word,
+                   CAST(FLOOR(1000000.0 *
+                        LN(1.0 + (c.n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                     AS idf_q
+            FROM df CROSS JOIN corpus c),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM((idf.idf_q * 22 * c.l * tf.tf)
+                 // (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n)) AS score
+      FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="BM25 (Okapi, k1=1.2, b=0.75) top-15 over a fixed query-term bag "
+    "(text.bm25_topk) — relevance scoring for retrieval-style filtering of "
+    "a training corpus. idf is quantized once per term; the tf/length part "
+    "is exact 64-bit integer arithmetic (formula multiplied through by "
+    "10*L), so the score is hash-checkable: the single LN per term is the "
+    "only floating-point op. Word explode filters to the query terms "
+    "before the tf shuffle; df/N/L enter as broadcast aggregates.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.bm25_topk(d, ["stream", "vector", "join"], top_k=15)
+
+
+@_register(
     "q84_sliding_window",
     f"""
     WITH ex AS (
@@ -3243,6 +3284,7 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q86 except all           -> q36 set EXCEPT (set-op family)
 #   q87 incremental agg      -> q02/q04 (aggregation family; CDC merge q48)
 #   q88 pagerank             -> q64 connected components (Pregel family)
+#   q89 bm25 topk            -> q54 TF-IDF (retrieval-scoring family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3291,6 +3333,7 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q86_except_all_multiset",
     "q87_incremental_agg",
     "q88_pagerank",
+    "q89_bm25_topk",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

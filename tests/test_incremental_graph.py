@@ -95,3 +95,21 @@ def test_pagerank_deterministic_across_partitionings(spark):
         graph.pagerank_fixed_point(sym.repartition(13), iters=3).collect()
     )
     assert a == b
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    """Integer BM25 algebra sanity on a known corpus: more occurrences of
+    the query term => strictly higher score; docs without the term absent."""
+    from stream_cdc_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x filler filler filler"),
+            (2, "x filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["x"], top_k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].score > rows[1].score > 0

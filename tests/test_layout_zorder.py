@@ -113,3 +113,52 @@ def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
         == spark.read.parquet(lin_path).filter(pred).count()
         == li.filter(pred).count()
     )
+
+
+def test_plan_compaction_bins_are_monotone_and_bounded(spark, tmp_path):
+    from stream_cdc_spark.operators import layout
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "tiny-files")
+    load(spark, SF_SMALL, "events").repartition(20).write.parquet(src)
+    target = 64 * 1024
+    plan = layout.plan_compaction(spark, src, target_file_bytes=target).collect()
+    assert len(plan) == 20
+    bins = [r.bin for r in sorted(plan, key=lambda r: r.file)]
+    assert bins == sorted(bins)  # sequential assignment is monotone
+    # every bin's cumulative start is below its div boundary by construction;
+    # a bin never holds more than target + one max-size file
+    per_bin: dict[int, int] = {}
+    for r in plan:
+        per_bin[r.bin] = per_bin.get(r.bin, 0) + r.bytes
+    max_file = max(r.bytes for r in plan)
+    assert all(v <= target + max_file for v in per_bin.values())
+
+
+def test_compact_files_preserves_rows_and_reduces_count(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators import layout
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    ev = load(spark, SF_SMALL, "events")
+    ev.repartition(40).write.parquet(src)
+    n_before = len(glob.glob(src + "/*.parquet"))
+    layout.compact_files(spark, src, dst, target_file_bytes=1 * 1024 * 1024)
+    n_after = len(glob.glob(dst + "/*.parquet"))
+    assert n_after < n_before
+    fp = [
+        F.count(F.lit(1)),
+        F.sum("event_id"),
+        # decimal accumulator: a BIGINT sum of xxhash64 overflows ANSI mode
+        F.sum(F.xxhash64("props").cast("decimal(38,0)")),
+    ]
+    a = spark.read.parquet(src).agg(*fp).first()
+    b = spark.read.parquet(dst).agg(*fp).first()
+    assert a == b

@@ -161,3 +161,40 @@ def test_q80_no_window_sort(spark):
 def test_q82_single_shard_shuffle_then_pandas(spark):
     plan = _plan(spark, "q82_sequence_packing")
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The scale-regime join shape: a selective dimension too big to
+    broadcast must inject a bloom-filter semi-join (might_contain) into
+    the fact scan so only ~matching rows shuffle. Thresholds are lowered
+    to make local data look like the >10 GB production case; results must
+    be identical with and without the filter."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.runtime_filters import runtime_bloom_filters
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    def build():
+        # a DataFrame memoizes its queryExecution, so each conf regime
+        # needs a freshly-built plan
+        li = load(spark, SF_SMALL, "lineitem")
+        o = (
+            load(spark, SF_SMALL, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = sorted(build().collect())
+    with runtime_bloom_filters(
+        spark, application_side_min="1KB", disable_broadcast=True
+    ):
+        q = build()
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter was not injected"
+        assert sorted(q.collect()) == baseline

@@ -13,8 +13,9 @@ only (map-side combine applies); `merge_partials` unions K-row partial
 states (K = group count, tiny next to the fact table) and re-aggregates —
 a shuffle of O(K) rows, not O(rows). Only mergeable (commutative-monoid)
 aggregates are allowed; AVG is derived at finalize time from sum/count,
-and COUNT DISTINCT is deliberately rejected (not mergeable without a
-sketch — see q67's approx_count_distinct for that path).
+and exact COUNT DISTINCT is deliberately rejected — the mergeable path
+for distinct counts is kind='hll' (a fixed-size DataSketches HLL state
+per group, merged with hll_union_agg, estimated at finalize time; q90).
 """
 
 from __future__ import annotations
@@ -23,12 +24,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: merge function per aggregate kind: sums and counts merge by SUM,
-#: min/max merge idempotently by themselves.
+#: min/max merge idempotently by themselves, HLL sketches merge by
+#: hll_union_agg (the sketch path for distinct counts — a fixed-size
+#: binary state per group instead of an unmergeable exact distinct).
 _MERGE = {
     "sum": F.sum,
     "count": F.sum,
     "min": F.min,
     "max": F.max,
+    "hll": F.hll_union_agg,
 }
 
 _PARTIAL = {
@@ -36,6 +40,7 @@ _PARTIAL = {
     "count": lambda c: F.count(c).cast("bigint"),
     "min": F.min,
     "max": F.max,
+    "hll": F.hll_sketch_agg,
 }
 
 
@@ -53,7 +58,7 @@ def partial_agg(
         if kind not in _PARTIAL:
             raise ValueError(
                 f"aggregate kind {kind!r} is not mergeable; supported: "
-                f"{sorted(_PARTIAL)} (use a sketch for distinct counts)"
+                f"{sorted(_PARTIAL)} (use kind='hll' for distinct counts)"
             )
         aggs.append(_PARTIAL[kind](col).alias(out))
     return df.groupBy(*keys).agg(*aggs)

@@ -3173,6 +3173,49 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q90_incremental_distinct_hll",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental distinct-count maintenance: per-split HLL sketches "
+    "(incremental.partial_agg kind='hll') merged with hll_union_agg — the "
+    "mergeable answer to q87's rejected exact COUNT DISTINCT. The sketch "
+    "state is fixed-size per group, so the O(delta) refresh of q87 extends "
+    "to distinct users; error bound encoded in the output like q67 so the "
+    "exact-computing oracle can hash-check an approximate, merge-built "
+    "estimate.",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import incremental
+
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    ev = load(spark, sf, "events")
+    measures = {"sk": (F.col("user_id"), "hll")}
+    base = incremental.partial_agg(ev.filter(F.col("ts") < cutoff), ["event_type"], measures)
+    delta = incremental.partial_agg(ev.filter(F.col("ts") >= cutoff), ["event_type"], measures)
+    merged = incremental.merge_partials([base, delta], ["event_type"], {"sk": "hll"})
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        merged.select("event_type", F.hll_sketch_estimate("sk").alias("n_approx"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
     "q84_sliding_window",
     f"""
     WITH ex AS (
@@ -3285,6 +3328,7 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q87 incremental agg      -> q02/q04 (aggregation family; CDC merge q48)
 #   q88 pagerank             -> q64 connected components (Pregel family)
 #   q89 bm25 topk            -> q54 TF-IDF (retrieval-scoring family)
+#   q90 incr distinct hll    -> q67 approx distinct + q87 (merge family)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3334,6 +3378,7 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q87_incremental_agg",
     "q88_pagerank",
     "q89_bm25_topk",
+    "q90_incremental_distinct_hll",
 ]
 
 _demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)

@@ -113,3 +113,27 @@ def test_bm25_ranks_higher_tf_first(spark):
     rows = bm25_topk(docs, ["x"], top_k=10).collect()
     assert [r.doc_id for r in rows] == [1, 2]
     assert rows[0].score > rows[1].score > 0
+
+
+def test_hll_merge_equals_single_pass_sketch(spark):
+    """HLL register state is a max-merge semilattice: merging per-split
+    sketches must yield the *identical* estimate as one sketch built over
+    the whole input — mergeability is exact even though the count is
+    approximate."""
+    ev = load(spark, SF_SMALL, "events")
+    measures = {"sk": (F.col("user_id"), "hll")}
+    a = ev.filter(F.xxhash64("event_id") % 2 == 0)
+    b = ev.filter(F.xxhash64("event_id") % 2 != 0)
+    merged = incremental.merge_partials(
+        [
+            incremental.partial_agg(a, ["event_type"], measures),
+            incremental.partial_agg(b, ["event_type"], measures),
+        ],
+        ["event_type"],
+        {"sk": "hll"},
+    )
+    single = incremental.partial_agg(ev, ["event_type"], measures)
+    est = lambda df: sorted(  # noqa: E731
+        df.select("event_type", F.hll_sketch_estimate("sk").alias("e")).collect()
+    )
+    assert est(merged) == est(single)

@@ -3325,10 +3325,13 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 #   q84 sliding window       -> q10 tumbling window (event-time family)
 #   q85 full outer reconcile -> q07/q08 (join family; outer via q71 Q13)
 #   q86 except all           -> q36 set EXCEPT (set-op family)
-#   q87 incremental agg      -> q02/q04 (aggregation family; CDC merge q48)
-#   q88 pagerank             -> q64 connected components (Pregel family)
-#   q89 bm25 topk            -> q54 TF-IDF (retrieval-scoring family)
 #   q90 incr distinct hll    -> q67 approx distinct + q87 (merge family)
+#   q20 token stats          -> q21 quality scores (text-scalar family)
+#   q22 lang id              -> q21 quality scores (text-scalar family)
+#   q27 minhash lsh pairs    -> q24/q19 (dedup family; q27 is rows-only at
+#                               the driver, so its slot carries a
+#                               hash-checked shape instead — recall-vs-exact
+#                               and structural tests keep covering it)
 #   q35 having filter        -> q62 value concentration (HAVING)
 #   q36 set except           -> q17 set intersect
 #   q37 pivot counts         -> q47 cube counts
@@ -3347,7 +3350,10 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q15_star_join_revenue",
     "q16_top_k_orders",
     "q18_rollup_value",
+    "q20_token_stats",
+    "q22_lang_id",
     "q23_doc_fingerprint",
+    "q27_minhash_lsh_pairs",
     "q28_simhash_near_pairs",
     "q29_ann_lsh_topk",
     "q32_running_total",
@@ -3375,9 +3381,6 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q84_sliding_window",
     "q85_full_outer_reconcile",
     "q86_except_all_multiset",
-    "q87_incremental_agg",
-    "q88_pagerank",
-    "q89_bm25_topk",
     "q90_incremental_distinct_hll",
 ]
 

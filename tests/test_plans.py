@@ -95,7 +95,7 @@ def test_driver_window_contains_every_primary_query():
         "q61_tpch_q16_supplier_variety", "q62_tpch_q11_value_concentration",
         "q63_tpch_q22_dormant_customers", "q64_dedup_components",
         "q65_kmeans_assign", "q66_winnow_fingerprints",
-        "q30_embedding_near_dup", "q27_minhash_lsh_pairs",
+        "q30_embedding_near_dup",
         # round-2 additions: approx-bounded aggs, TPC-H completion
         # primaries, curation primaries
         "q67_approx_distinct_bounded", "q68_approx_percentile_bounded",
@@ -103,14 +103,19 @@ def test_driver_window_contains_every_primary_query():
         "q71_tpch_q13_order_distribution", "q72_tpch_q17_small_quantity",
         "q73_tpch_q21_waiting_suppliers", "q79_stratified_sample",
         "q80_doc_repetition",
+        # round-2 new shapes (incremental maintenance, fixed-point
+        # PageRank, BM25) — each hash-checked, no in-window sibling
+        "q87_incremental_agg", "q88_pagerank", "q89_bm25_topk",
     }
     assert must_in <= window, sorted(must_in - window)
     # demoted shapes keep full repo-oracle coverage and nothing is lost
     assert not (set(_DEMOTED_PAST_DRIVER_WINDOW) & window)
     assert len(window) == 50 and len(names) >= 66
-    # at most one rows-only (un-oracled) query inside the window
+    # every in-window slot carries a full hash check (rows-only entries
+    # spend driver verification on a near-vacuous signal; q27 et al. sit
+    # outside with structural tests instead)
     rows_only_in_window = [n for n in names[:50] if QUERIES[n].oracle is None]
-    assert rows_only_in_window == ["q27_minhash_lsh_pairs"], rows_only_in_window
+    assert rows_only_in_window == [], rows_only_in_window
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -416,3 +416,39 @@ def contamination_flags(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span report: every word-k-gram that occurs
+    in at least `min_df` distinct documents, with its document frequency
+    and the minimum containing doc id as the canonical example.
+
+    This is the span-granularity view of exact-substring training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): instead of pairing documents (ngram_jaccard_pairs) it
+    surfaces the repeated substrings themselves, which is what a removal
+    pass actually operates on. Suffix-array tooling finds maximal repeats;
+    the fixed-k shingle formulation here is the shuffle-friendly
+    approximation — any duplicated substring of length >= k words is
+    covered by at least one duplicated k-gram.
+
+    Plan shape: shingle explode (narrow, fan-out guarded), then ONE
+    hash-shuffle on the shingle value with map-side partial aggregation.
+    Unlike the pair-join family there is no self-join, so a hot span costs
+    O(df) aggregate rows, never O(df^2) — this operator is itself the
+    linear-cost tool for finding the hot spans that would blow up a join.
+    """
+    sh = shingles(df, text_col, id_col, k)  # distinct (id, shingle)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.min("id").alias("example_id"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -110,3 +110,39 @@ def mixture_rates(
         s: min(RATE_DENOM, round(demanded[s] * scale * RATE_DENOM))
         for s in target_share
     }
+
+def shard_balance_audit(
+    df: DataFrame,
+    key: str,
+    weight_col: str | None = None,
+    hex_digits: int = 2,
+    seed: str = "",
+) -> DataFrame:
+    """Content-addressed shard assignment + balance audit: assigns each row
+    to one of 16^hex_digits shards by md5(seed || key) prefix and returns
+    per-shard (shard, n_rows, total_weight).
+
+    Training-data writers shard output files by content hash so that
+    re-runs, retries, and added executors land every record in the same
+    shard (the same stability argument as sample_mark above). The audit is
+    the planning/verification half: hash sharding is balanced in
+    expectation, and this one-shuffle aggregate (on the tiny shard key —
+    map-side combine collapses each partition to <= 16^hex_digits rows)
+    proves the realized skew before a 100 TB write commits to it. The hex
+    prefix IS the shard id, so the oracle needs no cross-engine integer
+    hash — md5 is bit-identical everywhere; production can map it to
+    pmod(xxhash64, n) without changing the plan shape.
+    """
+    digest = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(
+            F.substring(digest, 1, hex_digits).alias("shard"),
+            w.cast("bigint").alias("_w"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_w").cast("bigint").alias("total_weight"),
+        )
+    )

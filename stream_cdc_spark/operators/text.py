@@ -406,3 +406,48 @@ def bm25_topk(
         .orderBy(F.desc("score"), "doc_id")
         .limit(top_k)
     )
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language-model table: (w1, w2, n, p_q) where n counts
+    bigram occurrences (all occurrences, not per-document) and p_q is the
+    MLE conditional probability P(w2 | w1) quantized to parts-per-million
+    with integer division, so it is bit-identical across engines.
+
+    The n-gram count table is the classic MapReduce workload (and the
+    substrate for perplexity filtering / KenLM-style scoring of training
+    corpora). Plan shape: narrow bigram explode, one hash-shuffle on the
+    (w1, w2) pair with map-side combine, then a window sum over w1 for the
+    denominator — the second pass shuffles only the collapsed vocab^2
+    table, not the corpus. At 100 TB the pair aggregate dominates; hot
+    head words (e.g. "the") are absorbed by partial aggregation, which a
+    join-based denominator would instead re-shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("w1"))
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.expr("1000000 * n").cast("bigint").alias("_num"),
+        total.alias("_den"),
+    ).select(
+        "w1", "w2", "n", F.expr("_num div _den").cast("bigint").alias("p_q")
+    )

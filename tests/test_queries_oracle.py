@@ -71,6 +71,7 @@ def test_spark_and_oracle_schemas_pairwise_consistent(spark):
         "VARCHAR": (T.StringType,),
         "TIMESTAMP": (T.TimestampType, T.TimestampNTZType),
         "BOOLEAN": (T.BooleanType,),
+        "DATE": (T.DateType,),
     }
     problems = []
     for name in ORACLE_QUERIES:

@@ -3445,6 +3445,114 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q96_json_field_rollup",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured extraction: the serialized row image (`props`, a "
+    "JSON document — the reference ships exactly this as the payload, "
+    "mysql.py:416-426) parsed and aggregated without ever leaving "
+    "codegen: get_json_object is a JVM expression, so the parse runs at "
+    "scan bandwidth with column pruning intact. For repeated multi-field "
+    "access at 100 TB, parse once to a struct/VARIANT column "
+    "(from_json / parse_json) at ingest instead of re-parsing per "
+    "expression.",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q97_window_rank_zoo",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_id
+    """,
+    doc="Ranking-window zoo: ntile / percent_rank / cume_dist in one "
+    "window frame. The ORDER BY carries event_id as a tiebreaker so "
+    "ntile's row numbering is total — without it, ties make ntile "
+    "nondeterministic across engines AND across Spark's own retries. "
+    "percent_rank/cume_dist are single IEEE divisions of exact integer "
+    "rank counts, so they compare bit-for-bit. One shuffle on the "
+    "5-value partition key; skewed partitions sort within-executor "
+    "(spillable), the classic window-at-scale cost.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "q98_column_profile",
+    """
+    SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    ORDER BY col_name
+    """,
+    doc="Column profiling (profiling.profile_columns): ANALYZE TABLE-style "
+    "row/null/distinct/min/max per column, long format, computed in ONE "
+    "aggregate job (the oracle's three scans become one Expand-based "
+    "pass). exact_distinct=False swaps HLL for the exact distinct at "
+    "100 TB — same pass, no Expand.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import profiling
+
+    o = load(spark, sf, "orders")
+    return profiling.profile_columns(
+        o, ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    ).orderBy("col_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------

@@ -143,3 +143,28 @@ def test_shard_balance_audit_totals_and_assignment(spark):
     shard_of_0 = hashlib.md5(b"0").hexdigest()[:2]
     row = next(r for r in audit if r.shard == shard_of_0)
     assert row.n_rows >= 1
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from stream_cdc_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], "k bigint, s string"
+    )
+    got = {
+        r.col_name: r
+        for r in profiling.profile_columns(df, ["k", "s"]).collect()
+    }
+    assert (got["k"].n_rows, got["k"].n_nulls, got["k"].n_distinct) == (4, 0, 4)
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "4")
+    # nulls excluded from distinct and min/max, counted in n_nulls
+    assert (got["s"].n_rows, got["s"].n_nulls, got["s"].n_distinct) == (4, 1, 2)
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+    # HLL mode: same schema, exact stats unchanged, distinct approximately right
+    approx = {
+        r.col_name: r
+        for r in profiling.profile_columns(
+            df, ["k", "s"], exact_distinct=False
+        ).collect()
+    }
+    assert approx["s"].n_nulls == 1 and 1 <= approx["s"].n_distinct <= 3

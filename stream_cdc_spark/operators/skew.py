@@ -72,3 +72,35 @@ def salted_agg(
         for name, (kind, _) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant join: salt the big side, replicate the small side.
+
+    AQE's skew-join splitting handles most cases at runtime, but it only
+    fires on sort-merge joins past size thresholds; when a known-hot key
+    must hash-join (or AQE is off), the manual fix is the classic one:
+    the big side gets a content-derived salt in [0, S), the small side is
+    replicated S times (explode of a literal sequence — S small copies,
+    not a shuffle), and the join key becomes (keys..., salt), spreading
+    each hot key over S reducers. Result equals the unsalted join.
+
+    Only inner/left joins decompose correctly (an unmatched small-side
+    row would surface once per replica under right/full semantics).
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns], F.spark_partition_id()),
+        F.lit(salt_buckets),
+    )
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")

@@ -210,3 +210,47 @@ def test_apply_changes_merge_semantics(spark):
     assert out[2] == 9           # latest update annotates
     assert out[3] == 7           # idempotent under redelivery
     assert out[4] is None        # untouched row kept, never changed
+
+
+def test_salted_join_equals_plain_join(spark):
+    from stream_cdc_spark.operators.skew import salted_join
+
+    # skewed big side: key 0 holds 80% of rows
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(6)], "k bigint, label string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.label)
+            for r in salted_join(big, small, ["k"], salt_buckets=8, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.label) for r in big.join(small, ["k"], how).collect()
+        )
+        assert got == want, how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_json_extraction_tolerates_malformed_props(spark):
+    """get_json_object degrades to NULL on corrupt documents (PERMISSIVE
+    semantics) — a poisoned payload must not fail the q96 rollup path."""
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", "not json"), ("a", None), ("b", '{"j": 9}')],
+        "event_type string, props string",
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    got = {
+        r.event_type: (r.sum_k, r.n)
+        for r in df.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"a": (3, 3), "b": (None, 1)}

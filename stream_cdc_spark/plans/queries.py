@@ -3553,6 +3553,88 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+@_register(
+    "q99_curation_decisions",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    fp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ) AS keep_id
+      FROM corpus),
+    f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM corpus),
+    qual AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+             + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                    THEN 0.25 ELSE 0.0 END AS quality_score
+      FROM f),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(FLOOR(1000.0 * (SUM(c) - COUNT(*)) / GREATEST(SUM(c), 1))
+                  AS BIGINT) AS dup_word_permille
+      FROM wc GROUP BY doc_id),
+    csh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))
+               AS shingle
+      FROM corpus),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))
+               AS shingle
+      FROM bench),
+    contam AS (SELECT DISTINCT id FROM csh JOIN bsh USING (shingle))
+    SELECT fp.doc_id,
+           reasons = '' AS keep, reasons
+    FROM (
+      SELECT fp.doc_id, COALESCE(array_to_string(list_filter([
+               CASE WHEN fp.doc_id <> fp.keep_id THEN 'exact_dup' END,
+               CASE WHEN qual.lang NOT IN ('en', 'de', 'es') THEN 'lang' END,
+               CASE WHEN qual.quality_score < 1.0 THEN 'quality' END,
+               CASE WHEN rep.dup_word_permille > 599 THEN 'repetition' END,
+               CASE WHEN contam.id IS NOT NULL THEN 'contamination' END
+             ], x -> x IS NOT NULL), ','), '') AS reasons
+      FROM fp
+      JOIN qual ON fp.doc_id = qual.doc_id
+      JOIN rep ON fp.doc_id = rep.doc_id
+      LEFT JOIN contam ON fp.doc_id = contam.id
+    ) fp ORDER BY doc_id
+    """,
+    doc="End-to-end curation decision table (curation.curation_decisions): "
+    "the capstone composition — exact-dup fingerprint window, lang "
+    "allow-list, C4-style quality score, Gopher repetition signal, and "
+    "benchmark decontamination (doc_id % 97 = 0 slice as the eval set) "
+    "fused into one keep/reasons row per corpus document. Every shuffle "
+    "keys on doc_id or the fingerprint/shingle domains of the component "
+    "operators; the fusion itself adds only co-keyed joins.",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import curation
+
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return (
+        curation.curation_decisions(
+            corpus, eval_set=bench, contamination_k=4
+        ).orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------

@@ -212,3 +212,36 @@ def test_contamination_flags_benchmark_broadcasts(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_decisions_planted_flags(spark):
+    from stream_cdc_spark.operators.curation import apply_curation, curation_decisions
+
+    good = "the cat sat on the mat and the dog ran to the park in the sun again today"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good, "en"),          # exact dup of 1 -> dropped, 1 kept
+            (3, good + " extra", "fr"),  # lang filtered
+            (4, "word word word word word word word word word word", "en"),  # repetitive + low quality (no stopwords... has none)
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "dog ran to the park today yes", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.keep, r.reasons)
+        for r in curation_decisions(
+            docs, eval_set=bench, contamination_k=4
+        ).collect()
+    }
+    assert got[2] == (False, "exact_dup,contamination")  # shares 'dog ran to the'
+    assert got[1] == (False, "contamination")
+    assert got[3][0] is False and "lang" in got[3][1]
+    assert got[4][0] is False and "repetition" in got[4][1]
+
+    kept = apply_curation(docs, curation_decisions(docs, eval_set=None))
+    # without the eval set, doc 1 (canonical) survives every other filter
+    assert {r.doc_id for r in kept.collect()} == {1}

@@ -80,12 +80,24 @@ def main() -> None:
                 sum(base_q[n] for n in shared), 1e-9
             )
             out["vs_baseline"] = round(ratio, 3)
-            slower = {
-                n: f"{timings[n]:.2f}s vs {base_q[n]:.2f}s baseline"
+            out["per_query_vs_baseline"] = {
+                n: {
+                    "sec": timings[n],
+                    "baseline_sec": base_q[n],
+                    "vs_baseline": round(timings[n] / max(base_q[n], 1e-9), 3),
+                }
+                for n in shared
+            }
+            out["regressed"] = sorted(
+                n
                 for n in shared
                 if timings[n] > 1.5 * base_q[n] and timings[n] - base_q[n] > 0.5
-            }
-            if slower:
+            )
+            if out["regressed"]:
+                slower = {
+                    n: f"{timings[n]:.2f}s vs {base_q[n]:.2f}s baseline"
+                    for n in out["regressed"]
+                }
                 print(f"REGRESSIONS vs {baseline.get('source')}: {slower}", file=sys.stderr)
 
     print(json.dumps(out))

@@ -240,26 +240,29 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        "id", "signature", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Slim banding join: only (id, band, key) rides the bucket self-join and
+    # the dropDuplicates shuffle — the 64-long signature array (~0.5 KB/row)
+    # stays out of both exchanges and is re-attached once per *surviving*
+    # candidate pair from the slim signature relation (candidates << corpus,
+    # so AQE typically broadcasts them into the rejoin).
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    cand = cand_ids.join(sa, "id_a").join(sb, "id_b")
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -269,7 +272,57 @@ def minhash_lsh_pairs(
     return cand.select(
         "id_a",
         "id_b",
-        (matches.cast("double") / F.lit(float(len_hint := num_hashes))).alias("est_jaccard"),
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Candidate-then-verify near-dup detection: MinHash+LSH proposes
+    candidate pairs (linear in corpus size), then each candidate is
+    verified with its EXACT word-k-gram Jaccard — the production dedup
+    shape (sketch for recall, exact check for precision).
+
+    Verification cost is proportional to the candidate set, not the
+    corpus: candidate pairs expand back to their shingle sets via two
+    id-joins and one shared-shingle aggregate. Returns
+    (id_a, id_b, jaccard_ppm BIGINT) for verified pairs with exact
+    Jaccard >= threshold_ppm/1e6. FLOOR-ppm quantization makes the output
+    engine-independent: unlike raw MinHash estimates (xxhash64-specific),
+    this is value-checkable against a SQL oracle computing the same exact
+    Jaccard — the driver check then *proves* LSH candidate recall is 100%
+    on the tested corpus (a missed true pair would be a missing row).
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, k, num_hashes, bands).select(
+        "id_a", "id_b"
+    )
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.lit(1_000_000.0) * F.col("shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(float(threshold_ppm)))
+        .select(
+            "id_a", "id_b", F.floor(jac).cast("bigint").alias("jaccard_ppm")
+        )
     )
 
 

@@ -115,13 +115,19 @@ def lsh_ann_topk(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_bp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with L independent hash tables (classic LSH):
     a candidate is scored if it shares a bucket with the query in ANY
     table, so recall ~ 1-(1-p^bits)^tables while per-query cost stays
     ~ tables * n / 2^bits. Bucket assignments are narrow maps over the
     corpus (persistable as a bucketed table at scale); the per-table
-    bucket equi-join replaces the cross join entirely."""
+    bucket equi-join replaces the cross join entirely.
+
+    ``quantize_bp``: when set, similarity is emitted (and ranked) as
+    ``sim_bp = FLOOR(quantize_bp * cosine)`` BIGINT instead of a rounded
+    double ``sim`` — FLOOR-quantization is stable across engines, so the
+    output can be checked value-for-value against a SQL oracle."""
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         cols = [F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")]
@@ -146,16 +152,19 @@ def lsh_ann_topk(
         .select("q_id", "q_vec", "c_id", "c_vec")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cand.select(
-        "q_id",
-        "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    cos = cosine(F.col("q_vec"), F.col("c_vec"))
+    if quantize_bp is not None:
+        sim_col = F.floor(F.lit(quantize_bp) * cos).cast("bigint").alias("sim_bp")
+        sim_name = "sim_bp"
+    else:
+        sim_col = F.round(cos, 4).alias("sim")
+        sim_name = "sim"
+    scored = cand.select("q_id", "c_id", sim_col)
+    w = Window.partitionBy("q_id").orderBy(F.col(sim_name).desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
+        .select("q_id", "c_id", sim_name, "rank")
     )
 
 
@@ -208,12 +217,18 @@ def ivf_ann_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_bp: int | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; each
     query probes its `nprobe` closest cells and scores only those vectors.
     Per-query cost ~ nprobe/num_cells of the corpus. The cell assignment is
     computed here; at scale it is precomputed and stored partitioned by
-    cell (so a probe is a partition-pruned read, no shuffle at all)."""
+    cell (so a probe is a partition-pruned read, no shuffle at all).
+
+    ``quantize_bp``: emit/rank FLOOR-quantized ``sim_bp`` (see
+    lsh_ann_topk) — with deterministic centroids the whole pipeline
+    (assignment, probing, scoring, ranking) is then exactly reproducible
+    in a SQL oracle."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     c = centroids.select(F.col("cid"), F.col("cv"))
@@ -231,21 +246,76 @@ def ivf_ann_topk(
         .filter(F.col("__rn") <= nprobe)
         .select("q_id", "qv", F.col("cid").alias("cell"))
     )
+    cos = cosine(F.col("qv"), F.col("vv"))
+    if quantize_bp is not None:
+        sim_col = F.floor(F.lit(quantize_bp) * cos).cast("bigint").alias("sim_bp")
+        sim_name = "sim_bp"
+    else:
+        sim_col = F.round(cos, 4).alias("sim")
+        sim_name = "sim"
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("c_id"),
-            F.round(cosine(F.col("qv"), F.col("vv")), 4).alias("sim"),
-        )
+        .select("q_id", F.col("vec_id").alias("c_id"), sim_col)
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col(sim_name).desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
+        .select("q_id", "c_id", sim_name, "rank")
     )
+
+
+def split_hot_buckets(
+    bucketed: DataFrame,
+    dim: int,
+    max_bucket: int,
+    seed: int,
+    extra_bits: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Bound per-bucket population by adaptively refining hot buckets with
+    extra hyperplane bits (the stop_shingle_filter pattern applied to LSH).
+
+    The within-bucket self-join is d^2 in the hottest bucket, and near-dup
+    corpora are skewed by definition — at 100 TB one 8-bit bucket can hold
+    a large corpus fraction. Buckets whose population exceeds
+    ``max_bucket`` get ``extra_bits`` additional sign-bits from a
+    *different* seed appended to their bucket id (cold buckets keep theirs
+    — no recall cost there), run for ``rounds`` refinements. The hot-bucket
+    list is tiny by construction, so membership is a broadcast join and the
+    big side never reshuffles.
+
+    Residual risk, documented: vectors with identical sign patterns under
+    every refinement seed can never separate; such a cluster is a genuine
+    near-dup clique whose pairs the caller wants anyway (its d^2 is output
+    cost, not waste). Expects columns (id, vec, bucket)."""
+    out = bucketed
+    for r in range(rounds):
+        hot = (
+            out.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        refined_bits = lsh_bucket(
+            F.col("vec"), dim, extra_bits, seed=seed + 7001 * (r + 1)
+        )
+        is_hot = F.col("__hot").isNotNull()
+        out = (
+            out.join(
+                F.broadcast(hot.withColumn("__hot", F.lit(1))), "bucket", "left"
+            )
+            .withColumn(
+                "bucket",
+                F.when(
+                    is_hot,
+                    F.shiftleft(F.col("bucket"), extra_bits) + refined_bits,
+                ).otherwise(F.col("bucket")),
+            )
+            .drop("__hot")
+        )
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -255,12 +325,19 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
     only scored within a bucket (plus one rotated-seed pass to reduce
     boundary misses). Returns (id_a, id_b, sim) with id_a < id_b; `sim` is
     the raw double cosine — callers quantize (FLOOR(K*sim), never ROUND)
-    when the output must be cross-engine stable."""
+    when the output must be cross-engine stable.
+
+    ``max_bucket`` bounds the d^2 blow-up of a skewed bucket via
+    split_hot_buckets (None disables). The default is a no-op at test
+    scale and caps the hottest join group at ~10^10 pair-candidates at
+    100 TB — recall for pairs split apart is covered by the second seed
+    pass, whose refinement planes are independent."""
     df = ensure_parallelism(df)
     out = None
     for seed in (42, 1337):
@@ -269,6 +346,8 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("vec"),
             lsh_bucket(F.col(vec_col), dim, bits, seed).alias("bucket"),
         )
+        if max_bucket is not None:
+            b = split_hot_buckets(b, dim, max_bucket, seed, rounds=2)
         x, y = b.alias("x"), b.alias("y")
         pairs = (
             x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))

@@ -10,11 +10,26 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
 
     Small parquet files (one row-group) scan as a single partition; any
     fan-out operator downstream (explode, per-row scoring) then runs on one
-    core. At cluster scale inputs arrive well-partitioned and this is a
-    no-op — the check is on *current* partitions, so no gratuitous shuffle
-    is added to an already-parallel plan.
+    core. The partition-count probe goes through ``df.rdd`` (no job, but it
+    forces plan analysis and is unavailable under Spark Connect), so it is
+    gated: by default (``auto``) it only runs on local[*] masters — at
+    cluster scale inputs arrive well-partitioned and the whole call is a
+    lazy no-op. ``spark.stream_cdc.ensureParallelism`` = ``on``/``off``
+    overrides.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.stream_cdc.ensureParallelism", "auto")
+    if mode == "off":
+        return df
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect exposes no sparkContext; treat the input as
+        # well-partitioned rather than forcing a round-trip.
+        return df
+    if mode == "auto" and not sc.master.startswith("local"):
+        return df
+    target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
         return df.repartition(target)
     return df

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from stream_cdc_spark.config import AppConfig
 from stream_cdc_spark.filters import FilterChain
-from stream_cdc_spark.tables import _ensure_session_conf, table_path
+from stream_cdc_spark.tables import _ensure_session_conf, _normalize_ts, _read_parquet, table_path
 
 
 def replay_stream(
@@ -46,7 +46,7 @@ def replay_stream(
     """
     _ensure_session_conf(spark)
     path = table_path(sf_dir, table)
-    schema = spark.read.parquet(path).schema
+    schema = _read_parquet(spark, path).schema
     # The fixture is a single parquet file; Spark's file stream source wants
     # a directory, so stream the sf dir with a glob filter for the table.
     df = (
@@ -56,7 +56,7 @@ def replay_stream(
         .parquet(sf_dir)
     )
     if table == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_ts(df, ("ts",))
     return df
 
 

@@ -38,30 +38,65 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp type, so they are read as raw int64 (nanosAsLong) and truncated
-# to microseconds, exactly as DuckDB does when it reads NANOS into its
-# microsecond TIMESTAMP. Integer `div` (not `/`) — ns epoch values exceed
-# double's 53-bit mantissa.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose parquet physical type has varied across driver
+# testdata generations: TIMESTAMP(NANOS) (readable only as int64 via
+# nanosAsLong — Spark has no ns type) or TIMESTAMP(MICROS) (read natively,
+# as TIMESTAMP_NTZ when the file is not UTC-adjusted). ``_normalize_ts``
+# converges every physical shape onto session-tz TimestampType with
+# microsecond values identical to DuckDB's read of the same file.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Session settings the engine depends on, applied idempotently so the
     driver's own SparkSession (which we don't construct) behaves the same
     as one from session.get_spark()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Converge a ts column onto TimestampType regardless of how the parquet
+    physical type resolved:
+
+    - ``bigint``        -> int64 nanos (nanosAsLong); integer ``div`` 1000
+                           (not ``/`` — ns epochs exceed double's mantissa),
+                           then timestamp_micros. Matches DuckDB's NANOS
+                           truncation to its microsecond TIMESTAMP.
+    - ``timestamp_ntz`` -> cast to session-tz timestamp (UTC session, so
+                           values are unchanged).
+    - ``timestamp``     -> already the target type; untouched.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, enabling the legacy nanosAsLong conf only when the file
+    actually carries TIMESTAMP(NANOS) — avoids mutating shared session conf
+    as a side effect when the data doesn't need it."""
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution so a NANOS file fails here
+        return df
+    except Exception as exc:  # noqa: BLE001 - dispatch on Spark's error text
+        if "NANOS" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_conf(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for c in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    df = _read_parquet(spark, table_path(sf_dir, name))
+    return _normalize_ts(df, _TS_COLS.get(name, ()))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

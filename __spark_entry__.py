@@ -2,7 +2,9 @@
 
 entry(spark)  -> flagship query (CDC apply join, q07) at sf0.001.
 queries()     -> every declared query from stream_cdc_spark.plans.queries.
-oracle_sql()  -> the matching DuckDB oracle SQL (rows-only ops omitted).
+oracle_sql()  -> the matching DuckDB oracle SQL — every query has one
+                 (the sketch-based ops are candidate-then-verify, so
+                 their outputs are engine-independent).
 """
 
 from __future__ import annotations

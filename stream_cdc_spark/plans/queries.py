@@ -799,48 +799,136 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (hash-function-dependent; no SQL oracle by design —
-# the driver records the weaker rows-only check, per the contract)
+# Sketch-based dedup/ANN, made oracle-checkable via candidate-then-verify:
+# the sketch (xxhash64 MinHash / SimHash / hyperplane LSH) proposes
+# candidates — engine-specific, linear-cost — and an exact, engine-
+# independent check (exact Jaccard / text fingerprint / exact cosine)
+# verifies each candidate. The emitted rows are pure functions of the data,
+# so a SQL oracle reproduces them exactly, and a driver hash-match PROVES
+# sketch recall is 100% on the tested corpus (a missed true pair would
+# surface as a missing row).
 # ---------------------------------------------------------------------------
 
 
 @_register(
     "q27_minhash_lsh_pairs",
-    None,
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(FLOOR(1000000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT)
+             AS jaccard_ppm
+    FROM shared
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 800000.0
+    ORDER BY id_a, id_b
+    """,
     headline=True,
-    doc="MinHash(64)+LSH(16x4) candidate near-dup pairs. xxhash64-based "
-    "signatures are engine-specific, hence no value oracle; structural "
-    "properties are pytest-verified against exact Jaccard (tests/test_dedup.py).",
+    doc="MinHash(64)+LSH(16x4) candidates verified by exact 3-gram Jaccard "
+    ">= 0.8 (dedup.minhash_lsh_verified_pairs) — the production sketch-"
+    "then-verify dedup shape. The oracle computes the same exact Jaccard "
+    "over ALL pairs, so a hash-match proves LSH candidate recall is 100% "
+    "on this corpus (collision prob at j=0.8 is 1-(1-0.8^4)^16 ~ 99.98% "
+    "per pair; the corpus' true pairs all sit at j>=0.8 with the next "
+    "pair below j=0.5, so the margin is wide).",
 )
 def q27(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load(spark, sf, "documents")).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.minhash_lsh_verified_pairs(
+        load(spark, sf, "documents"), threshold_ppm=800_000
+    ).orderBy("id_a", "id_b")
 
 
 @_register(
     "q28_simhash_near_pairs",
-    None,
-    doc="SimHash-64 near-dup pairs within Hamming distance 3 via pigeonhole "
-    "banding (4x16-bit keys).",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM aug a JOIN aug b
+      ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash-64 pigeonhole banding (4x16-bit keys, Hamming <= 3) as "
+    "candidate generator, verified by exact text fingerprint equality. "
+    "The corpus is augmented with 25 exact duplicates (doc_id+100000) so "
+    "the true duplicate set is known; identical text implies identical "
+    "SimHash (Hamming 0), which pigeonhole banding finds with certainty, "
+    "so the verified output deterministically equals the oracle's "
+    "fingerprint self-join. Hamming 1-3 behavior is covered by structural "
+    "tests (tests/test_dedup_similarity.py).",
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load(spark, sf, "documents")).orderBy(
-        "id_a", "id_b"
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(planted)
+    cand = dedup.simhash_near_pairs(aug)
+    fa = aug.select(F.col("doc_id").alias("id_a"), F.md5("text").alias("fp_a"))
+    fb = aug.select(F.col("doc_id").alias("id_b"), F.md5("text").alias("fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("fp_a") == F.col("fp_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
 
 
 @_register(
     "q29_ann_lsh_topk",
-    None,
-    doc="LSH-bucketed approximate top-k (random-hyperplane signs, 8 bits): "
-    "the scale path for q25 — per-query cost / 2^bits. Recall vs exact "
-    "checked in tests/test_similarity.py.",
+    """
+    WITH q AS (
+      SELECT vec_id + 100000 AS q_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.002) AS qv
+      FROM embeddings WHERE vec_id < 25
+    ),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT q_id, c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(qv, cv)) AS BIGINT) AS sim_bp,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY FLOOR(10000 * list_cosine_similarity(qv, cv)) DESC, c_id
+             ) AS rn
+      FROM q, c
+    )
+    SELECT q_id, c_id, sim_bp FROM s WHERE rn = 1 AND sim_bp >= 9500
+    ORDER BY q_id
+    """,
+    doc="LSH-bucketed ANN (4 hyperplane tables x 8 sign-bits): 25 planted "
+    "queries (corpus vectors perturbed by +0.002, cosine ~0.99998 to their "
+    "source) retrieve their top-1 match from bucket candidates only. The "
+    "oracle ranks against the FULL corpus, so a hash-match proves the LSH "
+    "tables recalled every true nearest neighbor (the corpus' best genuine "
+    "pair is ~0.52 cosine, far under the 0.95 output gate, so top-1 is "
+    "unique and the candidate-only ranking agrees with the exact one).",
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_ann_topk(emb, q, dim=64, k=5).orderBy("q_id", "rank")
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
+    )
+    res = similarity.lsh_ann_topk(emb, qs, dim=64, k=1, quantize_bp=10000)
+    return (
+        res.filter(F.col("sim_bp") >= 9500)
+        .select("q_id", "c_id", "sim_bp")
+        .orderBy("q_id")
+    )
 
 
 @_register(
@@ -1294,10 +1382,60 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "q44_ivf_ann_topk",
-    None,
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    d AS (
+      SELECT vec_id, vv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(vv, vv)
+                                 - 2 * list_dot_product(vv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM v, c
+    ),
+    assign AS (
+      SELECT vec_id, vv, cid AS cell FROM (
+        SELECT vec_id, vv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_bp, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, vv AS qv FROM v WHERE vec_id < 5),
+    qd AS (
+      SELECT q_id, qv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(qv, qv)
+                                 - 2 * list_dot_product(qv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM q, c
+    ),
+    probes AS (
+      SELECT q_id, qv, cid AS cell FROM (
+        SELECT q_id, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_bp, cid) AS rn
+        FROM qd
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(p.qv, a.vv)) AS BIGINT)
+               AS sim_bp
+      FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, sim_bp, rank FROM (
+      SELECT q_id, c_id, sim_bp,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_bp DESC, c_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
     doc="IVF ANN top-k (nprobe=2 cells per query): the partition-pruned "
-    "scale path for similarity search; recall vs brute force checked in "
-    "tests/test_dedup_similarity.py.",
+    "scale path for similarity search. With deterministic centroids "
+    "(vec_id % 100 = 0) and FLOOR-quantized distances/similarities, the "
+    "whole pipeline — assignment argmin, probe selection, cell-local "
+    "scoring, ranking — is a pure function of the data, reproduced "
+    "step-for-step by the oracle. Recall vs brute force additionally "
+    "checked in tests/test_dedup_similarity.py.",
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
@@ -1305,9 +1443,9 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_ann_topk(emb, q, cents, k=5, nprobe=2).orderBy(
-        "q_id", "rank"
-    )
+    return similarity.ivf_ann_topk(
+        emb, q, cents, k=5, nprobe=2, quantize_bp=10000
+    ).orderBy("q_id", "rank")
 
 
 @_register(
@@ -3639,13 +3777,18 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
 # The external driver verifies only the first 50 registry entries against
-# DuckDB, so insertion order is load-bearing: every query family's primary
-# representative (and every shape with no sibling — as-of/range joins, the
-# TPC-H suite, SCD2, TF-IDF, connected components, k-means, winnowing) must
-# sit inside that window. Shapes demoted below are near-duplicates of an
-# in-window query and stay fully covered by the repo's own oracle suite
-# (tests/test_queries_oracle.py runs ALL queries, including these, at
-# sf0.001):
+# DuckDB, so insertion order is load-bearing. Round-3 rotation policy: the
+# window is every query that has never earned a driver-green row (31 as of
+# round 2: the 21 never-inside-the-window tail queries, the 6 events
+# queries that entered in round 2 and hit the ts regression, and the 4
+# formerly rows-only sketches now reformulated with oracles) plus the 12
+# round-1-green events queries invalidated by the round-2 ts regression,
+# plus 7 continuity anchors re-proving the flagship operators whose code
+# changed this round (entry q07, TPC-H Q1, exact dedup, shingle Jaccard,
+# hot-bucket-guarded embedding dedup, components, winnowing). Every query
+# outside the window has a green row in CORRECTNESS_r01 or _r02 and stays
+# covered by the repo's own oracle suite (tests/test_queries_oracle.py
+# runs ALL queries at sf0.001). Historical demotion rationale (round 2):
 #   q11 scalar pipeline      -> q50 string pipeline
 #   q16 top-k orders         -> q49 top-k per group
 #   q18 rollup               -> q47 cube (grouping sets family)
@@ -3689,35 +3832,43 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
 #   q44 IVF ANN (rows-only)  -> q43 IVF cells (hash-checked)
 #   q45 date rollup          -> q10 hourly window + q13 date arithmetic
 #   q46 above-customer-avg   -> q60/q62 scalar-subquery shapes
-_DEMOTED_PAST_DRIVER_WINDOW = [
-    "q04_last_position",
+_DRIVER_WINDOW_R3 = [
+    # 12 round-1-green events queries invalidated by the round-2 ts
+    # regression — re-prove after the loader fix:
+    "q01_envelope_filter_project",
+    "q02_classify_count",
+    "q03_log_compaction",
+    "q05_batch_assembly",
+    "q06_claim_check_routing",
+    "q08_delete_anti_join",
+    "q10_hourly_window",
+    "q12_consumer_dedup",
+    "q17_set_intersect",
+    "q31_sessionization",
+    "q47_cube_counts",
+    "q48_cdc_merge_apply",
+    # 7 continuity anchors (flagship / code-changed-this-round operators):
     "q07_cdc_apply_join",
-    "q09_changed_keys_semi_join",
-    "q11_scalar_pipeline",
-    "q14_tpch_q3",
-    "q15_star_join_revenue",
-    "q16_top_k_orders",
-    "q18_rollup_value",
-    "q20_token_stats",
-    "q22_lang_id",
-    "q23_doc_fingerprint",
+    "q13_tpch_q1",
+    "q19_exact_dedup",
+    "q24_ngram_jaccard_pairs",
+    "q30_embedding_near_dup",
+    "q64_dedup_components",
+    "q66_winnow_fingerprints",
+    # 4 formerly rows-only sketches, now candidate-then-verify with oracles:
     "q27_minhash_lsh_pairs",
     "q28_simhash_near_pairs",
     "q29_ann_lsh_topk",
-    "q32_running_total",
-    "q33_lag_delta",
-    "q35_having_filter",
-    "q36_set_except",
-    "q37_pivot_counts",
-    "q38_discrete_percentiles",
-    "q39_near_dedup_filter",
-    "q40_token_frequencies",
-    "q41_regex_tokens",
-    "q42_vector_stats",
     "q44_ivf_ann_topk",
-    "q45_date_rollup",
-    "q46_above_customer_avg",
-    "q50_string_pipeline",
+    # 6 queries that entered the window in round 2 and ERR'd on the ts
+    # regression before ever earning a green row:
+    "q51_asof_join",
+    "q52_range_join",
+    "q56_scd2_history",
+    "q67_approx_distinct_bounded",
+    "q68_approx_percentile_bounded",
+    "q87_incremental_agg",
+    # 21 queries that have never been inside the driver's window:
     "q74_tpch_q8_market_share",
     "q75_tpch_q14_promo_effect",
     "q76_tpch_q15_top_supplier",
@@ -3730,11 +3881,21 @@ _DEMOTED_PAST_DRIVER_WINDOW = [
     "q85_full_outer_reconcile",
     "q86_except_all_multiset",
     "q90_incremental_distinct_hll",
+    "q91_funnel_conversion",
+    "q92_retention_cohorts",
+    "q93_duplicated_spans",
+    "q94_bigram_lm",
+    "q95_shard_balance",
+    "q96_json_field_rollup",
+    "q97_window_rank_zoo",
+    "q98_column_profile",
+    "q99_curation_decisions",
 ]
 
-_demoted = set(_DEMOTED_PAST_DRIVER_WINDOW)
-assert _demoted <= set(QUERIES), sorted(_demoted - set(QUERIES))
+assert len(_DRIVER_WINDOW_R3) == 50, len(_DRIVER_WINDOW_R3)
+_window = set(_DRIVER_WINDOW_R3)
+assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: s for n, s in QUERIES.items() if n not in _demoted},
-    **{n: QUERIES[n] for n in _DEMOTED_PAST_DRIVER_WINDOW},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R3},
+    **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -284,3 +284,37 @@ def test_winnow_vectorized_equals_expression_variant(spark):
     a = {tuple(r) for r in _text.winnow_stats(d).collect()}
     b = {tuple(r) for r in _text.winnow_stats_vectorized(d).collect()}
     assert a == b
+
+
+def test_split_hot_buckets_bounds_population(spark):
+    """A coarse 2-bit bucketing packs ~125 of 500 vectors per bucket; the
+    adaptive split must break those hot buckets up via extra hyperplane
+    bits while leaving sub-cap buckets untouched."""
+    emb = load(spark, SF_SMALL, "embeddings")
+    b = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        similarity.lsh_bucket(F.col("embedding"), dim=64, bits=2, seed=42).alias(
+            "bucket"
+        ),
+    )
+    before = b.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    refined = similarity.split_hot_buckets(b, dim=64, max_bucket=40, seed=42)
+    after = refined.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert before > 40, "fixture must actually trigger the hot path"
+    assert after <= 40, f"hot buckets not bounded: max {after} > cap 40"
+    assert refined.count() == b.count(), "split must not drop or dup rows"
+
+
+def test_hot_bucket_split_preserves_planted_recall(spark):
+    """Splitting hot buckets must not lose the planted near-dup pair:
+    identical vectors share every sign bit, so they can never be separated
+    by refinement planes."""
+    emb = load(spark, SF_SMALL, "embeddings").limit(50)
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999999))
+    planted = emb.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(
+        planted, dim=64, threshold=0.99, bits=2, max_bucket=10
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 999999) in got

@@ -19,11 +19,12 @@ def test_oracle_match(spark, name):
     compare(spec.builder(spark, SF_SMALL), spec.oracle, SF_SMALL)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    df = QUERIES[name].builder(spark, SF_SMALL)
-    assert df.count() >= 0
-    assert df.schema is not None
+def test_no_rows_only_queries_remain():
+    """Every registered query is value-checked against a DuckDB oracle.
+    The formerly rows-only sketches (MinHash-LSH, SimHash, hyperplane ANN,
+    IVF top-k) were reformulated candidate-then-verify in round 3; any new
+    query must ship with an oracle or consciously extend this list."""
+    assert ROWS_ONLY == [], f"rows-only queries reintroduced: {ROWS_ONLY}"
 
 
 def test_oracle_output_types_are_transport_safe():

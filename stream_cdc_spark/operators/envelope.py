@@ -161,11 +161,17 @@ def to_debezium_json(df: DataFrame) -> DataFrame:
     )
 
 
-def from_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+def from_debezium_json(
+    df: DataFrame, value_col: str = "value", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Parse a Debezium-format JSON change feed (e.g. a Kafka topic) into the
     envelope. This is the production-scale CDC ingest path: the binlog tail
     (reference O1) is operated by Debezium/Kafka, and the engine consumes the
     topic with from_json — fully parallel, no custom source needed.
+
+    ``keep_cols``: transport metadata columns (e.g. Kafka topic/partition/
+    offset) passed through unchanged next to the envelope — the streaming
+    analogue of the reference's offset tracking (O4).
     """
     payload_schema = StructType(
         [
@@ -195,4 +201,5 @@ def from_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.struct(F.col("_p.before").alias("before"), F.col("_p.after").alias("after")).alias(
             "content"
         ),
+        *[F.col(c) for c in keep_cols],
     ).filter(F.col("event_type").isNotNull())

@@ -60,9 +60,12 @@ def _register_builtins() -> None:
             reader = reader.option(k, str(v))
         return reader.load()
 
+    from stream_cdc_spark.sources.kafka import kafka_debezium_stream
+
     datasource_registry.register("events_replay", replay_stream)
     datasource_registry.register("parquet", load)
     datasource_registry.register("cdc_replay", _cdc_replay)
+    datasource_registry.register("kafka-debezium", kafka_debezium_stream)
     # File formats the reference lacks entirely (SURVEY §2.2 scans) —
     # stock Spark readers behind the same registry contract.
     datasource_registry.register(

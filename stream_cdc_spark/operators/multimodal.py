@@ -68,30 +68,61 @@ def attach_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     )
 
 
+def _optional_import(name: str):
+    """Import a media library if the cluster image ships it; None if not.
+    Resolved at call time (executor-side), not import time, so the module
+    stays importable on lib-less driver images."""
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
 def decode_image(blob: bytes, fake: bool = False) -> dict:
     """Decode an image blob -> {width, height, pixels}.
 
-    STUB: real decoding needs an image library not present in this
-    container. `fake=True` returns a deterministic synthetic decode keyed
-    on the blob contents so pipelines are testable end-to-end.
+    Three tiers:
+      - `fake=True`: deterministic synthetic decode keyed on the blob
+        contents, so pipelines are testable end-to-end anywhere;
+      - Pillow present (`PIL.Image`): real decode;
+      - neither: NotImplementedError naming the missing dependency (this
+        test container ships no media libraries).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library not present in this "
-            "environment; run with fake=True for the deterministic test path"
-        )
-    h = sum(blob[:16]) if blob else 0
-    return {"width": 64 + h % 64, "height": 64 + (h // 64) % 64, "pixels": None}
+    if fake:
+        h = sum(blob[:16]) if blob else 0
+        return {"width": 64 + h % 64, "height": 64 + (h // 64) % 64, "pixels": None}
+    pil_image = _optional_import("PIL.Image")
+    if pil_image is not None:
+        import io
+
+        with pil_image.open(io.BytesIO(blob)) as im:
+            im.load()
+            return {"width": im.width, "height": im.height, "pixels": im.tobytes()}
+    raise NotImplementedError(
+        "image decoding requires Pillow (PIL.Image), which this environment "
+        "does not ship; install pillow on the cluster image or run with "
+        "fake=True for the deterministic test path"
+    )
 
 
 def decode_audio(blob: bytes, fake: bool = False) -> dict:
-    """STUB — see decode_image."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; run with fake=True for the deterministic test path"
-        )
-    return {"sample_rate": 16000, "duration_ms": (len(blob) * 1000) // 32000}
+    """Decode an audio blob -> {sample_rate, duration_ms}; tiers as in
+    decode_image (real path: the `soundfile` library)."""
+    if fake:
+        return {"sample_rate": 16000, "duration_ms": (len(blob) * 1000) // 32000}
+    sf = _optional_import("soundfile")
+    if sf is not None:
+        import io
+
+        data, rate = sf.read(io.BytesIO(blob))
+        return {"sample_rate": int(rate), "duration_ms": int(len(data) * 1000 / rate)}
+    raise NotImplementedError(
+        "audio decoding requires the soundfile library, which this "
+        "environment does not ship; install soundfile on the cluster image "
+        "or run with fake=True for the deterministic test path"
+    )
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -184,10 +215,17 @@ def resize_images(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        pil_image = None if fake else _optional_import("PIL.Image")
+
         for pdf in batches:
             blobs = pdf["blob"]
 
             def one(b) -> bytes:
+                if pil_image is not None:
+                    import io
+
+                    with pil_image.open(io.BytesIO(b or b"")) as im:
+                        return im.resize((width, height)).tobytes()
                 decode_image(b or b"", fake=fake)  # raises unless fake
                 seed = hashlib.sha256(b or b"").digest()
                 reps = (width * height * 3) // len(seed) + 1

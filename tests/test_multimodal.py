@@ -123,3 +123,50 @@ def test_resize_images_real_path_raises(spark):
     df = spark.createDataFrame([(1, b"abc")], "media_id long, blob binary")
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         multimodal.resize_images(df, 8, 6, fake=False).collect()
+
+
+def test_real_decode_used_when_library_present(monkeypatch):
+    """The optional-import tier: when a PIL-compatible module is
+    importable, decode_image uses it instead of raising."""
+    import sys
+    import types
+
+    class _Im:
+        width, height = 320, 200
+
+        def load(self):
+            return None
+
+        def tobytes(self):
+            return b"\x00" * 12
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_mod = types.ModuleType("PIL.Image")
+    fake_mod.open = lambda bio: _Im()
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_mod)
+    out = multimodal.decode_image(b"not-a-real-png")
+    assert (out["width"], out["height"]) == (320, 200)
+    assert out["pixels"] == b"\x00" * 12
+
+
+def test_real_audio_decode_used_when_library_present(monkeypatch):
+    import sys
+    import types
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda bio: ([0.0] * 32000, 16000)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    out = multimodal.decode_audio(b"not-a-real-wav")
+    assert out == {"sample_rate": 16000, "duration_ms": 2000}
+
+
+def test_decode_raises_naming_missing_dependency():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image(b"x")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        multimodal.decode_audio(b"x")

@@ -661,6 +661,15 @@ def _shingle_pair_stats(d: DataFrame):
     sh = dedup.stop_shingle_filter(
         dedup.shingles(d, "text", "doc_id", k=3), 1000, detect_rate_4096=32
     )
+    # Shape note (measured, sf0.1): a window-attached n_sh would make the
+    # two self-join inputs identical (one ReusedExchange, fewest scans) but
+    # shuffles EVERY shingle row by id with no map-side combine — 23%
+    # slower locally and strictly worse at 100 TB, where a corpus-sized
+    # row shuffle dwarfs an extra scan. The sizes-aggregate + post-join
+    # formulation keeps all shuffles partial-aggregated (counts, never
+    # rows): sizes joins happen AFTER the pair aggregate, on the tiny
+    # candidate-pair relation. AQE reuses the identical a/b shingle
+    # exchange at runtime.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

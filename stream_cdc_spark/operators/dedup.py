@@ -190,6 +190,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 64,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of xxhash64(shingle, i).
 
@@ -200,11 +201,23 @@ def minhash_signatures(
     document length. (A fully-narrow array_min(transform(...)) variant
     benchmarks slower: Catalyst's projection collapse re-inlines the
     shingle-building expression into all 64 hash positions.)
+
+    ``shingle_rel``: an existing (id, shingle) relation to aggregate
+    instead of re-exploding the corpus. Only worth passing when that
+    relation is already MATERIALIZED (persisted/bucketed table): feeding
+    an unmaterialized distinct() subtree here routes the signature
+    aggregate through a full shingle-row shuffle, which measured 25-60%
+    slower at sf0.1 than a second scan with map-side-combined mins —
+    re-scanning beats re-shuffling raw rows.
     """
-    df = ensure_parallelism(df)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("shingle")
-    )
+    if shingle_rel is not None:
+        sh = shingle_rel
+    else:
+        df = ensure_parallelism(df)
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_array(text_col, k)).alias("shingle"),
+        )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -222,6 +235,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures.
 
@@ -232,7 +246,7 @@ def minhash_lsh_pairs(
     est_jaccard = fraction of matching signature positions.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingle_rel)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -300,6 +314,11 @@ def minhash_lsh_verified_pairs(
     Jaccard — the driver check then *proves* LSH candidate recall is 100%
     on the tested corpus (a missed true pair would be a missing row).
     """
+    # Candidate generation and verification each scan the corpus once with
+    # map-side-combined aggregates. (Sharing one distinct shingle relation
+    # between them was measured and rejected — see minhash_signatures'
+    # shingle_rel note: it trades a cheap re-scan for a corpus-sized
+    # raw-row shuffle.)
     cand = minhash_lsh_pairs(df, text_col, id_col, k, num_hashes, bands).select(
         "id_a", "id_b"
     )

@@ -66,7 +66,10 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
 
 
 def stop_shingle_filter(
-    sh: DataFrame, max_df: int, detect_rate_4096: int | None = None
+    sh: DataFrame,
+    max_df: int,
+    detect_rate_4096: int | None = None,
+    materialize_hot: bool = False,
 ) -> DataFrame:
     """Drop shingles whose document frequency exceeds `max_df` (standard
     stop-shingle filter, cf. stop-word removal in MinHash pipelines).
@@ -109,6 +112,14 @@ def stop_shingle_filter(
         .filter(F.col("df") > threshold)
         .select("shingle")
     )
+    if materialize_hot:
+        # The filtered output is referenced from several plan branches
+        # (sizes aggregate + both self-join sides); without materialization
+        # each branch re-runs the detector scan. The hot list is tiny by
+        # construction, so an eager localCheckpoint pays one detector pass
+        # total. Trade-off: plan construction triggers a job (keep the
+        # default lazy for operator composition / Spark Connect).
+        hot = hot.localCheckpoint(eager=True)
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 

@@ -181,3 +181,33 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         plan = q._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in plan, "bloom filter was not injected"
         assert sorted(q.collect()) == baseline
+
+
+def test_q27_signatures_stay_out_of_pair_exchanges(spark):
+    """Slim MinHash banding join: the 64-long signature arrays must never
+    ride a shuffle as materialized columns — they exist only as map-side
+    aggregation partials (min#N) keyed by id. A `signature#` attribute in
+    any Exchange input means the banding join regressed to shuffling
+    ~0.5 KB/row twice."""
+    import re
+
+    plan = _plan(spark, "q27_minhash_lsh_pairs")
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        assert "signature#" not in m.group(1), m.group(1)
+
+
+def test_q29_q44_small_sides_broadcast(spark):
+    """ANN pipelines: queries/centroids/probes are the small sides and must
+    broadcast — a shuffle join against a handful of query vectors would
+    reshuffle the corpus for nothing."""
+    for name in ("q29_ann_lsh_topk", "q44_ivf_ann_topk"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q30_hot_bucket_guard_uses_broadcast(spark):
+    """The hot-bucket split's membership check must be a broadcast join on
+    the (tiny) hot-bucket list — the corpus side never reshuffles for it."""
+    plan = _plan(spark, "q30_embedding_near_dup")
+    assert "BroadcastExchange" in plan

@@ -77,6 +77,19 @@ def _register_builtins() -> None:
     datasource_registry.register(
         "json", lambda spark, path, **opts: spark.read.options(**opts).json(path)
     )
+    datasource_registry.register(
+        "orc", lambda spark, path, **opts: spark.read.options(**opts).orc(path)
+    )
+    # Media/blob ingest: one row per file with the raw bytes — the scan
+    # side of the multimodal pipeline (operators/multimodal.py). Columns:
+    # path, modificationTime, length, content (binary). pathGlobFilter /
+    # recursiveFileLookup pass through as options.
+    datasource_registry.register(
+        "binary_file",
+        lambda spark, path, **opts: spark.read.format("binaryFile")
+        .options(**opts)
+        .load(path),
+    )
     sink_registry.register(
         "memory_queue",
         lambda client=None, **kw: foreach_batch_writer(

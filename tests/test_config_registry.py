@@ -142,3 +142,43 @@ def test_logger_json_format(monkeypatch):
     lg.info("hello %s", "world")
     rec = pyjson.loads(buf.getvalue())
     assert rec["msg"] == "hello world" and rec["level"] == "INFO"
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC behind the registry: columnar alternative scan format (built
+    into Spark; no extra package). Write the nation table as ORC, read it
+    back through the registry, values identical."""
+    from stream_cdc_spark.sources import datasource_registry
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    orc_dir = str(tmp_path / "nation_orc")
+    nation = load(spark, SF_SMALL, "nation")
+    nation.write.mode("overwrite").orc(orc_dir)
+    back = datasource_registry.create("orc", spark=spark, path=orc_dir)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile behind the registry is the media-blob scan: one row per
+    file with raw bytes, which plugs straight into the multimodal
+    metadata/feature operators."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators import multimodal
+    from stream_cdc_spark.sources import datasource_registry
+
+    blobs = {"a.bin": b"\x89PNG-fake-bytes", "b.bin": b"RIFF-fake-audio" * 100}
+    for fname, data in blobs.items():
+        (tmp_path / fname).write_bytes(data)
+    df = datasource_registry.create(
+        "binary_file", spark=spark, path=str(tmp_path), pathGlobFilter="*.bin"
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    media = df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col("content").alias("blob"),
+    )
+    meta = multimodal.attach_metadata(media)
+    got = {r.n_bytes for r in meta.collect()}
+    assert got == {len(b) for b in blobs.values()}

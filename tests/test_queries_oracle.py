@@ -89,3 +89,24 @@ def test_spark_and_oracle_schemas_pairwise_consistent(spark):
             if expected and not isinstance(s_schema[col], expected):
                 problems.append((name, col, o_typ, str(s_schema[col])))
     assert not problems, f"schema drift: {problems}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q27_minhash_lsh_pairs",
+        "q28_simhash_near_pairs",
+        "q29_ann_lsh_topk",
+        "q30_embedding_near_dup",
+        "q44_ivf_ann_topk",
+    ],
+)
+def test_sketch_oracle_holds_at_sf01(spark, name):
+    """The candidate-then-verify sketch queries claim 100% sketch recall as
+    part of their oracle match. Prove it holds at sf0.1 (100x the repo
+    suite's default, 10x the driver's gate) — where q28 also meets genuine
+    duplicate-text groups, not just planted ones."""
+    spec = QUERIES[name]
+    compare(spec.builder(spark, "/root/testdata/sf0.1"), spec.oracle,
+            "/root/testdata/sf0.1")

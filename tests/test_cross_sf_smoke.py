@@ -47,3 +47,16 @@ def test_family_query_runs_at_sf01(spark, query):
 
     df = QUERIES[query].builder(spark, "/root/testdata/sf0.1")
     assert df.limit(5).count() > 0
+
+
+def test_embedding_dimension_is_pinned(spark):
+    """The ANN/near-dup queries build 64-dim hyperplanes (dim=64); a
+    driver-side regeneration with a different embedding dimension would
+    silently truncate every zip_with dot product instead of erroring.
+    Catch it here first."""
+    from pyspark.sql import functions as F
+
+    for sf in SF_DIRS:
+        emb = load(spark, sf, "embeddings")
+        dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+        assert [r.d for r in dims] == [64], f"{sf}: embedding dims {dims}"

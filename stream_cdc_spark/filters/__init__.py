@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Protocol, runtime_checkable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,17 +73,58 @@ class SizeFilter:
     """Claim-check offload for large string fields (integration test
     SizeFilter, simple_integration_test.py:25-49): fields longer than
     `field_threshold` chars are replaced by a storage URI built from a
-    deterministic content hash."""
+    deterministic content hash.
 
-    def __init__(self, column: str, field_threshold: int = 1000, store_prefix: str = "store://"):
+    Two tiers, same URIs:
+
+    - ``store=None`` (default): routing-only — pure Column expression
+      (whole-stage codegen, zero Python) that substitutes the URI without
+      persisting the payload. Use when a downstream sink (QueueSink) owns
+      the actual offload, or for plan-shape tests.
+    - ``store=FileClaimCheckStore(...)``: the offload is real — an
+      Arrow-batched pandas UDF writes each oversized payload to the store
+      *before* substituting the URI, so ``store.get_text(uri)`` recovers
+      the original (reference recoverability contract,
+      simple_integration_test.py:25-49). Content-addressed writes are
+      idempotent, so Spark task retries/speculation are safe.
+
+    Both tiers produce byte-identical output columns (URI =
+    ``prefix + sha256(payload)``), verified by test_filters roundtrip.
+    """
+
+    def __init__(
+        self,
+        column: str,
+        field_threshold: int = 1000,
+        store_prefix: str = "store://",
+        store=None,
+    ):
         self.column, self.threshold, self.prefix = column, field_threshold, store_prefix
+        self.store = store
+        if store is not None and getattr(store, "prefix", store_prefix) != store_prefix:
+            raise ValueError(
+                f"store prefix {store.prefix!r} != filter prefix {store_prefix!r}"
+            )
 
     def apply(self, df: DataFrame) -> DataFrame:
         c = F.col(self.column)
-        uri = F.concat(F.lit(self.prefix), F.sha2(c, 256))
-        return df.withColumn(
-            self.column, F.when(F.length(c) > self.threshold, uri).otherwise(c)
-        )
+        if self.store is None:
+            uri = F.concat(F.lit(self.prefix), F.sha2(c, 256))
+            return df.withColumn(
+                self.column, F.when(F.length(c) > self.threshold, uri).otherwise(c)
+            )
+
+        store, threshold = self.store, self.threshold
+
+        @F.pandas_udf("string")
+        def _offload(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: store.put_text(v)
+                if v is not None and len(v) > threshold
+                else v
+            )
+
+        return df.withColumn(self.column, _offload(c))
 
 
 class _FilterRegistry:

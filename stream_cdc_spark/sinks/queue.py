@@ -51,12 +51,20 @@ def deterministic_id(msg: str) -> str:
     return hashlib.sha256(msg.encode("utf-8")).hexdigest()
 
 
-def make_oversize_reference(msg: str, source: str = "stream-cdc-spark") -> str | None:
+def make_oversize_reference(
+    msg: str, source: str = "stream-cdc-spark", store: Any = None
+) -> str | None:
     """Claim-check reference for an oversized message (sqs.py:250-302).
 
     Keeps routing metadata from the original envelope when it parses as
     JSON; double-fallback to a minimal stub if even the reference is too
     big (sqs.py:284-296 second-chance path).
+
+    When a claim-check ``store`` (sinks/claimcheck.py) is provided, the
+    original payload is written there FIRST and the reference carries the
+    recoverable ``uri`` — the reference repo's recoverability contract
+    (simple_integration_test.py:25-49). Without a store the reference
+    still routes, but carries no uri (documented routing-only tier).
     """
     meta: dict[str, Any] = {}
     try:
@@ -69,6 +77,10 @@ def make_oversize_reference(msg: str, source: str = "stream-cdc-spark") -> str |
             }
     except (json.JSONDecodeError, TypeError):
         pass
+    if store is not None:
+        # write-before-reference: the payload must be durable before any
+        # consumer can observe a uri pointing at it
+        meta["uri"] = store.put_text(msg)
     ref = {
         "original_size_exceeded": True,
         "message_type": "reference",
@@ -91,13 +103,16 @@ def make_oversize_reference(msg: str, source: str = "stream-cdc-spark") -> str |
     return out
 
 
-def prepare_message(msg: str, source: str = "stream-cdc-spark") -> dict[str, Any] | None:
+def prepare_message(
+    msg: str, source: str = "stream-cdc-spark", store: Any = None
+) -> dict[str, Any] | None:
     """Entry preparation (sqs.py:205-234): id + body + attributes; oversize
-    payloads are claim-checked first (trigger points sqs.py:190-196)."""
+    payloads are claim-checked first (trigger points sqs.py:190-196),
+    offloaded to ``store`` when one is configured."""
     body = msg
     oversized = False
     if message_size(msg) > MAX_MESSAGE_SIZE_BYTES:
-        ref = make_oversize_reference(msg, source)
+        ref = make_oversize_reference(msg, source, store)
         if ref is None:
             return None
         body, oversized = ref, True
@@ -245,14 +260,22 @@ class QueueSink:
     failure semantics (the reference's Stream protocol, streams/base.py:14-38).
     """
 
-    def __init__(self, client_factory: Callable[[], Any], source: str = "stream-cdc-spark"):
+    def __init__(
+        self,
+        client_factory: Callable[[], Any],
+        source: str = "stream-cdc-spark",
+        store: Any = None,
+    ):
         self._client_factory = client_factory
         self._source = source
+        self._store = store
 
     def send(self, messages: Iterable[str]) -> int:
         client = self._client_factory()
         entries = [
-            e for m in messages if (e := prepare_message(m, self._source)) is not None
+            e
+            for m in messages
+            if (e := prepare_message(m, self._source, self._store)) is not None
         ]
         sent = 0
         for batch in pack_entries(entries):
@@ -294,17 +317,20 @@ def foreach_batch_writer(
     client_factory: Callable[[], Any],
     payload_col: str = "payload",
     source: str = "stream-cdc-spark",
+    store: Any = None,
 ) -> Callable:
     """Build a foreachBatch function that packs+sends each micro-batch.
 
     Work happens on executors via foreachPartition — the driver never
     materializes the batch. Each partition builds its own client
     (connection-per-partition; reference caches one global client,
-    sqs.py:119-147, which cannot scale past one node).
+    sqs.py:119-147, which cannot scale past one node). A claim-check
+    ``store`` (sinks/claimcheck.py) makes the oversize offload durable on
+    the executor that hits it.
     """
 
     def _write(batch_df, batch_id: int) -> None:
-        sink = QueueSink(client_factory, source)
+        sink = QueueSink(client_factory, source, store)
 
         def _part(rows) -> None:
             sink.send(r[payload_col] for r in rows)

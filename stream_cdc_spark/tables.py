@@ -76,10 +76,57 @@ def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
+def _parquet_has_nanos(path: str) -> bool | None:
+    """Probe the parquet footer for a TIMESTAMP(NANOS) column.
+
+    Returns True/False from a direct pyarrow footer read, or None when the
+    probe can't answer (pyarrow missing, non-local path such as s3://, or
+    an unreadable footer) so the caller can fall back. Reading one footer
+    driver-side is O(KB) regardless of table size, so this costs nothing
+    at cluster scale — and on object stores, where ``os.path`` can't see
+    the files, the None branch keeps behavior unchanged.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+    except ImportError:  # pragma: no cover - pyarrow is a baked-in dep here
+        return None
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path) if p.endswith(".parquet") and not p.startswith("_")
+        )
+        if not parts:
+            return None
+        target = os.path.join(path, parts[0])
+    try:
+        schema = pq.ParquetFile(target).schema_arrow
+    except Exception:  # noqa: BLE001 - any footer problem -> let Spark report it
+        return None
+    return any(pat.is_timestamp(f.type) and f.type.unit == "ns" for f in schema)
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, enabling the legacy nanosAsLong conf only when the file
     actually carries TIMESTAMP(NANOS) — avoids mutating shared session conf
-    as a side effect when the data doesn't need it."""
+    as a side effect when the data doesn't need it.
+
+    Dispatch is on the parquet footer's physical type (pyarrow), not on
+    Spark's Illegal-Parquet-type error text, so a Spark version that
+    rewords the message can't regress the loader (round-3 advice item).
+    The message sniff survives only as the last-resort fallback for paths
+    the driver-side probe can't inspect (e.g. remote object stores).
+    """
+    nanos = _parquet_has_nanos(path)
+    if nanos is not None:
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+    return _read_parquet_sniff_fallback(spark, path)
+
+
+def _read_parquet_sniff_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort path for footers the driver can't probe directly."""
     try:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution so a NANOS file fails here

@@ -65,6 +65,37 @@ def test_load_real_testdata_ts_is_timestamp(spark):
     assert df.limit(1).count() == 1
 
 
+def test_footer_probe_classifies_physical_types(tmpdir):
+    """The loader dispatches on the parquet footer (pyarrow), not on Spark's
+    error message text."""
+    ns_dir = tmpdir.mkdir("ns")
+    us_dir = tmpdir.mkdir("us")
+    _write_events(ns_dir, pa.array([_NS_EPOCH], pa.timestamp("ns")))
+    _write_events(us_dir, pa.array([_EXPECTED_US], pa.timestamp("us")))
+    assert tables._parquet_has_nanos(str(ns_dir.join("events.parquet"))) is True
+    assert tables._parquet_has_nanos(str(us_dir.join("events.parquet"))) is False
+    # directory form (multi-file Spark output) resolves via its part files
+    assert tables._parquet_has_nanos(str(ns_dir)) is True
+    # unprobeable path -> None so the caller can fall back
+    assert tables._parquet_has_nanos(str(tmpdir.join("missing"))) is None
+
+
+def test_nanos_load_independent_of_spark_error_text(spark, tmpdir, monkeypatch):
+    """Round-3 advice: a Spark upgrade that rewords the Illegal-Parquet-type
+    error must not break NANOS testdata. With the footer probe in place the
+    message-sniff fallback is never consulted for a locally readable file —
+    proven by making the fallback explode."""
+
+    def _boom(spark_, path_):
+        raise AssertionError("error-text sniff fallback must not be reached")
+
+    monkeypatch.setattr(tables, "_read_parquet_sniff_fallback", _boom)
+    sf_dir = _write_events(tmpdir, pa.array([_NS_EPOCH], pa.timestamp("ns")))
+    df = tables.load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.collect()[0]["ts"] == _EXPECTED_US
+
+
 def test_nanos_conf_not_set_for_micros_data(spark, tmpdir):
     """Reading micros data must not flip the legacy nanosAsLong conf as a
     side effect (it is only set on demand when a NANOS file is seen)."""

@@ -55,6 +55,31 @@ def _register(name: str, oracle: str | None, headline: bool = False, doc: str = 
     return deco
 
 
+# q28/q29/q30 plant synthetic rows at id+_PLANT_OFFSET so the true near-dup
+# set is exactly known. The offset must clear the corpus id range or the
+# augmented relation carries duplicate ids and Spark's per-id signature
+# aggregation silently diverges from the oracle's row-level self-join
+# (round-3 advice item). Guarded fail-fast per (sf_dir, table); cached so
+# bench repeats don't pay the one-column scan more than once per corpus.
+_PLANT_OFFSET = 100_000
+_max_id_cache: dict[tuple[str, str, str], int] = {}
+
+
+def _checked_plant_offset(df: DataFrame, id_col: str, sf_dir: str, table: str) -> int:
+    key = (sf_dir, table, id_col)
+    mx = _max_id_cache.get(key)
+    if mx is None:
+        mx = df.agg(F.max(id_col).alias("m")).first()["m"] or 0
+        _max_id_cache[key] = mx
+    if mx >= _PLANT_OFFSET:
+        raise ValueError(
+            f"planted-row offset {_PLANT_OFFSET} collides with {table}.{id_col} "
+            f"max {mx} at {sf_dir}; regenerated testdata outgrew the offset — "
+            f"raise _PLANT_OFFSET (and the oracle SQL literals) together"
+        )
+    return _PLANT_OFFSET
+
+
 def money_sum(col: Column, alias: str) -> Column:
     """Order-insensitive double sum: exact decimal accumulate -> round ->
     double. Matches oracle `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))),2) AS
@@ -879,8 +904,9 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
+    off = _checked_plant_offset(d, "doc_id", sf, "documents")
     planted = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + off).alias("doc_id"), "text"
     )
     aug = d.unionByName(planted)
     cand = dedup.simhash_near_pairs(aug)
@@ -928,8 +954,9 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    off = _checked_plant_offset(emb, "vec_id", sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + off).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
     )
     res = similarity.lsh_ann_topk(emb, qs, dim=64, k=1, quantize_bp=10000)
@@ -971,8 +998,9 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    off = _checked_plant_offset(emb, "vec_id", sf, "embeddings")
     planted = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + off).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
     )
     aug = emb.unionByName(planted)

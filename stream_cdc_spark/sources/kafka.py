@@ -78,10 +78,17 @@ def kafka_debezium_stream(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.json(mock_path)
     else:
+        if not topic:
+            # fail fast with the same clarity the mock path gets — an empty
+            # 'subscribe' option would otherwise surface as an obscure Kafka
+            # error at stream start (round-3 advice item)
+            raise ValueError(
+                "topic is required with bootstrap_servers (real Kafka path)"
+            )
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic or "")
+            .option("subscribe", topic)
             .option("startingOffsets", starting_offsets)
         )
         for k, v in reader_opts.items():

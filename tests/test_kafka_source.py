@@ -124,6 +124,13 @@ def test_misconfiguration_fails_fast(spark):
         kafka_debezium_stream(
             spark, bootstrap_servers="broker:9092", mock_path="/tmp/x"
         )
+    # real-broker path without a topic would otherwise build
+    # .option("subscribe", "") and die with an obscure Kafka error at
+    # stream start — must fail fast like the mock path does
+    with pytest.raises(ValueError, match="topic is required"):
+        kafka_debezium_stream(spark, bootstrap_servers="broker:9092")
+    with pytest.raises(ValueError, match="topic is required"):
+        kafka_debezium_stream(spark, bootstrap_servers="broker:9092", topic="")
 
 
 def test_registry_lists_kafka_source(spark):

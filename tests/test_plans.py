@@ -79,19 +79,19 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round3_rotation():
+def test_driver_window_matches_round4_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-3 policy: the window is exactly the explicit rotation list —
-    every never-driver-green query, the ts-regression re-proves, and the
-    continuity anchors (rationale at the bottom of plans/queries.py).
-    Everything outside the window already has a green driver row from a
-    prior round and stays covered by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R3
+    Round-4 policy: with the never-green set empty after r1∪r2∪r3, the
+    window is the 49 queries whose latest green row predates round 3 plus
+    the claim-check continuity anchor (rationale at the bottom of
+    plans/queries.py). Everything outside the window has a round-3 green
+    driver row and stays covered by the repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R4
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R3) == 50
-    assert len(set(_DRIVER_WINDOW_R3)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R3
+    assert len(_DRIVER_WINDOW_R4) == 50
+    assert len(set(_DRIVER_WINDOW_R4)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R4
     # nothing was lost in the reorder: same registry, same specs
     assert len(names) == len(set(names)) == 99
 

@@ -323,3 +323,44 @@ def write_dedup_tracker(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous sketch maintenance (streaming twin of q90's incremental HLL)
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Continuously maintained approximate distinct counts per key — the
+    streaming twin of q90 (operators/incremental.py kind='hll').
+
+    Deliberately NOT a custom StatefulProcessor: ``hll_sketch_agg`` is a
+    typed imperative aggregate, so a plain streaming groupBy keeps the
+    fixed-size DataSketches HLL buffer in Spark's own state store —
+    exactly-once across restarts via the checkpoint, RocksDB-capable when
+    state outgrows heap, merged across micro-batches with the same union
+    the batch path uses (incremental._MERGE['hll']). Where write-dedup
+    needs transformWithState for per-entry MapState addressing, sketch
+    maintenance is what streaming aggregation already is; declaring it
+    lets Catalyst plan partial aggregation map-side before the state-store
+    shuffle.
+
+    HLL registers are max-merged, so the estimate is independent of event
+    order and micro-batch slicing: after draining the same input, the
+    streaming answer EQUALS the batch ``hll_sketch_agg`` answer bit-for-
+    bit (asserted in tests/test_stateful.py), not merely approximately.
+
+    Use ``outputMode("update")`` (or "complete" for small key spaces).
+    """
+    from pyspark.sql import functions as F
+
+    return events.groupBy(*[F.col(k) for k in keys]).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(value_col), lg_k)).alias(
+            "n_approx"
+        )
+    )

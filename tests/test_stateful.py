@@ -305,3 +305,83 @@ def test_write_dedup_tracker_native_path(spark, tmp_path):
         "SELECT key, fp, COUNT(*) c FROM wdedup_native GROUP BY key, fp"
     ).collect()
     assert all(r.c == 1 for r in got)
+
+
+def test_hll_distinct_stream_restart_converges_to_batch(spark, tmp_path):
+    """Streaming sketch maintenance (twin of q90): drain the events table
+    through hll_distinct_stream in two runs with a checkpoint restart in
+    between; the final per-key estimates must equal the batch
+    hll_sketch_agg answer BIT-FOR-BIT (HLL registers max-merge, so
+    micro-batch slicing and restart cannot perturb them) and sit within
+    the 5% band of the exact distinct count."""
+    from stream_cdc_spark.streaming.stateful import hll_distinct_stream
+
+    ev = load(spark, SF_SMALL, "events").select("event_type", "user_id")
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt-hll")
+    outdir = str(tmp_path / "out-hll")
+
+    # six input slices; phase 1 sees three, phase 2 the rest
+    parts = ev.repartition(6).rdd.mapPartitionsWithIndex(
+        lambda i, it: ((i, list(it)),)
+    ).collect()
+    import os
+
+    os.makedirs(indir, exist_ok=True)
+
+    def write_slice(i, rows):
+        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+
+    for i, rows in parts[:3]:
+        write_slice(i, rows)
+
+    def emit(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    def run_to_completion():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+            .parquet(indir + "/slice=*")
+        )
+        q = (
+            hll_distinct_stream(stream, keys=("event_type",))
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_to_completion()  # phase 1: three slices, then the query stops
+    for i, rows in parts[3:]:
+        write_slice(i, rows)
+    run_to_completion()  # phase 2: restart from checkpoint, drain the rest
+
+    emitted = spark.read.parquet(outdir)
+    from pyspark.sql import Window
+
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_approx")
+    )
+    got = {r.event_type: r.n_approx for r in latest.collect()}
+
+    batch = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("n_approx"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    for r in batch.collect():
+        assert got[r.event_type] == r.n_approx, (r.event_type, got[r.event_type], r.n_approx)
+        assert abs(got[r.event_type] - r.n_exact) <= 0.05 * r.n_exact

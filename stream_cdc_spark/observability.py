@@ -56,6 +56,18 @@ def parse_metric_value(raw: str) -> float | None:
     return num if unit == "" else None
 
 
+def parse_node_metric(raw: str) -> float | None:
+    """Node-level metric values come in two display shapes: a plain
+    ``"507 ms"`` / ``"1,018.0 KiB"``, or a two-line
+    ``"total (min, med, max (stageId: taskId))\\n33 ms (0 ms, ...)"``
+    where the first line is a header. Normalize both to a number via the
+    last non-empty line's leading total."""
+    lines = [ln for ln in raw.strip().splitlines() if ln.strip()]
+    if not lines:
+        return None
+    return parse_metric_value(lines[-1])
+
+
 # metric display name -> output key; values summed over all plan nodes of
 # every execution the measured action spawned
 _CAPTURE = {
@@ -141,3 +153,131 @@ class QueryMetricsCollector:
             executions=count,
             sums=sums,
         )
+
+    # -- per-operator breakdown (reference profiling parity) -----------
+
+    def node_breakdown(self, lo: int, hi: int) -> list[dict[str, Any]]:
+        """Per-plan-node metric rows for every SQL execution in (lo, hi]:
+        the Spark-native replacement for the reference's cProfile analyzer
+        (profiling/analyze_profile.py) — executor-side times and volumes
+        attributed to the physical operator that spent them, pulled from
+        the same status store the UI renders."""
+        out: list[dict[str, Any]] = []
+        execs = self._store.executionsList()
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            eid = int(e.executionId())
+            if not (lo < eid <= hi):
+                continue
+            values = self._store.executionMetrics(eid)
+            graph = self._store.planGraph(eid)
+            nodes = graph.allNodes()
+            for j in range(nodes.size()):
+                node = nodes.apply(j)
+                mets = node.metrics()
+                parsed: dict[str, float] = {}
+                for k in range(mets.size()):
+                    m = mets.apply(k)
+                    opt = values.get(m.accumulatorId())
+                    if not opt.isDefined():
+                        continue
+                    v = parse_node_metric(str(opt.get()))
+                    if v is not None:
+                        parsed[m.name()] = v
+                if parsed:
+                    out.append(
+                        {"execution": eid, "node": str(node.name()), "metrics": parsed}
+                    )
+        return out
+
+    def measure_with_breakdown(
+        self, name: str, df: DataFrame
+    ) -> tuple[QueryMetrics, list[dict[str, Any]]]:
+        before = self._latest_execution_id()
+        qm = self.measure(name, df)
+        after = self._latest_execution_id()
+        return qm, self.node_breakdown(before, after)
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck report (parity with the reference's profiling analyzer:
+# stream_cdc/profiling/profile_app.py:70-140 + analyze_profile.py — ranked
+# where-did-the-time-go output, from Spark's own executor-side metrics
+# instead of a driver-process cProfile sample)
+# ---------------------------------------------------------------------------
+
+#: node metric names that measure operator time (ms after parsing)
+_TIME_METRICS = (
+    "scan time",
+    "sort time",
+    "time in aggregation build",
+    "duration",
+    "shuffle write time",
+    "fetch wait time",
+    "build time",
+    "collect batch time",
+    "time to build hash map",
+)
+#: node metric names that measure data volume (bytes after parsing)
+_VOLUME_METRICS = (
+    "size of files read",
+    "shuffle bytes written",
+    "spill size",
+    "data size",
+)
+
+
+def summarize_nodes(nodes: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Collapse per-execution node rows into one row per physical operator
+    name with summed time / volume / rows, ranked by time desc."""
+    agg: dict[str, dict[str, float]] = {}
+    for row in nodes:
+        m = row["metrics"]
+        a = agg.setdefault(row["node"], {"time_ms": 0.0, "bytes": 0.0, "rows": 0.0, "spill_bytes": 0.0})
+        a["time_ms"] += sum(m.get(k, 0.0) for k in _TIME_METRICS)
+        a["bytes"] += sum(m.get(k, 0.0) for k in _VOLUME_METRICS)
+        a["rows"] += m.get("number of output rows", 0.0)
+        a["spill_bytes"] += m.get("spill size", 0.0)
+    out = [
+        {"node": k, **{kk: int(vv) for kk, vv in v.items()}} for k, v in agg.items()
+    ]
+    out.sort(key=lambda r: r["time_ms"], reverse=True)
+    return out
+
+
+def render_bottleneck_report(
+    per_query: dict[str, tuple["QueryMetrics", list[dict[str, Any]]]],
+    top_n: int = 6,
+) -> str:
+    """Markdown report: queries ranked by wall time, each with its top-N
+    operators by executor time, plus a cross-query operator ranking —
+    the 'which operator is the engine's bottleneck' answer the reference's
+    analyze_profile.py prints for Python functions."""
+    lines = ["# Operator bottleneck report", ""]
+    ranked = sorted(per_query.items(), key=lambda kv: kv[1][0].wall_s, reverse=True)
+    total = sum(qm.wall_s for qm, _ in per_query.values())
+    lines.append(f"Total wall: {total:.2f} s over {len(per_query)} queries.")
+    lines.append("")
+
+    global_agg: dict[str, float] = {}
+    for name, (qm, nodes) in ranked:
+        lines.append(f"## {name} — {qm.wall_s:.2f} s, {qm.result_rows} rows")
+        lines.append("")
+        lines.append("| operator | time (ms) | rows | volume (MiB) | spill (MiB) |")
+        lines.append("|---|---|---|---|---|")
+        for r in summarize_nodes(nodes)[:top_n]:
+            global_agg[r["node"]] = global_agg.get(r["node"], 0.0) + r["time_ms"]
+            lines.append(
+                f"| {r['node']} | {r['time_ms']} | {r['rows']} "
+                f"| {r['bytes'] / 1048576:.1f} | {r['spill_bytes'] / 1048576:.1f} |"
+            )
+        lines.append("")
+
+    lines.append("## Cross-query operator ranking (executor ms)")
+    lines.append("")
+    lines.append("| operator | total time (ms) |")
+    lines.append("|---|---|")
+    for node, ms in sorted(global_agg.items(), key=lambda kv: -kv[1])[:12]:
+        lines.append(f"| {node} | {int(ms)} |")
+    lines.append("")
+    return "\n".join(lines)

@@ -50,13 +50,32 @@ def main() -> None:
         _identity, schema="id long"
     ).count()
 
+    # Per-query repeats (round-3 verdict: single-run sf0.1 numbers carry
+    # ±30% noise, which made 1.2x ratios unresolvable). The reported
+    # per-query second is the MEDIAN of the repeats; min/max ride along in
+    # stats so the spread is visible in the recorded artifact.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
     collector = QueryMetricsCollector(spark)
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in headline:
-        qm = collector.measure(name, QUERIES[name].builder(spark, sf_dir))
-        timings[name] = round(qm.wall_s, 3)
+        runs = []
+        qm = None
+        for _ in range(repeats):
+            qm = collector.measure(name, QUERIES[name].builder(spark, sf_dir))
+            runs.append(round(qm.wall_s, 3))
+        # lower-middle order statistic: the true median for odd n, the
+        # smaller middle for even n (never the max — with n=2 the first
+        # run still carries per-query JIT/cache warm-up)
+        mid = sorted(runs)[(len(runs) - 1) // 2]
+        timings[name] = mid
         stats[name] = qm.as_dict()
+        stats[name]["wall_s"] = mid
+        if repeats > 1:
+            stats[name]["runs"] = runs
+            stats[name]["wall_min"] = min(runs)
+            stats[name]["wall_max"] = max(runs)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +85,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
         "stats": stats,
     }
 

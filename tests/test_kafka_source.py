@@ -15,6 +15,8 @@ difference vs a real broker is connectivity. The contract proven here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.operators.envelope import to_debezium_json
@@ -135,3 +137,38 @@ def test_misconfiguration_fails_fast(spark):
 
 def test_registry_lists_kafka_source(spark):
     assert "kafka-debezium" in datasource_registry.names()
+
+
+ENVELOPE_COLS = ["event_type", "gtid", "database", "table", "topic", "partition", "offset"]
+
+
+@pytest.mark.skipif(
+    "STREAM_CDC_KAFKA_BOOTSTRAP" not in os.environ,
+    reason="real-broker integration: set STREAM_CDC_KAFKA_BOOTSTRAP (and "
+    "optionally STREAM_CDC_KAFKA_TOPIC) with spark-sql-kafka-0-10 on the "
+    "classpath — the reference's dockerized e2e analogue (tests.sh:1-30)",
+)
+def test_real_kafka_debezium_end_to_end(spark, tmp_path):
+    """Env-gated real-broker path. Both branches of kafka_debezium_stream
+    funnel into the SAME parse (`from_debezium_json(raw, keep_cols=...)`,
+    sources/kafka.py), so the mock contract tests above already prove the
+    envelope semantics; this test adds the only thing they can't —
+    connectivity and the binary->string value cast against a live topic
+    carrying Debezium JSON."""
+    bootstrap = os.environ["STREAM_CDC_KAFKA_BOOTSTRAP"]
+    topic = os.environ.get("STREAM_CDC_KAFKA_TOPIC", "cdc.testdb.events")
+    env = kafka_debezium_stream(
+        spark, bootstrap_servers=bootstrap, topic=topic
+    )
+    assert set(ENVELOPE_COLS) <= set(env.columns)  # same surface as mock
+    q = (
+        env.writeStream.format("memory")
+        .queryName("real_kafka_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("real_kafka_out").select(ENVELOPE_COLS).collect()
+    assert rows, "topic had no Debezium messages to ingest"
+    assert all(r["offset"] is not None for r in rows)

@@ -62,10 +62,18 @@ def _register_builtins() -> None:
 
     from stream_cdc_spark.sources.kafka import kafka_debezium_stream
 
+    from stream_cdc_spark.sources.mongo import change_stream
+    from stream_cdc_spark.sources.postgres import wal2json_stream
+
     datasource_registry.register("events_replay", replay_stream)
     datasource_registry.register("parquet", load)
     datasource_registry.register("cdc_replay", _cdc_replay)
     datasource_registry.register("kafka-debezium", kafka_debezium_stream)
+    # Logical-decoding feeds the reference anticipated but never shipped
+    # (datasources/base.py:10-11): wal2json v2 spools and MongoDB
+    # change-stream spools, parsed to the same envelope.
+    datasource_registry.register("postgres-wal2json", wal2json_stream)
+    datasource_registry.register("mongo-changestream", change_stream)
     # File formats the reference lacks entirely (SURVEY §2.2 scans) —
     # stock Spark readers behind the same registry contract.
     datasource_registry.register(

@@ -79,14 +79,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order is deliberate: the bulky diagnostic blocks (stats,
+    # per-query baseline deltas) come FIRST and the headline fields LAST,
+    # so a consumer that keeps only the tail of a long stdout line still
+    # sees metric/value/queries/vs_baseline/regressed intact (the round-3
+    # driver capture truncated the front of the line).
     out = {
-        "metric": "headline_queries_total",
-        "value": total,
+        "stats": stats,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
-        "stats": stats,
+        "metric": "headline_queries_total",
+        "queries": timings,
+        "value": total,
     }
 
     # Regression check against the frozen per-query baseline (stderr only —
@@ -99,7 +104,6 @@ def main() -> None:
             ratio = sum(timings[n] for n in shared) / max(
                 sum(base_q[n] for n in shared), 1e-9
             )
-            out["vs_baseline"] = round(ratio, 3)
             out["per_query_vs_baseline"] = {
                 n: {
                     "sec": timings[n],
@@ -108,6 +112,9 @@ def main() -> None:
                 }
                 for n in shared
             }
+            # headline fields last (tail-truncation safety, see above)
+            out["value"] = out.pop("value")
+            out["vs_baseline"] = round(ratio, 3)
             out["regressed"] = sorted(
                 n
                 for n in shared

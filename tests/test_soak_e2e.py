@@ -23,6 +23,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.config import AppConfig
+from stream_cdc_spark.sinks.claimcheck import FileClaimCheckStore
 from stream_cdc_spark.sinks.queue import (
     MAX_MESSAGE_SIZE_BYTES,
     FileQueue,
@@ -53,7 +54,9 @@ def _write_soak_fixture(spark, path: str) -> None:
     ev.coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def _pipeline(spark, fixture: str, qdir: str, ckpt: str) -> CdcPipeline:
+def _pipeline(
+    spark, fixture: str, qdir: str, ckpt: str, store: FileClaimCheckStore | None = None
+) -> CdcPipeline:
     src = datasource_registry.create(
         "cdc_replay",
         spark=spark,
@@ -64,7 +67,7 @@ def _pipeline(spark, fixture: str, qdir: str, ckpt: str) -> CdcPipeline:
     return CdcPipeline(
         spark,
         src,
-        foreach_batch_writer(lambda: FileQueue(qdir)),
+        foreach_batch_writer(lambda: FileQueue(qdir), store=store),
         checkpoint_dir=ckpt,
         config=AppConfig(batch_size=10, flush_interval=0.05),
     )
@@ -88,10 +91,11 @@ def test_soak_restart_oversize_convergence(spark, tmp_path):
     fixture = str(tmp_path / "soak-events")
     qdir = str(tmp_path / "soak-q")
     ckpt = str(tmp_path / "soak-ckpt")
+    store = FileClaimCheckStore(str(tmp_path / "soak-store"))
     _write_soak_fixture(spark, fixture)
 
     # ---- phase 1: continuous micro-batches, hard stop mid-stream --------
-    pipe = _pipeline(spark, fixture, qdir, ckpt)
+    pipe = _pipeline(spark, fixture, qdir, ckpt, store)
     pipe.start(available_now=False)  # ProcessingTime pacing (O15)
     queue = FileQueue(qdir)
     deadline = time.time() + 180
@@ -101,7 +105,7 @@ def test_soak_restart_oversize_convergence(spark, tmp_path):
     pipe.query.stop()  # hard interrupt: in-flight batch may be uncommitted
 
     # ---- phase 2: restart from checkpoint, drain to completion ----------
-    pipe2 = _pipeline(spark, fixture, qdir, ckpt)
+    pipe2 = _pipeline(spark, fixture, qdir, ckpt, store)
     pipe2.start(available_now=False)
     deadline = time.time() + 240
     while time.time() < deadline and len(_drained_by_hash(queue)) < N_EVENTS:
@@ -127,10 +131,20 @@ def test_soak_restart_oversize_convergence(spark, tmp_path):
         if m["MessageAttributes"].get("oversized") == "true"
     ]
     assert len(oversized) == N_OVERSIZE
+    recovered_seqs = set()
     for m in oversized:
         body = json.loads(m["MessageBody"])
         assert body["message_type"] == "reference"
         assert len(m["MessageBody"].encode()) <= MAX_MESSAGE_SIZE_BYTES
+        # the claim-check is recoverable: the executor that hit the
+        # oversize wrote the full payload to the store BEFORE the
+        # reference entered the queue — even across the hard restart
+        # (content-addressed re-puts are idempotent)
+        original = store.get_text(body["uri"])
+        assert len(original.encode()) > MAX_MESSAGE_SIZE_BYTES
+        recovered_seqs.add(json.loads(original)["seq"])
+    assert len(recovered_seqs) == N_OVERSIZE
+    assert all(s % 100 == 0 for s in recovered_seqs)
     # and every normal payload respected the cap too
     assert all(
         len(m["MessageBody"].encode()) <= MAX_MESSAGE_SIZE_BYTES

@@ -3869,6 +3869,141 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
 #   q44 IVF ANN (rows-only)  -> q43 IVF cells (hash-checked)
 #   q45 date rollup          -> q10 hourly window + q13 date arithmetic
 #   q46 above-customer-avg   -> q60/q62 scalar-subquery shapes
+# ---------------------------------------------------------------------------
+# Corpus-audit queries (round 4): the reporting surface a training-data
+# pipeline runs continuously next to dedup/curation — language/source
+# mixture, cross-source duplication, vocabulary growth.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q100_language_mix_report",
+    """
+    WITH t AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(1000000.0 * COUNT(*) / (SELECT COUNT(*) FROM documents))
+                AS BIGINT) AS share_ppm
+    FROM t GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Data-mixture audit: per (lang, source) document/token counts and "
+    "corpus share in ppm — the report that drives mixture-rate planning "
+    "(operators/sampling.mixture plan). One hash aggregate over (lang, "
+    "source) with map-side combine; the corpus total attaches as a "
+    "broadcast scalar, so the plan is a single scan + K-group shuffle at "
+    "any corpus size. share_ppm floors 1e6*count/total (exact-integer "
+    "doubles, FLOOR-stable cross-engine).",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        d.select("lang", "source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("_n").cast("bigint").alias("n_docs"),
+            "n_tokens",
+            F.floor(F.lit(1000000.0) * F.col("_n") / F.col("_total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_register(
+    "q101_cross_source_duplication",
+    """
+    WITH aug AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, 'planted', text FROM documents WHERE doc_id < 10
+    ),
+    fp AS (SELECT doc_id, source, md5(text) AS f FROM aug)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplication matrix: exact-duplicate pair counts per "
+    "(source_a, source_b) — the audit that locates WHICH feeds re-crawl "
+    "each other before dedup drops the copies. Fingerprint equi-join "
+    "(never n^2; each join group is one content hash, the same bound as "
+    "q19's exact dedup). Planted copies (doc_id+100000, source='planted', "
+    "offset fail-fast-guarded) keep the answer non-empty at every SF so "
+    "the oracle checks real matrix rows, not an empty relation.",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    off = _checked_plant_offset(d, "doc_id", sf, "documents")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.lit("planted").alias("source"),
+            "text",
+        )
+    )
+    fp = aug.select("doc_id", "source", F.md5("text").alias("f"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_register(
+    "q102_vocab_growth",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+    per_doc AS (SELECT first_doc, COUNT(*) AS new_words FROM firsts GROUP BY first_doc)
+    SELECT first_doc AS doc_id,
+           CAST(new_words AS BIGINT) AS new_words,
+           CAST(SUM(new_words) OVER (ORDER BY first_doc) AS BIGINT) AS vocab_size
+    FROM per_doc ORDER BY doc_id
+    """,
+    doc="Vocabulary-growth audit (Heaps-law curve): per ingest position, "
+    "how many never-before-seen tokens the document contributes and the "
+    "running vocabulary size — the coverage report for tokenizer training "
+    "cutoffs. MapReduce shape: explode->distinct->min-per-token (all "
+    "partial-aggregated) collapses the corpus to first-appearance rows, "
+    "which decay per Heaps' law; the final running sum orders that small "
+    "audit relation (bucketed prefix-sums are the documented path if the "
+    "curve itself outgrows one partition).",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_words")
+    )
+    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
+    return per_doc.select(
+        F.col("first_doc").alias("doc_id"),
+        "new_words",
+        F.sum("new_words").over(w).cast("bigint").alias("vocab_size"),
+    ).orderBy("doc_id")
+
+
 # Round-4 rotation: after round 3 every one of the 99 registry queries has
 # at least one fully-green driver row (never-green set is empty,
 # CORRECTNESS_r01∪r02∪r03), so the window's job shifts to freshness: the 49

@@ -211,3 +211,35 @@ def test_q30_hot_bucket_guard_uses_broadcast(spark):
     the (tiny) hot-bucket list — the corpus side never reshuffles for it."""
     plan = _plan(spark, "q30_embedding_near_dup")
     assert "BroadcastExchange" in plan
+
+
+def test_q100_total_attaches_as_broadcast(spark):
+    """The corpus-total scalar joins via broadcast (BroadcastNestedLoopJoin
+    on a 1-row side) — the mixture report never shuffles the aggregate for
+    it."""
+    plan = _plan(spark, "q100_language_mix_report")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q101_dup_matrix_is_fingerprint_equi_join(spark):
+    """The cross-source matrix joins on the content hash (equi-join,
+    join-group bounded per hash) — no cartesian, no broadcast of the
+    corpus side."""
+    plan = _plan(spark, "q101_cross_source_duplication")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # an equi hash join on the content hash — broadcast at toy scale,
+    # shuffle at corpus scale; either way each join group is one hash
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_q102_vocab_growth_partial_aggregates(spark):
+    """Explode->distinct->min collapse before the audit window: the plan
+    carries partial HashAggregates (map-side combine) so the corpus-sized
+    relations never shuffle raw."""
+    plan = _plan(spark, "q102_vocab_growth")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan

@@ -186,3 +186,58 @@ def test_near_dup_recall_survives_hot_bucket_split(spark, skewed_vectors):
     )
     got = _pair_set(pairs)
     assert {(i, 10_000 + i) for i in range(5)} <= got
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join: the runtime guard for skew the static guards don't own
+# ---------------------------------------------------------------------------
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Joins outside the banded operators rely on AQE's skew-join split
+    (session.py enables adaptive execution engine-wide). Build a 90%-one-
+    key fact joined sort-merge against a dim, with thresholds scaled down
+    so local data looks like the production regime: the final adaptive
+    plan must carry SortMergeJoin(skew=true) — the hot partition was
+    split across tasks — and the result must equal the unsplit join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 300_000, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = build()
+        skewed = j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert skewed == build().collect()  # split changes the plan, not the answer

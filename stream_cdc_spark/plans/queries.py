@@ -4004,6 +4004,140 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_register(
+    "q103_lm_doc_fluency",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> {'w1': l[i], 'w2': l[i+1]})) AS s
+      FROM toks),
+    dbg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM db),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM dbg GROUP BY 1, 2),
+    lm AS (
+      SELECT w1, w2,
+             CAST((1000000 * n) // SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS p_q
+      FROM c),
+    j AS (SELECT d.doc_id, lm.p_q
+          FROM dbg d JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_q) // COUNT(*) AS BIGINT) AS avg_p_ppm
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Perplexity-filter shape (CCNet-style LM quality gating): score "
+    "every document by the mean quantized conditional probability of its "
+    "bigrams under the corpus LM (text.bigram_lm — the model q94 "
+    "materializes). All-integer arithmetic after the ppm quantization "
+    "(SUM div COUNT), so the scores hash-match across engines with no "
+    "float drift. Scale shape: the LM table is the collapsed vocab^2 "
+    "relation (tiny next to the corpus); the doc-bigram stream joins it "
+    "on (w1,w2) with map-side combine on both inputs — no corpus-sized "
+    "shuffle beyond the one bigram count q94 already pays.",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    lm = text.bigram_lm(d).select("w1", "w2", "p_q")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    grams = F.when(
+        F.size("l") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            lambda i: F.struct(
+                F.element_at("l", i).alias("w1"),
+                F.element_at("l", i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    dbg = toks.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    return (
+        dbg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(SUM(p_q) div COUNT(1) AS BIGINT)").alias("avg_p_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q104_semantic_dedup",
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.002)
+      FROM embeddings WHERE vec_id < 25),
+    d AS (
+      SELECT vec_id, vv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(vv, vv)
+                                 - 2 * list_dot_product(vv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM aug, c),
+    a AS (
+      SELECT vec_id, vv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_bp, cid) AS rn
+      FROM d),
+    cells AS (SELECT vec_id, vv, cid AS cell FROM a WHERE rn = 1),
+    pairs AS (
+      SELECT hi.vec_id AS dropped, lo.vec_id AS keeper
+      FROM cells hi JOIN cells lo
+        ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+      WHERE list_cosine_similarity(hi.vv, lo.vv) >= 0.95)
+    SELECT dropped AS vec_id,
+           CAST(MIN(keeper) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM pairs GROUP BY dropped ORDER BY vec_id
+    """,
+    doc="SemDeDup-shape semantic dedup (Abbas et al. 2023): cluster "
+    "embeddings coarsely (similarity.ivf_assign, the q43 deterministic "
+    "centroids over the ORIGINAL corpus so planting cannot move cells), "
+    "then flag within-cluster cosine >= 0.95 and drop toward the lowest "
+    "id — each dropped vector reports its keeper and duplicate count. "
+    "Planted +0.002 copies (offset-guarded) make the answer non-empty "
+    "and exactly known at every SF. Scale shape: centroids broadcast, "
+    "the n^2 term is confined within cells (the same bound ivf_ann_topk "
+    "relies on), and the verify filter uses raw cosine compares far from "
+    "the margin-tested 0.95 gate — never FLOOR on the gate itself.",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = _checked_plant_offset(emb, "vec_id", sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    cells = similarity.ivf_assign(aug, cents).select("vec_id", "vv", "cell")
+    hi, lo = cells.alias("hi"), cells.alias("lo")
+    return (
+        hi.join(
+            lo,
+            (F.col("hi.cell") == F.col("lo.cell"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .filter(similarity.cosine(F.col("hi.vv"), F.col("lo.vv")) >= 0.95)
+        .groupBy(F.col("hi.vec_id").alias("vec_id"))
+        .agg(
+            F.min(F.col("lo.vec_id")).cast("bigint").alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # Round-4 rotation: after round 3 every one of the 99 registry queries has
 # at least one fully-green driver row (never-green set is empty,
 # CORRECTNESS_r01∪r02∪r03), so the window's job shifts to freshness: the 49

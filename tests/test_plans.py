@@ -93,7 +93,7 @@ def test_driver_window_matches_round4_rotation():
     assert len(set(_DRIVER_WINDOW_R4)) == 50
     assert names[:50] == _DRIVER_WINDOW_R4
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 102
+    assert len(names) == len(set(names)) == 104
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -142,3 +142,64 @@ def test_plant_offset_guard_passes_and_caches(spark):
     # second call answers from the cache (no further Spark job)
     assert ("documents" in t for t in Q._max_id_cache)
     assert Q._checked_plant_offset(d, "doc_id", SF, "documents") == Q._PLANT_OFFSET
+
+
+def test_q43_q44_ivf_distance_floor_margins(spark):
+    """dist_bp = FLOOR(10000 * squared_distance) is compared across
+    engines in the IVF queries; the comparison is safe because Spark's
+    zip_with/aggregate fold and DuckDB's list_dot_product both accumulate
+    LEFT-TO-RIGHT, yielding bit-identical doubles. The residual hazard is
+    an engine upgrade changing its accumulation order, which only bites
+    where a value hugs an integer boundary — so scan every quantized
+    distance in the SAME sequential order the engines use and assert none
+    sits within 1e-9 of an integer without being exactly integral.
+    (numpy's pairwise/SIMD reductions round differently and flag false
+    boundaries — measured: 4 numpy 'hazards', 0 sequential ones.)"""
+    ids, mat = _embeddings(spark)
+
+    def dot_seq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    vecs = [list(map(float, row)) for row in mat]
+    cents = [(int(i), v) for i, v in zip(ids, vecs) if i % 100 == 0]
+    hazards = []
+    for vid, v in zip(ids, vecs):
+        dv = dot_seq(v, v)
+        for cid, c in cents:
+            val = 10000.0 * (dv - 2.0 * dot_seq(v, c) + dot_seq(c, c))
+            frac = abs(val - round(val))
+            if 0 < frac < 1e-9:
+                hazards.append((int(vid), cid, val))
+    assert not hazards, (
+        f"IVF distances sit within 1e-9 of a FLOOR boundary — dist_bp is "
+        f"fragile to engine accumulation-order changes: {hazards[:5]}"
+    )
+
+
+def test_q24_q27_jaccard_ppm_floor_margins(spark):
+    """The shingle queries emit FLOOR(1e6 * shared/union) (and gate on the
+    raw ratio). Mathematically-integral ratios are exact in IEEE double
+    and safe; scan every co-shingled pair for NON-integral ratios hugging
+    an integer ppm boundary."""
+    sets = _doc_shingle_sets(spark)
+    ids = sorted(sets)
+    hazards = []
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            union = len(sa) + len(sb) - inter
+            v = 1_000_000.0 * inter / union
+            if (1_000_000 * inter) % union == 0:
+                continue  # exactly integral -> bit-stable in both engines
+            if abs(v - round(v)) < 1e-9:
+                hazards.append((a, b, v))
+    assert not hazards, (
+        f"jaccard ppm values hugging a FLOOR boundary: {hazards[:5]}"
+    )

@@ -535,3 +535,96 @@ def duplicated_spans(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def doc_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Partition each document's token stream into consecutive
+    NON-overlapping k-token blocks: (id, blk, btext), blk 0-based.
+
+    Unlike `shingles` (sliding, for similarity) blocks tile the document,
+    so the per-doc fan-out is n_tokens/k rows, not n_tokens — this is the
+    unit a removal pass rewrites, and the tiling keeps the explode k times
+    cheaper than the sliding form. The trailing partial block (< k tokens)
+    is kept as its own block so reassembly is lossless.
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(F.col(text_col))
+    blocks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size(toks) + F.lit(k - 1)) / F.lit(k)).cast("int") - 1,
+        ),
+        lambda i: F.array_join(F.slice(toks, (i * k + 1).cast("int"), k), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(blocks).alias("blk", "btext"),
+    )
+
+
+def remove_duplicated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style cross-document segment removal (Raffel et al. 2020 §2.2
+    removed any three-sentence span occurring more than once in the
+    corpus; here the unit is a k-token block): every block of k
+    consecutive tokens that appears verbatim in >= min_df distinct
+    documents is cut from ALL of them, and each document is reassembled
+    from its surviving blocks in order.
+
+    Returns (id_col, clean_text, removed_blocks) — one row per input
+    document, clean_text == '' when everything was duplicated.
+
+    This is the rewrite counterpart of `duplicated_spans` (the report).
+    Reference analog: the redaction/size filters rewrite single events
+    (stream_cdc/filters at filters/__init__.py parity); this operator is
+    the corpus-level rewrite the reference has no counterpart for.
+
+    Plan shape, scale notes (100 TB):
+      1. block tiling is narrow (doc_blocks), fan-out n_tok/k;
+      2. block document-frequency = distinct(btext, id) -> groupBy(btext)
+         with map-side partial aggregation — ONE content shuffle;
+      3. flagging joins blocks to the duplicated-block set on btext. Each
+         block row matches at most one flag row, so there is NO fan-out;
+         a viral segment shared by millions of docs is a skewed-key join
+         handled by AQE skew split (exercised in test_skew_guards.py);
+      4. reassembly groups by doc id — collect_list of (blk, btext)
+         structs, array_sort, array_join. Per-doc state is the document
+         itself, so memory is bounded by max doc size, not corpus size.
+    No sort, no window over the corpus, no Python in the hot path.
+    """
+    b = doc_blocks(df, text_col, id_col, k)
+    dup = (
+        b.select("btext", "id")
+        .distinct()
+        .groupBy("btext")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("btext", F.lit(True).alias("dup"))
+    )
+    flagged = b.join(dup, "btext", "left")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("dup").isNull(), F.struct("blk", "btext"))
+        )
+    )
+    return (
+        flagged.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s.getField("btext")), " "
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("removed_blocks"),
+        )
+    )

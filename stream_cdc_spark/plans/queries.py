@@ -4271,3 +4271,78 @@ QUERIES = {
     **{n: QUERIES[n] for n in _DRIVER_WINDOW_R4},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }
+
+
+@_register(
+    "q105_segment_removal",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(string_split(text, ' ')[1:8], ' ')
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x0'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x1'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x2'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x3'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x4'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x5'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x6'
+             || ' p' || CAST(doc_id AS VARCHAR) || 'x7'
+      FROM documents WHERE doc_id < 25
+    ),
+    blocks0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, (len(l) + 7) // 8),
+                 b -> {'blk': b,
+                       'btext': array_to_string(l[b*8+1 : b*8+8], ' ')})) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM aug)
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(s.blk AS BIGINT) AS blk, s.btext AS btext FROM blocks0
+    ),
+    dup AS (
+      SELECT btext FROM (SELECT DISTINCT btext, doc_id FROM blocks)
+      GROUP BY btext HAVING COUNT(*) >= 2
+    )
+    SELECT b.doc_id,
+           COALESCE(string_agg(CASE WHEN d.btext IS NULL THEN b.btext END,
+                               ' ' ORDER BY b.blk), '') AS clean_text,
+           CAST(COUNT(d.btext) AS BIGINT) AS removed_blocks
+    FROM blocks b LEFT JOIN dup d ON b.btext = d.btext
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="C4-style duplicated-segment REMOVAL (the rewrite q93's span report "
+    "feeds): every 8-token block occurring verbatim in >= 2 distinct docs "
+    "is cut from all of them and each doc is reassembled from its "
+    "surviving blocks in order (dedup.remove_duplicated_segments). The "
+    "corpus is augmented with 25 planted docs (offset-guarded id+100000) "
+    "that copy an original's first block and append a unique 8-token "
+    "tail, so both partial removal (original keeps its remainder) and "
+    "the planted doc's surviving tail are exercised at every SF. Exact "
+    "string semantics end-to-end — no floats anywhere. Scale shape: "
+    "non-overlapping tiling (fan-out n_tok/8, cheaper than sliding "
+    "shingles), one content shuffle for block-df, a no-fan-out flag join "
+    "(AQE skew split covers a viral segment), and per-doc reassembly "
+    "whose state is bounded by max doc size.",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    off = _checked_plant_offset(d, "doc_id", sf, "documents")
+    toks = F.split("text", " ")
+    tail = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("p"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+            for j in range(8)
+        ],
+    )
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit(" "), tail).alias(
+            "text"
+        ),
+    )
+    aug = d.select("doc_id", "text").unionByName(planted)
+    return dedup.remove_duplicated_segments(aug, k=8, min_df=2).orderBy("doc_id")

@@ -92,3 +92,90 @@ def range_join_within(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def bucket_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    seq_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Last observation per (key, time bucket): (key, bucket_ts, v), where
+    'last' is by the total order (ts, seq) inside the bucket.
+
+    One groupBy shuffle with map-side combine; the per-bucket winner is
+    carried as a lexicographic struct max — no window over raw rows, so a
+    bucket with millions of events still aggregates in one pass.
+    """
+    m = F.max(
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(seq_col).alias("s"),
+            F.col(val_col).alias("v"),
+        )
+    ).alias("m")
+    return (
+        df.groupBy(
+            F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(m)
+        .select(key_col, "bucket_ts", F.col("m.v").alias("v"))
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    seq_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Hypertable-style gap-fill with last-observation-carried-forward
+    (TimescaleDB's time_bucket_gapfill + locf shape): a dense per-key time
+    spine over the observed range, each bucket carrying the latest
+    observation at-or-before it.
+
+    Returns (key_col, bucket_ts, value_filled, observed) — value_filled is
+    NULL before a key's first observation (no back-fill), observed is 1
+    where the bucket had a real event.
+
+    Plan shape, scale notes (100 TB):
+      1. bucket_last collapses the raw stream to <= keys x buckets rows in
+         ONE combine-enabled shuffle — the spine never touches raw events;
+      2. the spine is distinct-keys x sequence(min,max) — the 2-row bounds
+         relation is broadcast onto the key list, so spine generation is
+         narrow and its size is output-sized, not input-sized;
+      3. the LOCF window orders buckets per key: state is O(1) and the
+         partition size is the bucket count (e.g. 8760 for a year of
+         hours), never the event count — safe for arbitrarily hot keys.
+    """
+    bucketed = bucket_last(df, key_col, ts_col, val_col, seq_col, unit)
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("mn"),
+        F.date_trunc(unit, F.max(ts_col)).alias("mx"),
+    )
+    spine = (
+        df.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"interval 1 {unit}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(bucketed, [key_col, "bucket_ts"], "left").select(
+        key_col,
+        "bucket_ts",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().cast("bigint").alias("observed"),
+    )

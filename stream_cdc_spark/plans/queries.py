@@ -31,7 +31,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stream_cdc_spark.operators import batching, compaction, dedup, similarity, text
+from stream_cdc_spark.operators import (
+    batching,
+    compaction,
+    dedup,
+    similarity,
+    temporal,
+    text,
+)
 from stream_cdc_spark.tables import load
 
 
@@ -4346,3 +4353,50 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
     )
     aug = d.select("doc_id", "text").unionByName(planted)
     return dedup.remove_duplicated_segments(aug, k=8, min_df=2).orderBy("doc_id")
+
+
+@_register(
+    "q106_gapfill_locf",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    b AS (SELECT event_type, bucket_ts, value AS v FROM ranked WHERE rn = 1),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT k.event_type,
+             unnest(generate_series(bounds.mn, bounds.mx, INTERVAL 1 HOUR))
+               AS bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) k, bounds
+    )
+    SELECT s.event_type, s.bucket_ts,
+           LAST_VALUE(b.v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           CAST(b.v IS NOT NULL AS BIGINT) AS observed
+    FROM spine s LEFT JOIN b
+      ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+    ORDER BY s.event_type, s.bucket_ts
+    """,
+    doc="Hypertable gap-fill + LOCF (TimescaleDB time_bucket_gapfill "
+    "shape; temporal.gapfill_locf): dense hourly spine per event_type "
+    "over the observed range, each bucket carrying the latest observation "
+    "at-or-before it, NULL before a key's first event. value is COPIED, "
+    "never arithmetically combined, so doubles hash bit-identically "
+    "across engines. Scale shape: raw events collapse to keys x buckets "
+    "in one combine-enabled shuffle (struct-max, no raw-row window); the "
+    "spine is generated from a broadcast 2-row bounds relation; the LOCF "
+    "window partition is bucket-count-sized (720 here), independent of "
+    "how hot a key's event stream is.",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return temporal.gapfill_locf(
+        ev, "event_type", "ts", "value", "event_id", unit="hour"
+    ).orderBy("event_type", "bucket_ts")

@@ -4400,3 +4400,53 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     return temporal.gapfill_locf(
         ev, "event_type", "ts", "value", "event_id", unit="hour"
     ).orderBy("event_type", "bucket_ts")
+
+
+@_register(
+    "q107_sq8_ann_topk",
+    """
+    WITH q AS (
+      SELECT vec_id + 100000 AS q_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.002) AS qv
+      FROM embeddings WHERE vec_id < 25
+    ),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT q_id, c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(qv, cv)) AS BIGINT) AS sim_bp,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY FLOOR(10000 * list_cosine_similarity(qv, cv)) DESC, c_id
+             ) AS rn
+      FROM q, c
+    )
+    SELECT q_id, c_id, sim_bp FROM s WHERE rn = 1 AND sim_bp >= 9500
+    ORDER BY q_id
+    """,
+    doc="INT8 scalar-quantized ANN with exact re-rank (faiss "
+    "IndexScalarQuantizer / Milvus SQ8 tier; similarity.sq8_ann_topk): "
+    "the scan ranks candidates by integer dot product over an 8x-smaller "
+    "int8 representation (the bandwidth the 100 TB scan actually pays), "
+    "then re-ranks the top-64 survivors at full precision. Same planted "
+    "25-query setup and full-corpus exact-top-1 oracle as q29, so a "
+    "hash-match proves the quantized candidate scan recalled every true "
+    "nearest neighbor — SQ8's ~1/254 per-element error against a corpus "
+    "whose best genuine pair is ~0.52 cosine leaves a huge margin "
+    "(worst-case true-top-1 approx rank measured in "
+    "tests/test_sq8_margin.py).",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = _checked_plant_offset(emb, "vec_id", sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
+    )
+    res = similarity.sq8_ann_topk(emb, qs, k=1, n_candidates=64)
+    return (
+        res.filter(F.col("sim_bp") >= 9500)
+        .select("q_id", "c_id", "sim_bp")
+        .orderBy("q_id")
+    )

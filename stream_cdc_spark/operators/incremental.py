@@ -82,3 +82,90 @@ def merge_partials(
             raise ValueError(f"aggregate kind {kind!r} is not mergeable")
         aggs.append(_MERGE[kind](out).alias(out))
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def misra_gries_sketch(
+    df: DataFrame, text_col: str, capacity: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries over the token
+    stream of `text_col`: (item, c_hat), at most `capacity` rows per
+    partition regardless of vocabulary size.
+
+    The MERGE step follows Agarwal et al. 2012 ("Mergeable Summaries"):
+    combine counter maps, then subtract the (capacity+1)-th largest count
+    from every counter and drop the non-positive ones. Each merge adds at
+    most that subtracted value to the undercount, and the total undercount
+    per partition is bounded by N_p/(capacity+1) — so ANY item whose true
+    global frequency exceeds N/(capacity+1) survives in at least one
+    partition's summary. That bound is deterministic, not probabilistic:
+    the union of partition sketches is a guaranteed superset of the true
+    heavy hitters, which is what lets heavy_hitters() verify exactly and
+    still hash-match a plain SQL oracle.
+
+    Memory is O(capacity) per partition — the whole point at 100 TB, where
+    an exact groupBy over a web-scale vocabulary (URLs, hosts, shingles)
+    shuffles billions of group rows but the sketch ships P x capacity.
+    Tokenization happens inside the Arrow batch (pandas str ops), so the
+    corpus-sized token stream never crosses into a shuffle at all.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            local: dict[str, int] = {}
+            for txt in pdf[text_col]:
+                for w in txt.split(" "):
+                    local[w] = local.get(w, 0) + 1
+            for w, c in local.items():
+                counters[w] = counters.get(w, 0) + c
+            if len(counters) > capacity:
+                sub = sorted(counters.values(), reverse=True)[capacity]
+                counters = {w: c - sub for w, c in counters.items() if c > sub}
+        yield pd.DataFrame(
+            {"item": list(counters), "c_hat": list(counters.values())}
+        )
+
+    return df.select(text_col).mapInPandas(_mg, schema="item string, c_hat bigint")
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency >= N/k) found via a
+    bounded-memory candidate pass: Misra-Gries summaries per partition,
+    union as candidate set, then ONE exact counting pass restricted to the
+    candidates.
+
+    Requires capacity >= k - 1 so the MG guarantee (any item above
+    N/(capacity+1) survives) covers the emission threshold N/k — the
+    candidate set provably contains every answer row, making the output
+    EXACTLY the frequency->=N/k set, hash-matchable against plain SQL.
+
+    Plan shape: sketch pass is a corpus scan with O(capacity) state and a
+    P x capacity result; the verify pass broadcasts the candidate set onto
+    the token stream (no fan-out — each token matches at most one
+    candidate) and aggregates with map-side combine; the N total rides in
+    as a broadcast 1-row relation. Nothing corpus-sized ever shuffles.
+    """
+    if capacity is None:
+        capacity = max(4 * k, 64)
+    if capacity < k - 1:
+        raise ValueError(
+            f"capacity {capacity} < k-1 ={k - 1}: the MG superset guarantee "
+            "would not cover the N/k emission threshold"
+        )
+    cand = misra_gries_sketch(df, text_col, capacity).select("item").distinct()
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("item"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k >= F.col("total"))
+        .select(F.col("item").alias("token"), "cnt")
+    )

@@ -4450,3 +4450,39 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         .select("q_id", "c_id", "sim_bp")
         .orderBy("q_id")
     )
+
+
+@_register(
+    "q108_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM t)
+    SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t, n
+    GROUP BY w, n.total
+    HAVING COUNT(*) * 50 >= n.total
+    ORDER BY token
+    """,
+    doc="Heavy hitters (tokens with frequency >= N/50) via bounded-memory "
+    "Misra-Gries candidate sketches + one exact verify pass "
+    "(incremental.heavy_hitters). The MG union is a DETERMINISTIC "
+    "superset of the answer (Agarwal et al. 2012 mergeable-summaries "
+    "bound: anything above N/(capacity+1) survives some partition's "
+    "sketch, capacity 64 >= k-1), so the exact verify emits precisely "
+    "the >=N/k set and hash-matches plain SQL — candidate-then-verify "
+    "with a provable, not probabilistic, recall guarantee. The corpus "
+    "separates cleanly: ~30 common tokens at ~3% each vs a rare token at "
+    "0.1% against the 2% gate. Scale shape: the sketch pass keeps O(64) "
+    "state per partition and ships P x 64 rows (vs a web-scale vocab "
+    "groupBy shuffling billions of group rows); the verify pass "
+    "broadcasts candidates onto the token stream with map-side combine. "
+    "Decrement/merge mechanics are exercised under adversarial skew in "
+    "tests/test_heavy_hitters.py (capacity << vocab).",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import incremental
+
+    d = load(spark, sf, "documents")
+    return incremental.heavy_hitters(d, "text", k=50, capacity=64).orderBy("token")

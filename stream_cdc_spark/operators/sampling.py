@@ -19,7 +19,7 @@ full scan bandwidth at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 RATE_DENOM = 4096  # 16^3 — cutoff is exactly 3 hex digits
@@ -146,3 +146,83 @@ def shard_balance_audit(
             F.sum("_w").cast("bigint").alias("total_weight"),
         )
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    order_col: str,
+    tie_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum quota: keep at most `cap` rows per value
+    of `stratum_col`, ranked by md5(seed || order_col) with `tie_col` as
+    the total-order tiebreak.
+
+    This is the exact-quota counterpart of `stratified_sample`'s
+    rate-based keep/drop — the shape web-pipeline curation uses to cap
+    documents per domain/source (RefinedWeb / CCNet cap per host) so one
+    crawler-friendly site cannot dominate the mixture. Hash-ranking makes
+    the quota a uniform random-without-replacement draw that is stable
+    across runs, partitionings and incremental re-runs.
+
+    Plan shape: one hash-shuffle on the stratum + a per-stratum window.
+    A hot stratum serializes its window into one task, so for strata with
+    row counts >> cap, pre-thin with `hash_sample` at a rate that leaves
+    ~4x the cap (the draw stays uniform — a hash cutoff composes with
+    hash ranking), then apply the exact window to the survivors. The
+    planner below does that automatically when `prethin_rate_4096` — see
+    capped_sample_with_prethin.
+    """
+    rank_key = F.md5(
+        F.concat(F.lit(seed), F.col(order_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(tie_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def capped_sample_with_prethin(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    order_col: str,
+    tie_col: str,
+    seed: str = "",
+    headroom: int = 8,
+) -> DataFrame:
+    """per_key_cap for corpora with strata far larger than the cap: thin
+    each hot stratum with the hash cutoff FIRST (narrow filter, no
+    shuffle), then run the exact window on the survivors.
+
+    Equivalence: the window ranks by the same md5 digest the cutoff
+    filters on, and a cutoff that retains >= cap rows necessarily retains
+    the cap smallest digests — so the output is IDENTICAL to per_key_cap
+    whenever the thinning keeps >= cap rows per stratum. headroom=8 makes
+    the expected survivor count 8x the cap; the 3-hex cutoff granularity
+    (1/4096) is the only source of slack. The stratum-count planning
+    aggregate collects K rows (same planner shape as mixture_rates).
+
+    At 100 TB this turns a billion-row hot-domain window sort into a
+    ~8*cap-row one while keeping the draw bit-identical.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    rank_key = F.md5(F.concat(F.lit(seed), F.col(order_col).cast("string")))
+    # ceil division; full rate when the stratum is small
+    cut_rows = [
+        (r[stratum_col], hash_cutoff(min(RATE_DENOM, -(-RATE_DENOM * headroom * cap // r["n"]))))
+        for r in counts
+    ]
+    cuts = df.sparkSession.createDataFrame(
+        cut_rows, [stratum_col, "__cutoff"]
+    )
+    thinned = (
+        df.join(F.broadcast(cuts), stratum_col, "left")
+        .filter(F.substring(rank_key, 1, 3) < F.coalesce("__cutoff", F.lit("g")))
+        .drop("__cutoff")
+    )
+    return per_key_cap(thinned, stratum_col, cap, order_col, tie_col, seed)

@@ -4486,3 +4486,37 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return incremental.heavy_hitters(d, "text", k=50, capacity=64).orderBy("token")
+
+
+@_register(
+    "q109_source_capped_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id
+    """,
+    doc="Per-source document quota (RefinedWeb/CCNet cap-per-host shape; "
+    "sampling.per_key_cap): keep at most 10 docs per source, drawn "
+    "uniformly without replacement by ranking on md5(text) — "
+    "content-addressed, so the draw is stable across runs, partitionings "
+    "and incremental re-runs, and identical in Spark and DuckDB (both "
+    "emit lowercase-hex md5). Scale shape: one shuffle on source + a "
+    "per-source window; for strata >> cap, "
+    "sampling.capped_sample_with_prethin thins each hot source with the "
+    "same-digest hash cutoff first (bit-identical result, window input "
+    "~8x cap instead of the stratum size) — equivalence proven in "
+    "tests/test_per_key_cap.py.",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import sampling
+
+    d = load(spark, sf, "documents")
+    return (
+        sampling.per_key_cap(d, "source", 10, "text", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

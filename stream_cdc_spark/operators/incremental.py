@@ -84,6 +84,24 @@ def merge_partials(
     return merged.groupBy(*keys).agg(*aggs)
 
 
+def mg_combine(
+    counters: dict[str, int], local: dict[str, int], capacity: int
+) -> dict[str, int]:
+    """One Misra-Gries MERGE step (Agarwal et al. 2012): combine two
+    counter maps, subtract the (capacity+1)-th largest combined count from
+    everything, keep the strictly-positive rest. Each call adds at most the
+    subtracted value to every item's undercount; summed over a stream the
+    total undercount stays <= N/(capacity+1). Shared by the batch
+    per-partition sketch and the streaming per-key maintenance
+    (streaming/stateful.py) so both tiers carry the same guarantee."""
+    for w, c in local.items():
+        counters[w] = counters.get(w, 0) + c
+    if len(counters) > capacity:
+        sub = sorted(counters.values(), reverse=True)[capacity]
+        counters = {w: c - sub for w, c in counters.items() if c > sub}
+    return counters
+
+
 def misra_gries_sketch(
     df: DataFrame, text_col: str, capacity: int = 64
 ) -> DataFrame:
@@ -120,11 +138,7 @@ def misra_gries_sketch(
             for txt in pdf[text_col]:
                 for w in txt.split(" "):
                     local[w] = local.get(w, 0) + 1
-            for w, c in local.items():
-                counters[w] = counters.get(w, 0) + c
-            if len(counters) > capacity:
-                sub = sorted(counters.values(), reverse=True)[capacity]
-                counters = {w: c - sub for w, c in counters.items() if c > sub}
+            counters = mg_combine(counters, local, capacity)
         yield pd.DataFrame(
             {"item": list(counters), "c_hat": list(counters.values())}
         )

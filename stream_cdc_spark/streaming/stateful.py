@@ -364,3 +364,159 @@ def hll_distinct_stream(
             "n_approx"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous heavy-hitter maintenance (streaming twin of q108's Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+HEAVY_HITTER_OUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("item", StringType(), False),
+        StructField("c_hat", LongType(), False),
+    ]
+)
+
+HEAVY_HITTER_STATE = StructType(
+    [
+        StructField("items", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+    ]
+)
+
+
+class _HeavyHitterProcessor:
+    """StatefulProcessor maintaining one bounded Misra-Gries counter map
+    per key and emitting the full current summary each micro-batch.
+
+    Unlike HLL (hll_distinct_stream, where a built-in typed aggregate
+    already IS the sketch), Spark has no MG aggregate, so this is genuine
+    transformWithState territory. The whole state is <= capacity entries
+    BY CONSTRUCTION — the sketch's memory bound is the operator's state
+    bound, so per-key state can never outgrow the store no matter how
+    large the key's vocabulary gets. The undercount guarantee
+    (<= N_key/(capacity+1), incremental.mg_combine) survives micro-batch
+    slicing and restarts because MERGE error is additive over any
+    partitioning of the stream.
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+
+    def init(self, handle) -> None:
+        self.sketch = handle.getValueState(
+            "sketch", "items ARRAY<STRING>, counts ARRAY<BIGINT>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        from stream_cdc_spark.operators.incremental import mg_combine
+
+        if self.sketch.exists():
+            items, counts = self.sketch.get()
+            counters = dict(zip(items, (int(c) for c in counts)))
+        else:
+            counters = {}
+        local: dict[str, int] = {}
+        for pdf in rows:
+            for item in pdf["item"]:
+                local[item] = local.get(item, 0) + 1
+        counters = mg_combine(counters, local, self.capacity)
+        self.sketch.update((list(counters), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(counters),
+                "item": list(counters),
+                "c_hat": list(counters.values()),
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _heavy_hitter_legacy(capacity: int):
+    """applyInPandasWithState fallback carrying the same <= capacity-entry
+    state blob — here the blob layout is NOT a scale compromise (unlike
+    write-dedup's seen-set): MG state is capacity-bounded by definition."""
+
+    def inner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from stream_cdc_spark.operators.incremental import mg_combine
+
+        if state.exists:
+            items, counts = state.get
+            counters = dict(zip(items, (int(c) for c in counts)))
+        else:
+            counters = {}
+        local: dict[str, int] = {}
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                local[item] = local.get(item, 0) + 1
+        counters = mg_combine(counters, local, capacity)
+        state.update((list(counters), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(counters),
+                "item": list(counters),
+                "c_hat": list(counters.values()),
+            }
+        )
+
+    return inner
+
+
+def heavy_hitter_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 64,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Continuously maintained per-key heavy-hitter candidates — the
+    streaming twin of q108 (incremental.heavy_hitters): after draining any
+    prefix of the stream, each key's emitted summary is a deterministic
+    superset of its items with frequency > N_key/(capacity+1), with
+    undercounts bounded by the same margin (Misra-Gries MERGE bound,
+    shared implementation incremental.mg_combine).
+
+    Output (key, item, c_hat), <= capacity rows per key per micro-batch,
+    outputMode update. The exact-verify pass that turns candidates into
+    the precise >= N/k set stays a batch join (q108) — streaming emits the
+    monitoring view ("top talkers per partition key"), batch certifies.
+    """
+    keyed = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"CAST({item_col} AS STRING) AS item",
+    )
+    if use_transform_with_state is None:
+        use_transform_with_state = transform_with_state_available()
+    if use_transform_with_state:
+        from pyspark.sql.streaming import StatefulProcessor
+
+        proc_cls = type(
+            "_HeavyHitterStatefulProcessor",
+            (_HeavyHitterProcessor, StatefulProcessor),
+            {},
+        )
+        return keyed.groupBy("key").transformWithStateInPandas(
+            statefulProcessor=proc_cls(capacity),
+            outputStructType=HEAVY_HITTER_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _heavy_hitter_legacy(capacity),
+        outputStructType=HEAVY_HITTER_OUT,
+        stateStructType=HEAVY_HITTER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

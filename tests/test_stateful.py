@@ -385,3 +385,106 @@ def test_hll_distinct_stream_restart_converges_to_batch(spark, tmp_path):
     for r in batch.collect():
         assert got[r.event_type] == r.n_approx, (r.event_type, got[r.event_type], r.n_approx)
         assert abs(got[r.event_type] - r.n_exact) <= 0.05 * r.n_exact
+
+
+def test_heavy_hitter_stream_restart_keeps_mg_guarantee(spark, tmp_path):
+    """Streaming MG maintenance (twin of q108): drain the events table in
+    two runs with a checkpoint restart in between; each key's final
+    summary must stay capacity-bounded, be a superset of the true
+    > N_key/(capacity+1) items, and undercount by at most that margin —
+    the Misra-Gries MERGE bound is additive over any slicing of the
+    stream, so neither micro-batching nor the restart can break it."""
+    import os
+
+    from stream_cdc_spark.streaming.stateful import heavy_hitter_stream
+
+    ev = load(spark, SF_SMALL, "events").select("event_type", "user_id")
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt-hh")
+    outdir = str(tmp_path / "out-hh")
+    os.makedirs(indir, exist_ok=True)
+
+    parts = (
+        ev.repartition(6)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+
+    def write_slice(i, rows):
+        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+
+    def emit(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    CAP = 16
+
+    def run_to_completion():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/slice=*")
+        )
+        q = (
+            heavy_hitter_stream(stream, "event_type", "user_id", capacity=CAP)
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, rows in parts[:3]:
+        write_slice(i, rows)
+    run_to_completion()
+    for i, rows in parts[3:]:
+        write_slice(i, rows)
+    run_to_completion()  # restart from checkpoint
+
+    emitted = spark.read.parquet(outdir)
+    from pyspark.sql import Window
+
+    last_batch = emitted.agg(F.max("batch_id")).first()[0]
+    # the final micro-batch's emission is the complete current sketch for
+    # every key that saw input in it; reconstruct per-key latest summaries
+    latest = (
+        emitted.withColumn(
+            "last_b",
+            F.max("batch_id").over(Window.partitionBy("key")),
+        )
+        .filter(F.col("batch_id") == F.col("last_b"))
+        .select("key", "item", "c_hat")
+    )
+    sketches: dict[str, dict[str, int]] = {}
+    for r in latest.collect():
+        sketches.setdefault(r["key"], {})[r["item"]] = r["c_hat"]
+
+    exact = (
+        ev.groupBy(
+            F.col("event_type").cast("string").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    true_counts: dict[str, dict[str, int]] = {}
+    for r in exact:
+        true_counts.setdefault(r["key"], {})[r["item"]] = r["n"]
+
+    assert set(sketches) == set(true_counts)
+    for key, tc in true_counts.items():
+        sk = sketches[key]
+        assert len(sk) <= CAP
+        n_key = sum(tc.values())
+        bound = n_key / (CAP + 1)
+        for item, true_n in tc.items():
+            if true_n > bound:
+                assert item in sk, (key, item, true_n, bound)
+        for item, c_hat in sk.items():
+            assert c_hat <= tc[item]
+            assert tc[item] - c_hat <= bound
+    assert last_batch is not None and last_batch >= 3  # restart really resumed

@@ -4147,36 +4147,44 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 
 # Round-4 rotation: after round 3 every one of the 99 registry queries has
 # at least one fully-green driver row (never-green set is empty,
-# CORRECTNESS_r01∪r02∪r03), so the window's job shifts to freshness: the 49
-# queries whose latest green row is from round 1 or 2 (and therefore
-# predates the ts-loader fix and the current testdata generation), plus one
-# continuity anchor for the operator whose code changed this round
-# (SizeFilter grew the real claim-check offload -> q06).
+# CORRECTNESS_r01∪r02∪r03). Priority order inside the 50-slot window:
+# (1) the 10 queries ADDED this round (q100-q109) — never driver-checked,
+# so they outrank freshness; (2) queries whose latest green row is from
+# round 1 or 2 (predating the ts-loader fix and the current testdata
+# generation); (3) one continuity anchor for the operator whose code
+# changed this round (SizeFilter grew the real claim-check offload ->
+# q06). The 10 round-1-stale queries displaced by (1) — q04 q09 q11 q16
+# q33 q35 q36 q45 q46 q50 — are the ones whose plan shape is duplicated
+# by an in-window sibling (window fns: q32/q49; set ops: q17-green-r3;
+# rollup: q18; correlated subqueries: TPC-H q17/q22; string exprs: q41)
+# and all 109 stay value-checked every session by
+# tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 23 queries last driver-green in round 1:
-    "q04_last_position",
-    "q09_changed_keys_semi_join",
-    "q11_scalar_pipeline",
+    # 10 queries added in round 4 — never driver-checked:
+    "q100_language_mix_report",
+    "q101_cross_source_duplication",
+    "q102_vocab_growth",
+    "q103_lm_doc_fluency",
+    "q104_semantic_dedup",
+    "q105_segment_removal",
+    "q106_gapfill_locf",
+    "q107_sq8_ann_topk",
+    "q108_heavy_hitters",
+    "q109_source_capped_sample",
+    # 13 queries last driver-green in round 1:
     "q14_tpch_q3",
     "q15_star_join_revenue",
-    "q16_top_k_orders",
     "q18_rollup_value",
     "q20_token_stats",
     "q22_lang_id",
     "q23_doc_fingerprint",
     "q32_running_total",
-    "q33_lag_delta",
-    "q35_having_filter",
-    "q36_set_except",
     "q37_pivot_counts",
     "q38_discrete_percentiles",
     "q39_near_dedup_filter",
     "q40_token_frequencies",
     "q41_regex_tokens",
     "q42_vector_stats",
-    "q45_date_rollup",
-    "q46_above_customer_avg",
-    "q50_string_pipeline",
     # 26 queries last driver-green in round 2:
     "q21_quality_scores",
     "q25_ann_bruteforce_topk",
@@ -4272,12 +4280,9 @@ _DRIVER_WINDOW_R3 = [
 ]
 
 assert len(_DRIVER_WINDOW_R3) == 50, len(_DRIVER_WINDOW_R3)
-_window = set(_DRIVER_WINDOW_R4)
-assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
-QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R4},
-    **{n: s for n, s in QUERIES.items() if n not in _window},
-}
+# NOTE: the registry reorder that puts _DRIVER_WINDOW_R4 first happens at
+# the very bottom of this module, AFTER every @_register call — q105-q109
+# are registered below this point and must be reorderable into the window.
 
 
 @_register(
@@ -4520,3 +4525,14 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# Reorder the registry so the driver's 50-query verification window (the
+# first 50 entries) is exactly _DRIVER_WINDOW_R4. This must stay the last
+# statement in the module — every @_register call above contributes.
+_window = set(_DRIVER_WINDOW_R4)
+assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R4},
+    **{n: s for n, s in QUERIES.items() if n not in _window},
+}

@@ -81,19 +81,25 @@ def test_no_cartesian_outside_intended(spark):
 
 def test_driver_window_matches_round4_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-4 policy: with the never-green set empty after r1∪r2∪r3, the
-    window is the 49 queries whose latest green row predates round 3 plus
-    the claim-check continuity anchor (rationale at the bottom of
-    plans/queries.py). Everything outside the window has a round-3 green
-    driver row and stays covered by the repo oracle suite."""
+    Round-4 policy: the 10 queries added this round (q100-q109, never
+    driver-checked) come first, then 39 queries whose latest green row
+    predates round 3, then the claim-check continuity anchor (rationale
+    above _DRIVER_WINDOW_R4 in plans/queries.py). Everything outside the
+    window has a round-3 green driver row and stays value-checked by the
+    repo oracle suite."""
     from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R4
 
     names = list(QUERIES)
     assert len(_DRIVER_WINDOW_R4) == 50
     assert len(set(_DRIVER_WINDOW_R4)) == 50
     assert names[:50] == _DRIVER_WINDOW_R4
+    # every round-4 addition is inside the window:
+    new_this_round = [n for n in names if n.startswith("q10") and
+                      n.split("_")[0][1:].isdigit() and
+                      int(n.split("_")[0][1:]) >= 100]
+    assert set(new_this_round) <= set(_DRIVER_WINDOW_R4), new_this_round
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 104
+    assert len(names) == len(set(names)) == 109
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -3992,23 +3992,33 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     "running vocabulary size — the coverage report for tokenizer training "
     "cutoffs. MapReduce shape: explode->distinct->min-per-token (all "
     "partial-aggregated) collapses the corpus to first-appearance rows, "
-    "which decay per Heaps' law; the final running sum orders that small "
-    "audit relation (bucketed prefix-sums are the documented path if the "
-    "curve itself outgrows one partition).",
+    "which decay per Heaps' law; the running vocabulary size is the "
+    "two-pass bucketed prefix sum (operators/prefixsum.py) — range-bucket "
+    "on doc position, local running sums, broadcast per-bucket offsets — "
+    "so no task ever holds more than one bucket even though the audit "
+    "relation is one row per document.",
 )
 def q102(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.prefixsum import distributed_prefix_sum
+
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     per_doc = firsts.groupBy("first_doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_words")
     )
-    w = Window.orderBy("first_doc").rowsBetween(Window.unboundedPreceding, 0)
-    return per_doc.select(
-        F.col("first_doc").alias("doc_id"),
-        "new_words",
-        F.sum("new_words").over(w).cast("bigint").alias("vocab_size"),
-    ).orderBy("doc_id")
+    # Running vocab size via the two-pass bucketed prefix sum — per_doc
+    # is one row per document (billions at 100 TB), so the naive global
+    # window would single-partition the whole audit relation.
+    return (
+        distributed_prefix_sum(per_doc, "first_doc", "new_words", "vocab_size")
+        .select(
+            F.col("first_doc").alias("doc_id"),
+            "new_words",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @_register(

@@ -239,6 +239,46 @@ def minhash_signatures(
     )
 
 
+def band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH band keys for a (id, signature) relation: (id, band, key).
+
+    key = xxhash64 over the band's signature slice. This relation IS the
+    persistent dedup index: written as a (band, key)-bucketed table it
+    lets later batches probe for near-dup candidates without touching the
+    corpus (see incremental_verified_dedup)."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col("signature").getItem(b * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Build the (id, band, key) MinHash-LSH index for a corpus. In
+    production this is materialized once (bucketed by (band, key)) and
+    maintained incrementally as batches are admitted."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return band_buckets(sig, num_hashes, bands)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -258,21 +298,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingle_rel)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("signature").getItem(b * rows_per_band + r) for r in range(rows_per_band)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
     # Slim banding join: only (id, band, key) rides the bucket self-join and
     # the dropDuplicates shuffle — the 64-long signature array (~0.5 KB/row)
     # stays out of both exchanges and is re-attached once per *surviving*
     # candidate pair from the slim signature relation (candidates << corpus,
     # so AQE typically broadcasts them into the rejoin).
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = band_buckets(sig, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand_ids = (
@@ -352,6 +383,166 @@ def minhash_lsh_verified_pairs(
         .filter(jac >= F.lit(float(threshold_ppm)))
         .select(
             "id_a", "id_b", F.floor(jac).cast("bigint").alias("jaccard_ppm")
+        )
+    )
+
+
+def incremental_verified_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold_ppm: int = 800_000,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Admit a new batch against an already-deduped, LSH-indexed corpus —
+    the production incremental shape: as batches stream in (the CDC feed
+    this engine ingests), each is deduped against the accumulated corpus
+    WITHOUT reprocessing the corpus.
+
+    Cost model at 100 TB: the corpus contributes (a) its band index — one
+    streamed probe join, never shuffled when ``broadcast_batch`` holds the
+    batch's (id, band, key) relation on every executor (batch << corpus,
+    the steady state) — and (b) text for only the candidate-matched corpus
+    docs (semi-join pushdown before shingling). Everything else is
+    proportional to the batch.
+
+    Decision rule (matches q39's non-chained min-id convention): a new doc
+    is dropped iff its exact word-k-gram Jaccard is >= threshold against
+    any corpus doc or any batch doc with a smaller id; ``dup_of`` is the
+    least such id. Candidate generation is MinHash-LSH (bands x rows over
+    num_hashes), verification is exact — sketch for recall, exact check
+    for precision, so the output is engine-independent and oracle-checkable.
+
+    Returns one row per batch doc: (id_col, keep BOOLEAN, dup_of BIGINT
+    nullable).
+    """
+    new_buckets = minhash_band_index(new_df, text_col, id_col, k, num_hashes, bands)
+    if broadcast_batch:
+        new_buckets = F.broadcast(new_buckets)
+    if index is None:
+        index = minhash_band_index(corpus_df, text_col, id_col, k, num_hashes, bands)
+
+    nb = new_buckets.select(
+        F.col("id").alias("new_id"), "band", "key"
+    )
+    # batch x corpus: probe the index; batch x batch: bucket self-join.
+    cand_corpus = (
+        index.join(nb, ["band", "key"])
+        .select("new_id", F.col("id").alias("other_id"))
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    nb2 = new_buckets.select(F.col("id").alias("other_id"), "band", "key")
+    cand_batch = (
+        nb.join(nb2, ["band", "key"])
+        .filter(F.col("other_id") < F.col("new_id"))
+        .select("new_id", "other_id")
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    cand = cand_corpus.unionByName(cand_batch).dropDuplicates(["new_id", "other_id"])
+
+    # Exact verification: shingle only the batch plus the candidate-matched
+    # corpus docs (semi-join prunes the corpus scan to candidates).
+    touched = corpus_df.join(
+        cand.select(F.col("other_id").alias(id_col)).dropDuplicates(),
+        id_col,
+        "left_semi",
+    )
+    sh = shingles(new_df.unionByName(touched), text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.select(F.col("id").alias("new_id"), "shingle"), "new_id")
+        .join(sh.select(F.col("id").alias("other_id"), "shingle"), ["other_id", "shingle"])
+        .groupBy("new_id", "other_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.lit(1_000_000.0) * F.col("shared") / (
+        F.col("n_new") + F.col("n_other") - F.col("shared")
+    )
+    dup_of = (
+        shared.join(
+            sizes.select(F.col("id").alias("new_id"), F.col("n_sh").alias("n_new")),
+            "new_id",
+        )
+        .join(
+            sizes.select(F.col("id").alias("other_id"), F.col("n_sh").alias("n_other")),
+            "other_id",
+        )
+        .filter(jac >= F.lit(float(threshold_ppm)))
+        .groupBy("new_id")
+        .agg(F.min("other_id").alias("dup_of"))
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(dup_of.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_ppm: int = 900_000,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-containment detection: asymmetric shingle overlap
+    |A ∩ B| / |A| — doc A mostly contained in doc B even when symmetric
+    Jaccard is low (a paragraph quoted inside a long page, boilerplate
+    wrapped around distinct bodies). Jaccard-threshold dedup structurally
+    misses these: J(A,B) <= |A|/|B|, so a 10x longer host page caps
+    Jaccard at 0.1 while containment is ~1.0.
+
+    Same scalable shape as ngram_jaccard_pairs — df-capped shingle
+    equi-join materializes only co-shingled pairs, never n^2; per-pair
+    state is counts, all shuffles partial-aggregated. Emits BOTH
+    orientations: (id_in, id_out, containment_ppm) with containment =
+    shared / n_in >= threshold, id_in != id_out.
+    """
+    sh = stop_shingle_filter(
+        shingles(df, text_col, id_col, k), max_df, detect_rate_4096=32
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    joined = shared.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    # Both orientations from the ordered pair relation.
+    fwd = joined.select(
+        F.col("id_a").alias("id_in"),
+        F.col("id_b").alias("id_out"),
+        (F.lit(1_000_000.0) * F.col("shared") / F.col("n_a")).alias("ratio"),
+    )
+    rev = joined.select(
+        F.col("id_b").alias("id_in"),
+        F.col("id_a").alias("id_out"),
+        (F.lit(1_000_000.0) * F.col("shared") / F.col("n_b")).alias("ratio"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("ratio") >= F.lit(float(threshold_ppm)))
+        .select(
+            "id_in",
+            "id_out",
+            F.floor(F.col("ratio")).cast("bigint").alias("containment_ppm"),
         )
     )
 

@@ -4170,7 +4170,9 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 10 queries added in round 4 — never driver-checked:
+    # 12 queries added in round 4 — never driver-checked:
+    "q110_incremental_dedup",
+    "q111_containment_pairs",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4181,15 +4183,15 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 13 queries last driver-green in round 1:
+    # 11 queries last driver-green in round 1 (q32/q37 displaced by the
+    # two late round-4 additions — their shapes are covered by in-window
+    # siblings q49/q97-r02 and q18/q47-r03):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
     "q20_token_stats",
     "q22_lang_id",
     "q23_doc_fingerprint",
-    "q32_running_total",
-    "q37_pivot_counts",
     "q38_discrete_percentiles",
     "q39_near_dedup_filter",
     "q40_token_frequencies",
@@ -4534,6 +4536,103 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         sampling.per_key_cap(d, "source", 10, "text", "doc_id")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q110_incremental_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT n.id AS new_id, o.id AS other_id, COUNT(*) AS shared
+      FROM sh n JOIN sh o ON n.shingle = o.shingle AND n.id <> o.id
+      WHERE n.id % 7 = 3 AND (o.id % 7 <> 3 OR o.id < n.id)
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT new_id, MIN(other_id) AS dup_of
+      FROM shared
+      JOIN sizes sn ON new_id = sn.id
+      JOIN sizes so ON other_id = so.id
+      WHERE 1000000.0 * shared / (sn.n_sh + so.n_sh - shared) >= 800000.0
+      GROUP BY new_id
+    )
+    SELECT b.doc_id, d.dup_of IS NULL AS keep, CAST(d.dup_of AS BIGINT) AS dup_of
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) b
+    LEFT JOIN dup d ON b.doc_id = d.new_id
+    ORDER BY doc_id
+    """,
+    doc="Incremental batch admission against an LSH-indexed corpus "
+    "(dedup.incremental_verified_dedup): docs with doc_id%7=3 play the "
+    "arriving batch, the rest the already-deduped corpus. Candidates come "
+    "from probing the corpus's (band, key) MinHash index with the batch's "
+    "band keys (batch relation broadcast, corpus index streamed — never "
+    "shuffled) plus a batch-internal bucket self-join; each candidate is "
+    "verified with exact word-3-shingle Jaccard >= 0.8, touching corpus "
+    "text only for candidate-matched ids (left-semi pushdown). Non-chained "
+    "min-id rule as q39. The oracle enumerates ALL qualifying pairs "
+    "exactly, so a hash match proves 100% LSH candidate recall on the "
+    "batch-vs-corpus pair set (a subset of q27's proven pair set, same "
+    "bands/rows/threshold, same drift guard).",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 3)
+    corpus = d.filter(F.col("doc_id") % 7 != 3)
+    return (
+        dedup.incremental_verified_dedup(batch, corpus)
+        .select("doc_id", "keep", "dup_of")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q111_containment_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+    ),
+    oriented AS (
+      SELECT id_a AS id_in, id_b AS id_out, shared, n_a AS n_in FROM pairs
+      UNION ALL
+      SELECT id_b AS id_in, id_a AS id_out, shared, n_b AS n_in FROM pairs
+    )
+    SELECT id_in, id_out,
+           CAST(FLOOR(1000000.0 * shared / n_in) AS BIGINT) AS containment_ppm
+    FROM oriented
+    WHERE 1000000.0 * shared / n_in >= 900000.0
+    ORDER BY id_in, id_out
+    """,
+    doc="Near-containment pairs (dedup.containment_pairs): asymmetric "
+    "shingle overlap |A∩B|/|A| >= 0.9 — catches a short doc engulfed in a "
+    "long one (quoted paragraphs, boilerplate hosts) that Jaccard dedup "
+    "structurally misses since J(A,B) <= |A|/|B|. Same df-capped shingle "
+    "equi-join shape as q24: only co-shingled pairs materialize, counts "
+    "(not rows) ride every shuffle; both orientations derived from the "
+    "one ordered pair aggregate. FLOOR-ppm quantization for cross-engine "
+    "determinism.",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        dedup.containment_pairs(d)
+        .select("id_in", "id_out", "containment_ppm")
+        .orderBy("id_in", "id_out")
     )
 
 

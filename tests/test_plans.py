@@ -94,12 +94,13 @@ def test_driver_window_matches_round4_rotation():
     assert len(set(_DRIVER_WINDOW_R4)) == 50
     assert names[:50] == _DRIVER_WINDOW_R4
     # every round-4 addition is inside the window:
-    new_this_round = [n for n in names if n.startswith("q10") and
-                      n.split("_")[0][1:].isdigit() and
-                      int(n.split("_")[0][1:]) >= 100]
+    new_this_round = [
+        n for n in names
+        if n.split("_")[0][1:].isdigit() and int(n.split("_")[0][1:]) >= 100
+    ]
     assert set(new_this_round) <= set(_DRIVER_WINDOW_R4), new_this_round
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 109
+    assert len(names) == len(set(names)) == 111
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -520,3 +520,247 @@ def heavy_hitter_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous near-dup admission (streaming twin of q110's incremental dedup)
+# ---------------------------------------------------------------------------
+
+
+LSH_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dup_of", LongType(), False),
+        StructField("agree_ppm", LongType(), False),
+    ]
+)
+
+LSH_DEDUP_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("sigs", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _bucket_matches(members, pdfs, num_hashes, min_agree, max_bucket):
+    """Shared per-bucket admission scan for both state APIs.
+
+    ``members``: list of (doc_id, signature tuple) already in the bucket.
+    Returns (match rows, updated members). Rows are normalized to
+    (max(id), min(id)) regardless of arrival order, matching the batch
+    family's id_a < id_b convention under out-of-order delivery.
+    """
+    known = {m[0] for m in members}
+    arrivals = []
+    for pdf in pdfs:
+        for did, sig in zip(pdf["doc_id"], pdf["signature"]):
+            arrivals.append((int(did), tuple(int(x) for x in sig)))
+    arrivals.sort()
+    out_doc, out_dup, out_agree = [], [], []
+    for did, sig in arrivals:
+        if did in known:
+            continue  # redelivery — already admitted, nothing to emit
+        for mid, msig in members:
+            agree = sum(a == b for a, b in zip(sig, msig))
+            if agree / num_hashes >= min_agree:
+                lo, hi = (mid, did) if mid < did else (did, mid)
+                out_doc.append(hi)
+                out_dup.append(lo)
+                out_agree.append(1_000_000 * agree // num_hashes)
+        known.add(did)
+        if len(members) < max_bucket:
+            members.append((did, sig))
+    return (out_doc, out_dup, out_agree), members
+
+
+class _LshDedupProcessor:
+    """StatefulProcessor holding one LSH bucket's membership: the arriving
+    doc's signature is compared against every resident of its (band, key)
+    bucket; agreements >= min_agree emit a near-dup match immediately, in
+    the same micro-batch the doc arrives — the continuous form of q110's
+    batch admission (sketch-level decision; the exact-Jaccard certificate
+    stays a batch join over the emitted candidates, mirroring
+    heavy_hitter_stream's candidates-now/certify-later split).
+
+    State is bounded by ``max_bucket`` members per bucket (hot buckets —
+    boilerplate bands — stop admitting new residents but still match
+    against the existing ones, the same guard as the batch side's
+    hot-bucket split), so per-key state cannot grow with the corpus.
+    """
+
+    def __init__(self, num_hashes: int, min_agree: float, max_bucket: int):
+        self.num_hashes = num_hashes
+        self.min_agree = min_agree
+        self.max_bucket = max_bucket
+
+    def init(self, handle) -> None:
+        self.bucket = handle.getValueState(
+            "bucket", "ids ARRAY<BIGINT>, sigs ARRAY<ARRAY<BIGINT>>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self.bucket.exists():
+            ids, sigs = self.bucket.get()
+            members = [
+                (int(i), tuple(int(x) for x in s)) for i, s in zip(ids, sigs)
+            ]
+        else:
+            members = []
+        (docs, dups, agrees), members = _bucket_matches(
+            members, rows, self.num_hashes, self.min_agree, self.max_bucket
+        )
+        self.bucket.update(
+            ([m[0] for m in members], [list(m[1]) for m in members])
+        )
+        if docs:
+            yield pd.DataFrame(
+                {"doc_id": docs, "dup_of": dups, "agree_ppm": agrees}
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _lsh_dedup_legacy(num_hashes: int, min_agree: float, max_bucket: int):
+    """applyInPandasWithState fallback: bucket membership rides in one
+    per-bucket blob. Bounded by max_bucket, so (as with Misra-Gries) the
+    blob layout is not a scale compromise."""
+
+    def inner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sigs = state.get
+            members = [
+                (int(i), tuple(int(x) for x in s)) for i, s in zip(ids, sigs)
+            ]
+        else:
+            members = []
+        (docs, dups, agrees), members = _bucket_matches(
+            members, pdfs, num_hashes, min_agree, max_bucket
+        )
+        state.update(
+            ([m[0] for m in members], [list(m[1]) for m in members])
+        )
+        if docs:
+            yield pd.DataFrame(
+                {"doc_id": docs, "dup_of": dups, "agree_ppm": agrees}
+            )
+
+    return inner
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_agree: float = 0.8,
+    max_bucket: int = 64,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Continuous near-duplicate admission over a document stream — the
+    streaming twin of dedup.incremental_verified_dedup: every arriving doc
+    is checked against all previously admitted docs and flagged in the
+    micro-batch it arrives, with the accumulated corpus living in the
+    state store instead of a re-scanned table.
+
+    Shape: MinHash signatures are computed NARROWLY per row
+    (array_min over the shingle array — no explode, no aggregate, no
+    shuffle; the values are identical to the batch minhash_signatures
+    family because the hash expression xxhash64(shingle, i) is shared),
+    then each doc fans out to its ``bands`` (band, key) buckets and the
+    stateful operator compares it against the bucket's residents. State
+    per bucket is capped at max_bucket (id, signature) pairs; per-doc
+    state across the store is bands rows — linear in admitted docs,
+    RocksDB-capable.
+
+    Emits (doc_id, dup_of, agree_ppm) per matching resident with
+    agreement >= min_agree; a pair colliding in several bands is emitted
+    once per band — consumers dedup per micro-batch (foreachBatch
+    dropDuplicates), exactly as the batch path's dropDuplicates does.
+    Sketch-level decision (engine-specific hash), hence unit/restart
+    tested rather than SQL-oracled; the exact-verify certificate is the
+    batch join of q110 over the emitted candidates.
+    """
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.dedup import shingle_array
+
+    sh = shingle_array(text_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    rows_per_band = num_hashes // bands
+    keyed = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            sig.alias("signature"),
+        )
+        .filter(F.size("signature") > 0)
+        .filter(~F.array_contains(F.transform(
+            F.col("signature"), lambda x: x.isNull()), F.lit(True)))
+        .select(
+            "doc_id",
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("signature").getItem(
+                                        b * rows_per_band + r
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+            "doc_id",
+            "signature",
+        )
+    )
+    if use_transform_with_state is None:
+        use_transform_with_state = transform_with_state_available()
+    if use_transform_with_state:
+        from pyspark.sql.streaming import StatefulProcessor
+
+        proc_cls = type(
+            "_LshDedupStatefulProcessor",
+            (_LshDedupProcessor, StatefulProcessor),
+            {},
+        )
+        return keyed.groupBy("band", "key").transformWithStateInPandas(
+            statefulProcessor=proc_cls(num_hashes, min_agree, max_bucket),
+            outputStructType=LSH_DEDUP_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return keyed.groupBy("band", "key").applyInPandasWithState(
+        _lsh_dedup_legacy(num_hashes, min_agree, max_bucket),
+        outputStructType=LSH_DEDUP_OUT,
+        stateStructType=LSH_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -474,3 +474,151 @@ def sq8_ann_topk(
         .withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-moment (Gram) matrix + PCA — embedding-pipeline preprocessing
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Quantized uncentered second-moment matrix of an embedding column,
+    plus first moments — the one-pass sufficient statistics for
+    covariance/PCA/whitening over a 100 TB embedding corpus.
+
+    Output rows: (i, j, s_q) with i <= j carrying
+    SUM over rows of FLOOR((quant * x_i) * x_j), and (i, -1, s_q) carrying
+    SUM of FLOOR(quant * x_i). Element products are floor-quantized to
+    integers BEFORE summation (the q42 convention), so the aggregate is
+    order-insensitive, partitioning-insensitive, and engine-exact — a
+    DuckDB oracle computes the identical integers.
+
+    Scale shape: per-partition partials via mapInPandas — each Arrow batch
+    contributes one d x d integer accumulator (numpy, float32 -> float64
+    exact), so the shuffle carries ~num_partitions * d^2/2 rows, never
+    n * d^2. The d^2-row result is the planning-aggregate size (d = 64
+    -> 2 080 + 64 rows), the canonical driver-side input for the eigen
+    step (fit_pca).
+    """
+    schema = "i int, j int, s_q long"
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc2 = None
+        acc1 = None
+        d = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if d is None:
+                d = X.shape[1]
+                acc2 = np.zeros((d, d), dtype=np.int64)
+                acc1 = np.zeros(d, dtype=np.int64)
+            QX = float(quant) * X
+            # chunk rows so the n x d x d outer-product tensor stays small
+            for c in range(0, len(X), 256):
+                block = np.floor(
+                    QX[c : c + 256][:, :, None] * X[c : c + 256][:, None, :]
+                )
+                # per-element floors are integers <= quant * |x_i x_j|;
+                # a 256-row chunk sum stays far inside double's 2^53
+                acc2 += block.sum(axis=0).astype(np.int64)
+                acc1 += np.floor(QX[c : c + 256]).sum(axis=0).astype(np.int64)
+        if d is None:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d)]),
+                "j": np.concatenate([ju, np.full(d, -1)]),
+                "s_q": np.concatenate([acc2[iu, ju], acc1]),
+            }
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s_q").cast("bigint").alias("s_q"))
+    )
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    quant: int = 1_000_000_000,
+):
+    """Principal components from the one-pass Gram statistics.
+
+    Distributed part: gram_matrix (a d^2-row planning aggregate — the
+    iterative-ML driver pattern, same as clustering.py's K x dim
+    collects). Driver part: reassemble mean/covariance from the quantized
+    sums (quantization error <= n/quant per entry — ~1e-6 relative at any
+    corpus size, far below eigengap noise) and eigendecompose d x d with
+    numpy. Component signs are fixed deterministically (largest-magnitude
+    coordinate made positive) so results don't flip between runs/BLAS
+    builds. Returns (mean, components) as numpy arrays, components
+    row-wise, eigenvalue-descending.
+    """
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col, quant).collect()
+    n = df.count()
+    d = max(r["i"] for r in rows) + 1
+    s2 = np.zeros((d, d), dtype=np.float64)
+    s1 = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        if r["j"] == -1:
+            s1[r["i"]] = r["s_q"]
+        else:
+            s2[r["i"], r["j"]] = r["s_q"]
+            s2[r["j"], r["i"]] = r["s_q"]
+    mean = s1 / (float(quant) * n)
+    cov = s2 / (float(quant) * n) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return mean, comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "projection",
+) -> DataFrame:
+    """Project embeddings onto fitted components: (x - mean) @ W^T.
+
+    Vectorized pandas_udf (Arrow batches, one BLAS matmul per batch) —
+    the d x k weight matrix rides the closure as a broadcast-sized
+    constant; the projection is narrow (no shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64)
+
+    def _proj(col):
+        X = np.array(col.tolist(), dtype=np.float64)
+        out = (X - m) @ w.T
+        return pd.Series(list(out))
+
+    # annotate via pandas Series hints resolved here (module scope has no
+    # pandas import; string hints would not resolve under PEP 563)
+    _proj.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    proj = pandas_udf(_proj, "array<double>")
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -4170,9 +4170,10 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 12 queries added in round 4 — never driver-checked:
+    # 13 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
+    "q112_gram_matrix",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4183,16 +4184,15 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 11 queries last driver-green in round 1 (q32/q37 displaced by the
-    # two late round-4 additions — their shapes are covered by in-window
-    # siblings q49/q97-r02 and q18/q47-r03):
+    # 10 queries last driver-green in round 1 (q32/q37/q38 displaced by
+    # the three late round-4 additions — their shapes are covered by
+    # in-window siblings q49/q97-r02, q18/q47-r03, and q68-r03):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
     "q20_token_stats",
     "q22_lang_id",
     "q23_doc_fingerprint",
-    "q38_discrete_percentiles",
     "q39_near_dedup_filter",
     "q40_token_frequencies",
     "q41_regex_tokens",
@@ -4633,6 +4633,52 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         dedup.containment_pairs(d)
         .select("id_in", "id_out", "containment_ppm")
         .orderBy("id_in", "id_out")
+    )
+
+
+@_register(
+    "q112_gram_matrix",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    second AS (
+      SELECT t1.i AS i, t2.j AS j,
+             CAST(SUM(CAST(FLOOR(1000000000.0 * v[t1.i + 1] * v[t2.j + 1]) AS BIGINT)) AS BIGINT) AS s_q
+      FROM e, range(0, 64) t1(i), range(0, 64) t2(j)
+      WHERE t1.i <= t2.j
+      GROUP BY 1, 2
+    ),
+    first AS (
+      SELECT t.i AS i, -1 AS j,
+             CAST(SUM(CAST(FLOOR(1000000000.0 * v[t.i + 1]) AS BIGINT)) AS BIGINT) AS s_q
+      FROM e, range(0, 64) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, s_q
+    FROM (SELECT * FROM second UNION ALL SELECT * FROM first)
+    ORDER BY i, j
+    """,
+    doc="One-pass sufficient statistics for covariance/PCA/whitening over "
+    "the embedding corpus (similarity.gram_matrix): upper-triangle "
+    "second moments plus first moments (j=-1), element products "
+    "floor-quantized to 1e-9 BEFORE summation (the q42 convention) so "
+    "the sums are order/partitioning-insensitive and engine-exact. "
+    "Scale shape: per-Arrow-batch d x d integer partials via mapInPandas "
+    "— the shuffle carries ~partitions*d^2/2 rows, never n*d^2; the "
+    "d^2-row result is the driver-side eigen input (similarity.fit_pca). "
+    "Left-assoc FLOOR((1e9*x_i)*x_j) mirrored exactly in both engines.",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.similarity import gram_matrix
+
+    e = load(spark, sf, "embeddings")
+    return (
+        gram_matrix(e, "embedding")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("s_q").cast("bigint").alias("s_q"),
+        )
+        .orderBy("i", "j")
     )
 
 

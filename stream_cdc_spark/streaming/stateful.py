@@ -772,3 +772,40 @@ def lsh_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quantile_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Continuously maintained per-key quantile estimates — the streaming
+    twin of q68's bounded-error percentiles, completing the sketch trio
+    (hll_distinct_stream, heavy_hitter_stream, this).
+
+    Like HLL, quantile maintenance is what streaming aggregation already
+    is: ``percentile_approx`` is a typed imperative aggregate
+    (Greenwald-Khanna summaries), so a declarative streaming groupBy
+    keeps the bounded-size summary in Spark's state store — exactly-once
+    across restarts, RocksDB-capable, partial-aggregated map-side before
+    the state shuffle. No custom StatefulProcessor needed.
+
+    Unlike HLL (whose register max-merge makes the drained stream answer
+    bit-equal to batch), GK summaries are merge-order sensitive: the
+    streamed estimate matches batch only within the 1/accuracy rank
+    bound, which is the operator's contract (asserted against the EXACT
+    quantiles in tests).
+
+    Use outputMode("update").
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.percentile_approx(
+            F.col(value_col), F.lit(p), F.lit(accuracy)
+        ).alias(f"p{int(p * 100):02d}")
+        for p in percentiles
+    ]
+    return events.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

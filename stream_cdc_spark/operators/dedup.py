@@ -487,6 +487,31 @@ def incremental_verified_dedup(
     )
 
 
+def update_band_index(
+    index: DataFrame,
+    admitted_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Append the newly ADMITTED (kept) docs' band keys to the corpus
+    index — the maintenance half of the incremental loop: admit a batch
+    (incremental_verified_dedup), filter to keep=true, extend the index,
+    repeat. Only survivors enter the index, so later batches dedup
+    against the deduped corpus (greedy chained semantics across batches;
+    within a batch the min-id rule stays non-chained, matching q39).
+
+    In production the index is a (band, key)-bucketed table and this is
+    an append of bands rows per admitted doc; here it is the same plan as
+    a DataFrame union.
+    """
+    return index.unionByName(
+        minhash_band_index(admitted_df, text_col, id_col, k, num_hashes, bands)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -104,3 +104,67 @@ def test_incremental_doc_below_shingle_size_is_kept(spark):
     assert [(r["doc_id"], r["keep"], r["dup_of"]) for r in out] == [
         (10, True, None)
     ]
+
+
+def test_sequential_admission_matches_greedy_reference(spark):
+    """The full production loop — admit batch, keep survivors, extend the
+    corpus+index, repeat — must equal a chained-greedy reference run over
+    the real corpus: a doc is dropped iff a KEPT doc from an earlier
+    batch matches it, or ANY smaller-id doc in its own batch does
+    (the within-batch min-id rule stays non-chained, as q39)."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    batches = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    corpus = None
+    index = None
+    spark_kept: set[int] = set()
+    for b in batches:
+        if corpus is None:
+            # bootstrap: empty corpus/index with the right schemas
+            corpus = d.limit(0)
+            index = dedup.minhash_band_index(d.limit(0))
+        out = dedup.incremental_verified_dedup(b, corpus, index=index)
+        kept_ids = {r["doc_id"] for r in out.filter("keep").collect()}
+        spark_kept |= kept_ids
+        admitted = b.join(
+            spark.createDataFrame([(i,) for i in kept_ids] or [(-1,)], "doc_id bigint"),
+            "doc_id",
+            "left_semi",
+        )
+        corpus = corpus.unionByName(admitted)
+        index = dedup.update_band_index(index, admitted)
+
+    # chained-greedy reference with exact shingle Jaccard
+    rows = d.collect()
+    sh = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        sh[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def jac(a, b):
+        sa, sb = sh[a], sh[b]
+        if not sa or not sb:
+            return 0.0
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter)
+
+    ref_kept: set[int] = set()
+    for i in range(3):
+        batch_ids = sorted(r["doc_id"] for r in rows if r["doc_id"] % 3 == i)
+        for did in batch_ids:
+            dup = any(jac(did, o) >= 0.8 for o in ref_kept if o % 3 != i or o < did)
+            dup = dup or any(
+                jac(did, o) >= 0.8 for o in batch_ids if o < did
+            )
+            if not dup:
+                ref_kept.add(did)
+
+    assert spark_kept == ref_kept
+    assert len(spark_kept) < d.count()  # dups genuinely dropped

@@ -572,6 +572,64 @@ def containment_pairs(
     )
 
 
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 80,
+    max_distance: int = 20,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-dup candidates via blocked Levenshtein over
+    document prefixes — the fuzzy-matching complement to shingle Jaccard
+    (catches char-level typo/OCR variants that keep word order; Jaccard
+    catches word-level overlap regardless of spelling).
+
+    Scalable entity-resolution shape: block on a cheap deterministic key
+    (first token), equi-join within blocks only — never the n^2 cross
+    product — and verify with the banded-DP Levenshtein (threshold
+    variant: cost O(prefix_len * max_distance) per pair, early-exit -1
+    above the band). Blocks larger than ``max_block`` are excluded
+    entirely (the skew guard, same philosophy as stop_shingle_filter:
+    one boilerplate prefix token can't go quadratic); the exclusion is a
+    deterministic function of the data, so a SQL oracle reproduces it
+    exactly. Levenshtein is integer-valued and identically defined in
+    Spark and DuckDB — no float drift.
+
+    Returns (id_a, id_b, edit_distance) with id_a < id_b and
+    edit_distance <= max_distance.
+    """
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pre"),
+        F.split(F.col(text_col), " ").getItem(0).alias("blk"),
+    )
+    # Exclude via an anti-join against the HOT block list (tiny by
+    # construction — same broadcast-side argument as stop_shingle_filter;
+    # broadcasting the allowed list would ship the whole vocabulary).
+    hot = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_block)
+        .select("blk")
+    )
+    db = d.join(F.broadcast(hot), "blk", "left_anti")
+    a, b = db.alias("a"), db.alias("b")
+    dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"), max_distance)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4170,10 +4170,11 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 13 queries added in round 4 — never driver-checked:
+    # 14 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
     "q112_gram_matrix",
+    "q113_fuzzy_prefix_pairs",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4184,9 +4185,9 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 10 queries last driver-green in round 1 (q32/q37/q38 displaced by
-    # the three late round-4 additions — their shapes are covered by
-    # in-window siblings q49/q97-r02, q18/q47-r03, and q68-r03):
+    # 9 queries last driver-green in round 1 (q32/q37/q38/q40 displaced
+    # by the four late round-4 additions — their shapes are covered by
+    # in-window siblings q49/q97-r02, q18/q47-r03, q68-r03, q20+q54):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
@@ -4194,7 +4195,6 @@ _DRIVER_WINDOW_R4 = [
     "q22_lang_id",
     "q23_doc_fingerprint",
     "q39_near_dedup_filter",
-    "q40_token_frequencies",
     "q41_regex_tokens",
     "q42_vector_stats",
     # 26 queries last driver-green in round 2:
@@ -4679,6 +4679,43 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
             F.col("s_q").cast("bigint").alias("s_q"),
         )
         .orderBy("i", "j")
+    )
+
+
+@_register(
+    "q113_fuzzy_prefix_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id AS id, substring(text, 1, 80) AS pre,
+             string_split(text, ' ')[1] AS blk
+      FROM documents
+    ),
+    hot AS (SELECT blk FROM d GROUP BY blk HAVING COUNT(*) > 1000),
+    db AS (SELECT d.* FROM d WHERE blk NOT IN (SELECT blk FROM hot))
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_distance
+    FROM db a JOIN db b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.pre, b.pre) <= 20
+    ORDER BY id_a, id_b
+    """,
+    doc="Blocked fuzzy matching (dedup.fuzzy_prefix_pairs): edit-distance "
+    "candidates over 80-char document prefixes, blocked on the first "
+    "token so only same-block pairs are compared — the entity-resolution "
+    "shape (block -> equi-join -> verify), never n^2. The banded-DP "
+    "Levenshtein threshold variant costs O(prefix*dist) per pair and "
+    "early-exits above the band; blocks over 1000 docs are excluded by a "
+    "broadcast hot-list anti-join (the skew guard, mirrored exactly in "
+    "the oracle since the exclusion is a pure function of the data). "
+    "Levenshtein is integer-valued and identically defined in both "
+    "engines — no float drift. Complements shingle Jaccard: catches "
+    "char-level typo/OCR variants; q24 catches word-level overlap.",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        dedup.fuzzy_prefix_pairs(d)
+        .select("id_a", "id_b", "edit_distance")
+        .orderBy("id_a", "id_b")
     )
 
 

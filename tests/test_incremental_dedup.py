@@ -168,3 +168,21 @@ def test_sequential_admission_matches_greedy_reference(spark):
 
     assert spark_kept == ref_kept
     assert len(spark_kept) < d.count()  # dups genuinely dropped
+
+
+def test_fuzzy_prefix_pairs_catches_typos_and_guards_hot_blocks(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    typo = "alpha beta gamma delta epsilon zeta eta theta iota kappo"  # 1 edit
+    df = _docs(
+        spark,
+        [(1, base), (2, typo), (3, "alpha totally different body of words here")]
+        # a hot block: >3 docs sharing first token 'hot'
+        + [(10 + i, f"hot filler number {i} with words") for i in range(5)],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_prefix_pairs(df, max_distance=5, max_block=3).collect()
+    }
+    assert out.get((1, 2)) == 1          # the typo pair, exact distance
+    assert (1, 3) not in out             # same block, distance above band
+    assert not any(a >= 10 for a, _ in out)  # hot block excluded entirely

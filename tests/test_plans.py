@@ -81,8 +81,8 @@ def test_no_cartesian_outside_intended(spark):
 
 def test_driver_window_matches_round4_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-4 policy: the 10 queries added this round (q100-q109, never
-    driver-checked) come first, then 39 queries whose latest green row
+    Round-4 policy: every query added this round (q100+, never
+    driver-checked) comes first, then the queries whose latest green row
     predates round 3, then the claim-check continuity anchor (rationale
     above _DRIVER_WINDOW_R4 in plans/queries.py). Everything outside the
     window has a round-3 green driver row and stays value-checked by the
@@ -100,7 +100,7 @@ def test_driver_window_matches_round4_rotation():
     ]
     assert set(new_this_round) <= set(_DRIVER_WINDOW_R4), new_this_round
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 112
+    assert len(names) == len(set(names)) == 113
 
 
 def test_q69_q70_dims_broadcast(spark):

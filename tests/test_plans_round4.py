@@ -68,3 +68,41 @@ def test_q109_cap_is_one_shuffle_and_pruned_scan(spark):
     assert "WindowGroupLimit" in plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read and "n_chars" not in read
+
+
+def test_q110_index_probe_broadcast_semi_pushdown(spark):
+    plan = _plan(spark, "q110_incremental_dedup")
+    # batch band keys broadcast into the index probe; corpus text pruned
+    # to candidate ids via left-semi before shingling
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q111_containment_counts_not_rows(spark):
+    plan = _plan(spark, "q111_containment_pairs")
+    assert "CartesianProduct" not in plan
+    # sizes join happens after the pair aggregate (counts ride shuffles,
+    # not shingle rows) — same shape contract as q24
+    assert "HashAggregate" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_q112_gram_single_pandas_pass_small_shuffle(spark):
+    plan = _plan(spark, "q112_gram_matrix")
+    # one Arrow pass computes the per-partition partials
+    assert plan.count("+- MapInPandas") == 1  # one Arrow pass in the tree
+    assert "CartesianProduct" not in plan
+    # only the embedding column is read (vec_id/label pruned)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "vec_id" not in read and "label" not in read
+
+
+def test_q113_fuzzy_hot_block_anti_join_broadcasts(spark):
+    plan = _plan(spark, "q113_fuzzy_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    # the hot-block exclusion is a broadcast anti-join, and the pair join
+    # is an equi-join on the block key
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan

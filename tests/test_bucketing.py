@@ -88,3 +88,55 @@ def test_sink_payload_roundtrip_through_pipeline(spark, tmp_path):
     assert {r.event_id for r in parsed.select("event_id").collect()} == {
         r.event_id for r in ev.select("event_id").collect()
     }
+
+
+def test_bucketed_band_index_probe_has_no_index_side_exchange(spark, tmp_path):
+    """The q110 production claim: persist the MinHash band index bucketed
+    on (band, key); when the arriving batch is too big to broadcast, the
+    probe is a SortMergeJoin where ONLY the batch side shuffles — the
+    corpus-sized index is read in place."""
+    from stream_cdc_spark.operators import dedup
+    from stream_cdc_spark.tables import load
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % 7 != 3)
+        batch = d.filter(F.col("doc_id") % 7 == 3)
+        write_bucketed(
+            dedup.minhash_band_index(corpus),
+            "b_band_index",
+            ["band", "key"],
+            8,
+        )
+        index = spark.table("b_band_index")
+        probe = dedup.minhash_band_index(batch).withColumnRenamed("id", "new_id")
+        joined = index.join(probe, ["band", "key"])
+        joined.collect()
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # the path from the bucketed index scan UP to the join must hold
+        # no Exchange (the probe side's own aggregation shuffles; the
+        # corpus-sized index must not)
+        tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+        lines = tree.splitlines()
+        scan_i = next(
+            i for i, ln in enumerate(lines) if "b_band_index" in ln
+        )
+        indent = len(lines[scan_i]) - len(lines[scan_i].lstrip())
+        path = []
+        for i in range(scan_i - 1, -1, -1):
+            li = len(lines[i]) - len(lines[i].lstrip())
+            if li < indent:
+                path.append(lines[i])
+                indent = li
+                if "SortMergeJoin" in lines[i]:
+                    break
+        assert any("SortMergeJoin" in ln for ln in path), plan
+        assert not any("Exchange" in ln for ln in path), (path, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_band_index")

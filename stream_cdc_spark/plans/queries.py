@@ -4002,7 +4002,13 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     from stream_cdc_spark.operators.prefixsum import distributed_prefix_sum
 
     d = load(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    # per-doc token dedup narrowly (array_distinct) — ids differ across
+    # docs, so this equals the global distinct without shuffling the
+    # exploded token relation (same trick as dedup.shingles)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     per_doc = firsts.groupBy("first_doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_words")

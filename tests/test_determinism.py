@@ -37,3 +37,30 @@ def test_result_is_partitioning_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == b, f"{name} output depends on shuffle partitioning"
+
+
+SCAN_HEAVY = [
+    "q13_tpch_q1",
+    "q19_exact_dedup",
+    "q24_ngram_jaccard_pairs",
+    "q34_tpch_q6",
+    "q102_vocab_growth",
+    "q112_gram_matrix",
+]
+
+
+@pytest.mark.parametrize("name", SCAN_HEAVY)
+def test_result_is_input_split_invariant(spark, name):
+    """Scan-split size changes the number and boundaries of input
+    partitions (the other partitioning axis, untouched by
+    shuffle.partitions) — per-partition partials (mapInPandas Gram
+    blocks, map-side combines) must still merge to identical results."""
+    base = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")  # 128 KB
+        a = _canon(QUERIES[name].builder(spark, SF_SMALL))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        b = _canon(QUERIES[name].builder(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", base)
+    assert a == b, f"{name} output depends on input split boundaries"

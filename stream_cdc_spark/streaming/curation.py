@@ -1,0 +1,153 @@
+"""Continuous corpus curation — the streaming capstone.
+
+Composes the proven batch pieces into the pipeline a training-data team
+actually runs against a CDC document feed: every micro-batch is quality-
+gated (stateless Column predicates, identical decision functions to the
+batch path) and then admitted against the accumulated deduped corpus via
+the persisted MinHash band index (dedup.incremental_verified_dedup), with
+decisions, admitted docs, and index increments all written durably.
+
+State layout under ``state_dir`` (parquet, one subdir per micro-batch):
+
+    decisions/batch=<id>/   (doc_id, keep, reason, dup_of)
+    kept/batch=<id>/        admitted documents (the curated corpus)
+    index/batch=<id>/       (id, band, key) band-key increments
+
+Exactly-once without sink transactions: every write is an OVERWRITE of
+the current batch's own subdirectory, and state reads exclude subdirs
+with batch id >= the executing batch. A replayed micro-batch therefore
+sees exactly the state it saw the first time (its own partial output is
+invisible to itself) and idempotently rewrites the same subdirs — the
+classic batch-versioned foreachBatch pattern, the same guarantee the
+reference gets from its offset-after-flush ordering
+(stream_cdc/coordinator.py:281-303), generalized to three state tables.
+
+At 100 TB the kept/ and index/ tables become bucketed tables (see
+tests/test_bucketing.py: the (band, key)-bucketed index joins without an
+index-side shuffle) and the per-batch subdir writes become appends of
+new buckets; the read-exclusion rule is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from stream_cdc_spark.operators import dedup
+
+_BATCH_RE = re.compile(r"^batch=(\d+)$")
+
+KEPT_SCHEMA = "doc_id bigint, text string"
+INDEX_SCHEMA = "id bigint, band int, key bigint"
+
+
+def _subdirs_before(root: str, batch_id: int) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _BATCH_RE.match(name)
+        if m and int(m.group(1)) < batch_id:
+            out.append(os.path.join(root, name))
+    return sorted(out)
+
+
+class CurationPipeline:
+    """foreachBatch curation sink over a (doc_id, text) document stream.
+
+    ``quality_predicate`` defaults to a minimum token count; callers pass
+    any deterministic Column predicate (lang allow-lists, length bounds —
+    the same expressions operators/curation.py composes in batch).
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        quality_predicate: Column | None = None,
+        min_tokens: int = 5,
+        threshold_ppm: int = 800_000,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.state_dir = state_dir
+        self.decisions_dir = os.path.join(state_dir, "decisions")
+        self.kept_dir = os.path.join(state_dir, "kept")
+        self.index_dir = os.path.join(state_dir, "index")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold_ppm = threshold_ppm
+        self.quality_predicate = (
+            quality_predicate
+            if quality_predicate is not None
+            else F.size(F.split(F.col(text_col), " ")) >= min_tokens
+        )
+
+    # -- state ------------------------------------------------------------
+    def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
+        paths = _subdirs_before(root, batch_id)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def corpus(self, spark) -> DataFrame:
+        """The curated corpus accumulated so far (all committed batches)."""
+        return self._read(spark, self.kept_dir, KEPT_SCHEMA, 1 << 62)
+
+    def decisions(self, spark) -> DataFrame:
+        return self._read(
+            spark,
+            self.decisions_dir,
+            "doc_id bigint, keep boolean, reason string, dup_of bigint",
+            1 << 62,
+        )
+
+    # -- the sink ---------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        ).dropDuplicates(["doc_id"])
+        if not docs.take(1):
+            return
+        qual_ok = docs.filter(self.quality_predicate)
+        qual_bad = docs.join(qual_ok, "doc_id", "left_anti")
+
+        corpus = self._read(spark, self.kept_dir, KEPT_SCHEMA, batch_id)
+        index = self._read(spark, self.index_dir, INDEX_SCHEMA, batch_id)
+        adm = dedup.incremental_verified_dedup(
+            qual_ok, corpus, index=index, threshold_ppm=self.threshold_ppm
+        )
+
+        decisions = qual_bad.select(
+            "doc_id",
+            F.lit(False).alias("keep"),
+            F.lit("quality").alias("reason"),
+            F.lit(None).cast("bigint").alias("dup_of"),
+        ).unionByName(
+            adm.select(
+                "doc_id",
+                "keep",
+                F.when(~F.col("keep"), F.lit("near_dup")).alias("reason"),
+                "dup_of",
+            )
+        )
+        sub = f"batch={batch_id:09d}"
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(self.decisions_dir, sub)
+        )
+        admitted = qual_ok.join(
+            adm.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(self.kept_dir, sub)
+        )
+        dedup.minhash_band_index(admitted).write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, sub)
+        )
+
+    def sink(self):
+        """The foreachBatch callable for writeStream."""
+        return self.foreach_batch

@@ -104,6 +104,16 @@ def _register_builtins() -> None:
             (lambda: client) if client is not None else InMemoryQueue, **kw
         ),
     )
+
+    def _curation_sink(state_dir, **kw):
+        from stream_cdc_spark.streaming.curation import CurationPipeline
+
+        return CurationPipeline(state_dir, **kw).sink()
+
+    # Continuous corpus curation (quality gates + incremental dedup
+    # admission with durable batch-versioned state) as a config-wirable
+    # sink: STREAM_TYPE=curation STATE_DIR=...
+    sink_registry.register("curation", _curation_sink)
     state_registry.register("parquet_kv", ParquetKVState)
 
 

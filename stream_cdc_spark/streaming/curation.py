@@ -78,11 +78,17 @@ class CurationPipeline:
         self.id_col = id_col
         self.text_col = text_col
         self.threshold_ppm = threshold_ppm
-        self.quality_predicate = (
-            quality_predicate
-            if quality_predicate is not None
-            else F.size(F.split(F.col(text_col), " ")) >= min_tokens
-        )
+        # Column construction needs an active SparkContext; defer the
+        # default predicate so the pipeline can be built config-first
+        # (sink_registry) before any session exists.
+        self._quality_predicate = quality_predicate
+        self._min_tokens = min_tokens
+
+    @property
+    def quality_predicate(self) -> Column:
+        if self._quality_predicate is not None:
+            return self._quality_predicate
+        return F.size(F.split(F.col(self.text_col), " ")) >= self._min_tokens
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:

@@ -281,3 +281,92 @@ def render_bottleneck_report(
         lines.append(f"| {node} | {int(ms)} |")
     lines.append("")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Streaming observability: per-micro-batch progress capture
+# ---------------------------------------------------------------------------
+
+
+class StreamingMetricsListener:
+    """StreamingQueryListener capturing per-micro-batch progress — the
+    streaming counterpart of QueryMetricsCollector (which reads the batch
+    SQL status store): input rows and rates, batch/commit durations, and
+    state-store rows/memory for every stateful operator.
+
+    Backpressure diagnosis at scale reads straight off these rows: a
+    rising ``trigger_ms`` with flat ``input_rows`` means the sink or the
+    state store is the bottleneck, not ingest; growing
+    ``state_rows_total`` bounds the RocksDB working set.
+
+    Usage:
+        listener = StreamingMetricsListener()
+        listener.attach(spark)   # before query.start()
+        ... run query ...
+        listener.detach(spark)
+        report = listener.progress()   # list of per-batch dicts
+    """
+
+    def __init__(self):
+        self.rows: list[dict] = []
+        self._listener = None
+
+    def attach(self, spark) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        rows = self.rows
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                state_rows = 0
+                state_mem = 0
+                for op in p.stateOperators or []:
+                    state_rows += op.numRowsTotal or 0
+                    state_mem += op.memoryUsedBytes or 0
+                rows.append(
+                    {
+                        "query_id": str(p.id),
+                        "batch_id": p.batchId,
+                        "input_rows": p.numInputRows,
+                        "rows_per_sec": p.processedRowsPerSecond,
+                        "trigger_ms": (p.durationMs or {}).get("triggerExecution"),
+                        "commit_ms": (p.durationMs or {}).get("commitOffsets"),
+                        "state_rows_total": state_rows,
+                        "state_memory_bytes": state_mem,
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def detach(self, spark) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def progress(self) -> list[dict]:
+        return list(self.rows)
+
+    def totals(self) -> dict:
+        """Roll-up across captured batches."""
+        n = len(self.rows)
+        return {
+            "batches": n,
+            "input_rows": sum(r["input_rows"] or 0 for r in self.rows),
+            "max_state_rows": max(
+                (r["state_rows_total"] for r in self.rows), default=0
+            ),
+            "max_trigger_ms": max(
+                (r["trigger_ms"] or 0 for r in self.rows), default=0
+            ),
+        }

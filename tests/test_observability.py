@@ -64,3 +64,55 @@ def test_measure_with_breakdown_attributes_real_operators(spark):
     assert "Operator bottleneck report" in report
     assert "HashAggregate" in report
     assert "Cross-query operator ranking" in report
+
+
+def test_streaming_metrics_listener_captures_batches(spark, tmp_path):
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.observability import StreamingMetricsListener
+    from stream_cdc_spark.streaming.stateful import position_tracker
+    from stream_cdc_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events").selectExpr(
+        "event_type", "CAST(event_id AS LONG) AS seq"
+    )
+    indir = str(tmp_path / "in")
+    os.makedirs(indir, exist_ok=True)
+    for i in range(3):
+        ev.filter(F.col("seq") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(indir, f"s={i}"))
+
+    listener = StreamingMetricsListener()
+    listener.attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema("event_type string, seq long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/s=*")
+        )
+        q = (
+            position_tracker(stream, key_col="event_type", seq_col="seq")
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener callbacks are async; give the bus a moment to drain
+        deadline = time.time() + 30
+        while time.time() < deadline and len(listener.rows) < 3:
+            time.sleep(0.5)
+    finally:
+        listener.detach(spark)
+
+    t = listener.totals()
+    assert t["batches"] >= 3  # one per input file
+    assert t["input_rows"] == ev.count()
+    assert t["max_state_rows"] > 0  # the stateful tracker registered state
+    assert t["max_trigger_ms"] > 0

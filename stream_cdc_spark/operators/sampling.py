@@ -226,3 +226,54 @@ def capped_sample_with_prethin(
         .drop("__cutoff")
     )
     return per_key_cap(thinned, stratum_col, cap, order_col, tie_col, seed)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    train_4096: int = 3686,
+    val_4096: int = 205,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the unit of assignment is the near-dup CLUSTER (connected
+    component of the pair graph), not the document. Splitting by doc hash
+    puts a doc and its 0.9-Jaccard twin in train and test respectively —
+    the classic contamination that inflates eval scores; hashing the
+    cluster's canonical id instead sends every member the same way.
+
+    Mechanics: min-label connected components over ``edges`` label each
+    paired doc with its cluster's smallest id; unpaired docs are their
+    own singleton cluster (coalesce to own id — no join fan-out). The
+    split decision is the engine-exact content-hash convention
+    (md5 3-hex-prefix bands): prefix < train cutoff -> train, < train+val
+    cutoff -> val, else test. Deterministic across runs, partitionings
+    and engines; rates are in 1/4096 units like every sampler here.
+
+    Returns (id_col, cluster BIGINT, split STRING).
+    """
+    from stream_cdc_spark.operators.dedup import connected_components
+
+    if train_4096 + val_4096 > RATE_DENOM:
+        raise ValueError("train + val rates exceed the 4096 denominator")
+    comp = connected_components(edges)
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        )
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col("cluster").cast("string"))), 1, 3
+    )
+    split = (
+        F.when(prefix < F.lit(hash_cutoff(train_4096)), F.lit("train"))
+        .when(
+            prefix < F.lit(hash_cutoff(train_4096 + val_4096)), F.lit("val")
+        )
+        .otherwise(F.lit("test"))
+    )
+    return labeled.withColumn("split", split)

@@ -4176,11 +4176,12 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 14 queries added in round 4 — never driver-checked:
+    # 15 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
     "q112_gram_matrix",
     "q113_fuzzy_prefix_pairs",
+    "q114_leakage_safe_split",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4191,9 +4192,10 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 9 queries last driver-green in round 1 (q32/q37/q38/q40 displaced
-    # by the four late round-4 additions — their shapes are covered by
-    # in-window siblings q49/q97-r02, q18/q47-r03, q68-r03, q20+q54):
+    # 8 queries last driver-green in round 1 (q32/q37/q38/q40/q41
+    # displaced by the five late round-4 additions — their shapes are
+    # covered by in-window siblings q49/q97-r02, q18/q47-r03, q68-r03,
+    # q20+q54, and q50-green-r03 for the string-expression family):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
@@ -4201,7 +4203,6 @@ _DRIVER_WINDOW_R4 = [
     "q22_lang_id",
     "q23_doc_fingerprint",
     "q39_near_dedup_filter",
-    "q41_regex_tokens",
     "q42_vector_stats",
     # 26 queries last driver-green in round 2:
     "q21_quality_scores",
@@ -4722,6 +4723,71 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         dedup.fuzzy_prefix_pairs(d)
         .select("id_a", "id_b", "edit_distance")
         .orderBy("id_a", "id_b")
+    )
+
+
+@_register(
+    "q114_leakage_safe_split",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 500000.0
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT u FROM und),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+    ),
+    comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex
+    )
+    SELECT doc_id,
+           CAST(cluster AS BIGINT) AS cluster,
+           CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 3) < 'e66'
+                  THEN 'train'
+                WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 3) < 'f33'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled ORDER BY doc_id
+    """,
+    doc="Leakage-safe train/val/test split (sampling.leakage_safe_split): "
+    "the unit of assignment is the near-dup CLUSTER (min-label connected "
+    "component of the >=0.5-Jaccard pair graph; unpaired docs are "
+    "singleton clusters via coalesce — no fan-out), so a doc and its "
+    "0.9-Jaccard twin can never land in train and test. Split bands are "
+    "the engine-exact md5 3-hex-prefix convention: < e66 (3686/4096 ~90%) "
+    "train, < f33 (+205 ~5%) val, else test — cutoffs e66/f33 = "
+    "hash_cutoff(3686)/hash_cutoff(3891), identical literals both "
+    "engines. The leakage invariant (no edge crosses splits) is asserted "
+    "structurally in tests/test_leakage_split.py.",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.sampling import leakage_safe_split
+
+    d = load(spark, sf, "documents")
+    joined, ratio = _shingle_pair_stats(d)
+    edges = joined.filter(ratio >= 500000.0).select("id_a", "id_b")
+    return (
+        leakage_safe_split(d, edges)
+        .select("doc_id", F.col("cluster").cast("bigint").alias("cluster"), "split")
+        .orderBy("doc_id")
     )
 
 

@@ -451,3 +451,46 @@ def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select(
         "w1", "w2", "n", F.expr("_num div _den").cast("bigint").alias("p_q")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows of
+    ``chunk_tokens`` with ``overlap`` tokens carried between consecutive
+    chunks — the preprocessing step between curation and sequence packing
+    (operators/packing.py consumes the chunks).
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), truncated at the document end.
+    Pure narrow computation (split -> sequence -> explode -> slice): no
+    shuffle, scales at scan bandwidth, and every boundary is a
+    deterministic function of the token count, so a SQL oracle reproduces
+    the chunking exactly.
+
+    Returns (id_col, chunk_idx, n_tok, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    d = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.explode(starts).alias("_s"),
+    )
+    piece = F.slice(F.col("_t"), F.col("_s") + F.lit(1), F.lit(chunk_tokens))
+    return d.select(
+        id_col,
+        (F.col("_s") / F.lit(stride)).cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tok"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

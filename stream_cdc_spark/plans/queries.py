@@ -4176,12 +4176,13 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 15 queries added in round 4 — never driver-checked:
+    # 16 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
     "q112_gram_matrix",
     "q113_fuzzy_prefix_pairs",
     "q114_leakage_safe_split",
+    "q115_document_chunks",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4192,10 +4193,11 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 8 queries last driver-green in round 1 (q32/q37/q38/q40/q41
-    # displaced by the five late round-4 additions — their shapes are
+    # 7 queries last driver-green in round 1 (q32/q37/q38/q40/q41/q42
+    # displaced by the six late round-4 additions — their shapes are
     # covered by in-window siblings q49/q97-r02, q18/q47-r03, q68-r03,
-    # q20+q54, and q50-green-r03 for the string-expression family):
+    # q20+q54, q50-green-r03 for the string-expression family, and
+    # q25/q43 for the embedding-array expressions):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
@@ -4203,7 +4205,6 @@ _DRIVER_WINDOW_R4 = [
     "q22_lang_id",
     "q23_doc_fingerprint",
     "q39_near_dedup_filter",
-    "q42_vector_stats",
     # 26 queries last driver-green in round 2:
     "q21_quality_scores",
     "q25_ann_bruteforce_topk",
@@ -4788,6 +4789,41 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         leakage_safe_split(d, edges)
         .select("doc_id", F.col("cluster").cast("bigint").alias("cluster"), "split")
         .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q115_document_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, n, unnest(range(0, greatest(n - 1, 0) + 1, 12)) AS st
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(st / 12 AS BIGINT) AS chunk_idx,
+           CAST(len(t[st + 1 : least(st + 16, n)]) AS BIGINT) AS n_tok,
+           array_to_string(t[st + 1 : least(st + 16, n)], ' ') AS chunk_text
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window chunking (text.chunk_documents): 16-token windows "
+    "with 4-token overlap (stride 12), the preprocessing step between "
+    "curation and sequence packing. Pure narrow split->sequence->explode"
+    "->slice — no shuffle, scan-bandwidth at any scale; every boundary is "
+    "a deterministic function of the token count so the oracle reproduces "
+    "the chunking exactly (Spark slice(start,len) == DuckDB inclusive "
+    "slice truncated with least()).",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        text.chunk_documents(d, chunk_tokens=16, overlap=4)
+        .select("doc_id", "chunk_idx", "n_tok", "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
     )
 
 

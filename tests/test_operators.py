@@ -254,3 +254,26 @@ def test_json_extraction_tolerates_malformed_props(spark):
         .collect()
     }
     assert got == {"a": (3, 3), "b": (None, 1)}
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from stream_cdc_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_text"])
+        for r in T.chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    }
+    # doc 1: 10 tokens, stride 6 -> chunks at 0 and 6
+    assert out[(1, 0)] == (8, " ".join(f"t{i}" for i in range(8)))
+    assert out[(1, 1)] == (4, "t6 t7 t8 t9")  # overlap carries t6, t7
+    # doc 2 fits in one chunk
+    assert out[(2, 0)] == (2, "a b")
+    assert len(out) == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        T.chunk_documents(df, chunk_tokens=4, overlap=4)

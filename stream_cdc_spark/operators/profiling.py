@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,3 +49,71 @@ def profile_columns(
     return wide.select(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
     ).select("p.*")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 8,
+    tiebreak_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group equi-depth histogram: k buckets holding ~n/k rows each —
+    the statistic a query optimizer stores for selectivity estimation
+    (ANALYZE histograms), and the right summary for skewed columns where
+    equi-WIDTH buckets collapse into one bar.
+
+    exact=True computes boundaries by rank selection (the q38 technique:
+    row_number within group, keep rows at ranks ceil(i*n/k)) — actual
+    data values, deterministic across engines, no interpolation float
+    drift. The within-group sort bounds the window partition by the
+    largest group (same scale contract as q38); exact=False swaps in
+    approx_percentile boundaries (bounded-error GK, no per-group sort)
+    for groups too large to sort — the 100 TB path.
+
+    Bucket assignment is a broadcast join of the per-group boundary
+    array + a JVM filter count (bucket = #boundaries strictly below the
+    value); rows equal to a boundary fall in the lower bucket. Returns
+    (group_col, bucket, n_rows).
+    """
+    if exact:
+        order = [F.col(value_col)] + (
+            [F.col(tiebreak_col)] if tiebreak_col else []
+        )
+        w = Window.partitionBy(group_col).orderBy(*order)
+        wn = Window.partitionBy(group_col)
+        r = df.select(
+            group_col,
+            value_col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        targets = F.transform(
+            F.sequence(F.lit(1), F.lit(k - 1)),
+            lambda i: F.ceil(i * F.col("n") / F.lit(float(k))).cast("bigint"),
+        )
+        bounds = (
+            r.filter(F.array_contains(targets, F.col("rn")))
+            .groupBy(group_col)
+            .agg(F.sort_array(F.collect_list(value_col)).alias("bounds"))
+        )
+    else:
+        bounds = df.groupBy(group_col).agg(
+            F.sort_array(
+                F.percentile_approx(
+                    F.col(value_col),
+                    F.array(*[F.lit(i / k) for i in range(1, k)]),
+                    F.lit(10_000),
+                )
+            ).alias("bounds")
+        )
+    bucket = F.size(
+        F.filter(F.col("bounds"), lambda b: b < F.col(value_col))
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(group_col, bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -4176,13 +4176,14 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 16 queries added in round 4 — never driver-checked:
+    # 17 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
     "q112_gram_matrix",
     "q113_fuzzy_prefix_pairs",
     "q114_leakage_safe_split",
     "q115_document_chunks",
+    "q116_equidepth_histogram",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4193,18 +4194,18 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 7 queries last driver-green in round 1 (q32/q37/q38/q40/q41/q42
-    # displaced by the six late round-4 additions — their shapes are
-    # covered by in-window siblings q49/q97-r02, q18/q47-r03, q68-r03,
-    # q20+q54, q50-green-r03 for the string-expression family, and
-    # q25/q43 for the embedding-array expressions):
+    # 6 queries last driver-green in round 1 (q32/q37/q38/q40/q41/q42/
+    # q39 displaced by the seven late round-4 additions — their shapes
+    # are covered by in-window siblings q49/q97-r02, q18/q47-r03,
+    # q68-r03, q20+q54, q50-green-r03 for the string-expression family,
+    # q25/q43 for the embedding-array expressions, and q110/q111 for the
+    # near-dedup-filter consumer shape):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q18_rollup_value",
     "q20_token_stats",
     "q22_lang_id",
     "q23_doc_fingerprint",
-    "q39_near_dedup_filter",
     # 26 queries last driver-green in round 2:
     "q21_quality_scores",
     "q25_ann_bruteforce_topk",
@@ -4824,6 +4825,52 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
         text.chunk_documents(d, chunk_tokens=16, overlap=4)
         .select("doc_id", "chunk_idx", "n_tok", "chunk_text")
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@_register(
+    "q116_equidepth_histogram",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    targets AS (
+      SELECT DISTINCT event_type, CAST(CEIL(i * n / 8.0) AS BIGINT) AS t
+      FROM (SELECT DISTINCT event_type, n FROM r), range(1, 8) s(i)
+    ),
+    b AS (
+      SELECT r.event_type AS grp, list(r.value ORDER BY r.value) AS bounds
+      FROM r JOIN targets ON r.event_type = targets.event_type AND r.rn = targets.t
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(len(list_filter(b.bounds, x -> x < e.value)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events e JOIN b ON e.event_type = b.grp
+    GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+    doc="Per-type equi-depth value histogram "
+    "(profiling.equidepth_histogram, k=8): the ANALYZE statistic a query "
+    "optimizer stores for selectivity on skewed columns. Boundaries by "
+    "exact rank selection (the q38 technique — actual data values, no "
+    "interpolation float drift); bucket assignment is a broadcast join "
+    "of the per-group boundary array + a JVM filter count (strictly-"
+    "below, ties fall low). exact=False swaps in approx_percentile "
+    "boundaries for groups too large to sort — the 100 TB path.",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators.profiling import equidepth_histogram
+
+    ev = load(spark, sf, "events")
+    return (
+        equidepth_histogram(
+            ev, "value", "event_type", k=8, tiebreak_col="event_id"
+        )
+        .select("event_type", "bucket", "n_rows")
+        .orderBy("event_type", "bucket")
     )
 
 

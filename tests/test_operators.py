@@ -277,3 +277,29 @@ def test_chunk_documents_boundaries_and_overlap(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         T.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_equidepth_histogram_balance_and_approx_mode(spark):
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.profiling import equidepth_histogram
+
+    # heavily skewed values: equi-width would collapse, equi-depth holds
+    df = spark.range(0, 1000).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") * F.col("id")).cast("double").alias("v"),
+        F.col("id").alias("tb"),
+    )
+    out = {
+        r["bucket"]: r["n_rows"]
+        for r in equidepth_histogram(df, "v", "grp", k=4, tiebreak_col="tb").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert all(abs(c - 250) <= 1 for c in out.values())
+    # approx mode: same buckets within the GK rank bound
+    approx = {
+        r["bucket"]: r["n_rows"]
+        for r in equidepth_histogram(df, "v", "grp", k=4, exact=False).collect()
+    }
+    assert set(approx) == {0, 1, 2, 3}
+    assert all(abs(c - 250) <= 25 for c in approx.values())

@@ -113,7 +113,7 @@ def equidepth_histogram(
     )
     return (
         df.join(F.broadcast(bounds), group_col)
-        .select(group_col, bucket.alias("bucket"))
+        .select(group_col, bucket.cast("bigint").alias("bucket"))
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )

@@ -64,3 +64,30 @@ def test_result_is_input_split_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", base)
     assert a == b, f"{name} output depends on input split boundaries"
+
+
+AQE_SENSITIVE = [
+    "q14_tpch_q3",            # AQE broadcast conversion
+    "q24_ngram_jaccard_pairs",  # exchange reuse + skew-join machinery
+    "q27_minhash_lsh_pairs",
+    "q48_cdc_merge_apply",
+    "q64_dedup_components",   # iterative with per-round exchanges
+    "q110_incremental_dedup",
+    "q116_equidepth_histogram",
+]
+
+
+@pytest.mark.parametrize("name", AQE_SENSITIVE)
+def test_result_is_aqe_invariant(spark, name):
+    """AQE re-plans at runtime (partition coalescing, broadcast
+    conversion, skew splits); disabling it must not change any result —
+    plans may differ, values may not."""
+    base = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        a = _canon(QUERIES[name].builder(spark, SF_SMALL))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = _canon(QUERIES[name].builder(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", base)
+    assert a == b, f"{name} output depends on adaptive execution"

@@ -4176,7 +4176,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 # and all 109 stay value-checked every session by
 # tests/test_queries_oracle.py at sf0.001.
 _DRIVER_WINDOW_R4 = [
-    # 17 queries added in round 4 — never driver-checked:
+    # 18 queries added in round 4 — never driver-checked:
     "q110_incremental_dedup",
     "q111_containment_pairs",
     "q112_gram_matrix",
@@ -4184,6 +4184,7 @@ _DRIVER_WINDOW_R4 = [
     "q114_leakage_safe_split",
     "q115_document_chunks",
     "q116_equidepth_histogram",
+    "q117_soft_dedup_weights",
     "q100_language_mix_report",
     "q101_cross_source_duplication",
     "q102_vocab_growth",
@@ -4194,8 +4195,8 @@ _DRIVER_WINDOW_R4 = [
     "q107_sq8_ann_topk",
     "q108_heavy_hitters",
     "q109_source_capped_sample",
-    # 6 queries last driver-green in round 1 (q32/q37/q38/q40/q41/q42/
-    # q39 displaced by the seven late round-4 additions — their shapes
+    # 5 queries last driver-green in round 1 (q32/q37/q38/q40/q41/q42/
+    # q39/q23 displaced by the eight late round-4 additions — their shapes
     # are covered by in-window siblings q49/q97-r02, q18/q47-r03,
     # q68-r03, q20+q54, q50-green-r03 for the string-expression family,
     # q25/q43 for the embedding-array expressions, and q110/q111 for the
@@ -4205,7 +4206,6 @@ _DRIVER_WINDOW_R4 = [
     "q18_rollup_value",
     "q20_token_stats",
     "q22_lang_id",
-    "q23_doc_fingerprint",
     # 26 queries last driver-green in round 2:
     "q21_quality_scores",
     "q25_ann_bruteforce_topk",
@@ -4871,6 +4871,79 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("event_type", "bucket", "n_rows")
         .orderBy("event_type", "bucket")
+    )
+
+
+@_register(
+    "q117_soft_dedup_weights",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 500000.0
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT u FROM und),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+    ),
+    comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex
+    ),
+    csize AS (SELECT cluster, COUNT(*) AS csz FROM labeled GROUP BY cluster)
+    SELECT l.doc_id,
+           CAST(l.cluster AS BIGINT) AS cluster,
+           CAST(FLOOR(1000000.0 / csize.csz) AS BIGINT) AS weight_ppm
+    FROM labeled l JOIN csize ON l.cluster = csize.cluster
+    ORDER BY doc_id
+    """,
+    doc="Soft dedup: instead of dropping near-duplicates, downweight them "
+    "— each doc gets sampling weight 1/|its near-dup cluster| (ppm-"
+    "quantized), so a training sampler sees every cluster with equal "
+    "total mass while keeping intra-cluster diversity (the alternative "
+    "to hard keep/drop that several LLM data pipelines prefer). Reuses "
+    "the q64/q114 component machinery; the cluster-size join keys on the "
+    "tiny cluster domain.",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    joined, ratio = _shingle_pair_stats(d)
+    edges = joined.filter(ratio >= 500000.0).select("id_a", "id_b")
+    comp = dedup.connected_components(edges)
+    labeled = (
+        d.select(F.col("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("vertex"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    csize = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    return (
+        labeled.join(csize, "cluster")
+        .select(
+            "doc_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.floor(F.lit(1_000_000.0) / F.col("csz"))
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
     )
 
 

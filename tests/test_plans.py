@@ -100,7 +100,7 @@ def test_driver_window_matches_round4_rotation():
     ]
     assert set(new_this_round) <= set(_DRIVER_WINDOW_R4), new_this_round
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 116
+    assert len(names) == len(set(names)) == 117
 
 
 def test_q69_q70_dims_broadcast(spark):

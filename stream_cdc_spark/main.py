@@ -11,6 +11,14 @@ through the registries (O28) from the same env names (O29):
   BATCH_SIZE / FLUSH_INTERVAL        rate cap / trigger (O15)
   DRAIN_AND_EXIT=1                   availableNow mode (backfill/replay)
 
+Curation mode (PIPELINE=curation): stream a (doc_id, text) document feed
+through the continuous-curation sink instead — quality gates +
+incremental near-dup admission with durable batch-versioned state:
+
+  PIPELINE=curation DOCS_PATH=<documents parquet dir>
+  CURATION_STATE_DIR=<dir>           decisions/kept/index state tables
+  MIN_TOKENS=<n>                     quality gate (default 5)
+
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
 
@@ -31,8 +39,55 @@ from stream_cdc_spark.sources import datasource_registry
 from stream_cdc_spark.streaming.pipeline import CdcPipeline
 
 
+def _curation_main(cfg) -> int:
+    """PIPELINE=curation: continuous document curation over a parquet feed."""
+    from stream_cdc_spark.sources import sink_registry
+
+    spark = get_spark(app_name="stream-cdc-spark-curation")
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    docs_path = os.environ.get("DOCS_PATH", "/root/testdata/sf0.001")
+    state_dir = os.environ.get(
+        "CURATION_STATE_DIR", "/tmp/stream-cdc-spark-curation"
+    )
+    ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
+    drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
+    min_tokens = int(os.environ.get("MIN_TOKENS", "5"))
+
+    sink = sink_registry.create(
+        "curation", state_dir=state_dir, min_tokens=min_tokens
+    )
+    # DOCS_PATH may be an sf dir (documents.parquet file inside) or a
+    # directory of document parquet files; the streaming file source
+    # needs a directory, so glob-filter within the parent.
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(docs_path)
+        .select("doc_id", "text")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+    )
+    query = (
+        writer.trigger(availableNow=True) if drain else writer
+    ).start()
+
+    def _stop(signum, frame):
+        print(f"signal {signum}: stopping curation", file=sys.stderr)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    query.awaitTermination()
+    print(f"curation stopped; state at {state_dir}, checkpoint at {ckpt}")
+    return 0
+
+
 def main() -> int:
     cfg = AppConfig.load()
+    if os.environ.get("PIPELINE", "cdc") == "curation":
+        return _curation_main(cfg)
     spark = get_spark(app_name="stream-cdc-spark-pipeline")
     spark.sparkContext.setLogLevel(cfg.log_level)
 

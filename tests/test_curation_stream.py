@@ -134,3 +134,23 @@ def test_curation_replayed_batch_is_idempotent(spark, tmp_path):
     assert dec[3] == (False, "near_dup", 1)
     assert dec[4] == (False, "quality", None)
     assert dec[1][0] and dec[2][0]
+
+
+def test_curation_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+    """PIPELINE=curation entrypoint: one availableNow drain over the
+    sf0.001 corpus produces a decision per doc and a non-trivial kept
+    corpus (the CLI twin of the restart e2e)."""
+    from stream_cdc_spark import main as M
+
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "curation")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("CURATION_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    pipe = CurationPipeline(state)
+    n_docs = load(spark, SF_SMALL, "documents").count()
+    assert pipe.decisions(spark).count() == n_docs
+    kept = pipe.corpus(spark).count()
+    assert 0 < kept < n_docs

@@ -154,3 +154,64 @@ def test_curation_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     assert pipe.decisions(spark).count() == n_docs
     kept = pipe.corpus(spark).count()
     assert 0 < kept < n_docs
+
+
+def test_curation_crash_between_state_writes_recovers(spark, tmp_path):
+    """Crash-consistency of the batch-versioned protocol: if the batch
+    dies AFTER writing decisions but BEFORE the kept/index writes, the
+    replay must still converge to exactly the clean-run state (its reads
+    exclude the dead batch's partial output)."""
+    import stream_cdc_spark.operators.dedup as D
+
+    state = str(tmp_path / "state")
+    pipe = CurationPipeline(state, min_tokens=2)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon"), (4, "zz yy xx ww vv")],
+        "doc_id bigint, text string",
+    )
+    pipe.foreach_batch(b0, 0)
+
+    import stream_cdc_spark.streaming.curation as C
+
+    # simulate the torn batch: perform batch 1's work manually, writing
+    # ONLY the decisions subdir before "crashing" (kept/index never land)
+    docs = b1.select("doc_id", "text")
+    from pyspark.sql import functions as F
+
+    qual_ok = docs.filter(pipe.quality_predicate)
+    corpus = pipe._read(spark, pipe.kept_dir, C.KEPT_SCHEMA, 1)
+    index = pipe._read(spark, pipe.index_dir, C.INDEX_SCHEMA, 1)
+    adm = D.incremental_verified_dedup(qual_ok, corpus, index=index)
+    import os
+
+    sub = "batch=000000001"
+    # decisions land; kept/index do NOT (the torn write)
+    adm.select(
+        "doc_id", "keep", F.lit(None).cast("string").alias("reason"),
+        "dup_of",
+    ).write.mode("overwrite").parquet(os.path.join(pipe.decisions_dir, sub))
+
+    # replay of batch 1 (what the checkpoint would do) must fully recover
+    pipe.foreach_batch(b1, 1)
+    dec = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in pipe.decisions(spark).collect()
+    }
+    assert dec[3] == (False, 1)
+    assert dec[4] == (True, None)
+    kept = sorted(r["doc_id"] for r in pipe.corpus(spark).collect())
+    assert kept == [1, 2, 4]
+    # and batch 2 sees a consistent world
+    b2 = spark.createDataFrame(
+        [(5, "zz yy xx ww vv")], "doc_id bigint, text string"
+    )
+    pipe.foreach_batch(b2, 2)
+    dec5 = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in pipe.decisions(spark).collect()
+    }[5]
+    assert dec5 == (False, 4)  # near-dups the batch-1 survivor via the index

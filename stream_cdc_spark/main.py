@@ -56,12 +56,22 @@ def _curation_main(cfg) -> int:
     sink = sink_registry.create(
         "curation", state_dir=state_dir, min_tokens=min_tokens
     )
-    # DOCS_PATH may be an sf dir (documents.parquet file inside) or a
-    # directory of document parquet files; the streaming file source
-    # needs a directory, so glob-filter within the parent.
+    # DOCS_PATH may be an sf dir (documents.parquet file inside, next to
+    # other tables with different schemas) or a directory of document
+    # parquet files (part-*.parquet). The streaming file source needs a
+    # directory, so glob-filter within the parent — but only narrow to
+    # 'documents.parquet' when the sf-dir layout is actually present;
+    # otherwise default to '*.parquet' so arbitrary feed layouts stream.
+    # DOCS_GLOB overrides either default.
+    default_glob = (
+        "documents.parquet"
+        if os.path.exists(os.path.join(docs_path, "documents.parquet"))
+        else "*.parquet"
+    )
+    docs_glob = os.environ.get("DOCS_GLOB", default_glob)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", docs_glob)
         .parquet(docs_path)
         .select("doc_id", "text")
     )

@@ -101,3 +101,40 @@ def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     stream_cdc/streams/sqs.py:205-234). Hash-shuffle on keys; map-side
     combine makes redelivery storms cheap."""
     return df.dropDuplicates(list(keys))
+
+
+def snapshot_as_of(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order_col: str,
+    as_of,
+    op_col: str = "event_type",
+    delete_label: str = "Delete",
+) -> DataFrame:
+    """Point-in-time snapshot reconstruction from a CDC change log: the
+    state of the keyed table as of timestamp ``as_of``.
+
+    Semantics: restrict the log to rows with ts <= as_of (partition-
+    prunable predicate — at 100 TB the log is ts-partitioned and this is
+    the pruning filter), compact to the latest row per key ordered by
+    (ts, order_col) — order_col breaks same-timestamp ties exactly as the
+    reference's monotonically increasing GTID does
+    (stream_cdc/datasources/mysql.py:380-384) — then drop keys whose
+    latest op is ``delete_label``. This is the time-travel read a CDC
+    consumer materializes from the envelope stream; Delta calls it
+    VERSION AS OF, re-expressed over a plain event-envelope table.
+
+    One shuffle (the per-key compaction window); the as_of filter reaches
+    the parquet scan.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col).desc(), F.col(order_col).desc()
+    )
+    return (
+        changes.filter(F.col(ts_col) <= F.lit(as_of))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_label)
+        .drop("__rn")
+    )

@@ -281,9 +281,19 @@ def minhash_band_index(
 ) -> DataFrame:
     """Build the (id, band, key) MinHash-LSH index for a corpus. In
     production this is materialized once (bucketed by (band, key)) and
-    maintained incrementally as batches are admitted."""
+    maintained incrementally as batches are admitted.
+
+    The ``band`` column carries (k, num_hashes, bands) as column metadata
+    so a persisted index is self-describing: probing it with mismatched
+    LSH parameters silently yields zero candidates (every near-dup of the
+    corpus would be admitted), so consumers validate the stamp — see
+    incremental_verified_dedup. Column metadata survives parquet
+    round-trips and unions, so extend_band_index keeps the stamp.
+    """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    return band_buckets(sig, num_hashes, bands)
+    out = band_buckets(sig, num_hashes, bands)
+    stamp = {"lsh_k": k, "lsh_num_hashes": num_hashes, "lsh_bands": bands}
+    return out.withColumn("band", F.col("band").alias("band", metadata=stamp))
 
 
 def minhash_lsh_pairs(
@@ -433,6 +443,25 @@ def incremental_verified_dedup(
         new_buckets = F.broadcast(new_buckets)
     if index is None:
         index = minhash_band_index(corpus_df, text_col, id_col, k, num_hashes, bands)
+    else:
+        # A prebuilt index built with different (k, num_hashes, bands)
+        # produces zero corpus candidates — every near-dup would be
+        # silently admitted. Indexes built by minhash_band_index carry
+        # their parameters as column metadata; reject a mismatched stamp.
+        # An unstamped index (hand-built relation) is accepted but the
+        # parameter invariant is the caller's responsibility.
+        try:
+            stamp = dict(index.schema["band"].metadata or {})
+        except (KeyError, TypeError):
+            stamp = {}
+        want = {"lsh_k": k, "lsh_num_hashes": num_hashes, "lsh_bands": bands}
+        got = {kk: stamp[kk] for kk in want if kk in stamp}
+        if got and got != want:
+            raise ValueError(
+                f"prebuilt LSH index parameter mismatch: index has {got}, "
+                f"probe requested {want} — rebuild the index or pass "
+                f"matching k/num_hashes/bands"
+            )
 
     nb = new_buckets.select(
         F.col("id").alias("new_id"), "band", "key"
@@ -539,11 +568,18 @@ def containment_pairs(
     state is counts, all shuffles partial-aggregated. Emits BOTH
     orientations: (id_in, id_out, containment_ppm) with containment =
     shared / n_in >= threshold, id_in != id_out.
+
+    Denominator semantics: per-doc sizes (n_in) are computed from the
+    UNFILTERED shingle relation; the df-cap (stop_shingle_filter) applies
+    only to the pair-generating self-join. Capping both would shrink |A|
+    for boilerplate-heavy docs and inflate shared/n_in past the threshold
+    (the asymmetric ratio, unlike Jaccard, is not robust to dropping hot
+    shingles from the denominator). With sizes uncapped, a fired cap can
+    only LOWER the reported ratio — conservative, never a false positive.
     """
-    sh = stop_shingle_filter(
-        shingles(df, text_col, id_col, k), max_df, detect_rate_4096=32
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_full = shingles(df, text_col, id_col, k)
+    sh = stop_shingle_filter(sh_full, max_df, detect_rate_4096=32)
+    sizes = sh_full.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(

@@ -494,3 +494,58 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_tok"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Corpus coverage of the top-N token vocabulary, for each N in
+    ``sizes`` — the tokenizer-design question (how big must a vocab be to
+    cover X% of the token stream?) answered exactly.
+
+    Rank is deterministic: count desc, then token text (engines agree on
+    ties). Plan shape: one token-count aggregate (map-side combine), then
+    per-N TakeOrdered top-k — the classic distributed top-k, per-partition
+    partial heaps merged once, never a global sort — and an integer-exact
+    coverage ratio (covered * 1e6 is far inside the double mantissa, so
+    the single division is bit-identical across engines).
+
+    Returns (n_vocab, covered_tokens, total_tokens, coverage_ppm) rows,
+    all BIGINT.
+    """
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    vocab = (
+        ensure_parallelism(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    outs = []
+    for n in sizes:
+        covered = (
+            vocab.orderBy(F.col("cnt").desc(), F.col("tok"))
+            .limit(n)
+            .agg(F.sum("cnt").cast("bigint").alias("covered_tokens"))
+        )
+        outs.append(
+            covered.crossJoin(F.broadcast(total)).select(
+                F.lit(n).cast("bigint").alias("n_vocab"),
+                "covered_tokens",
+                "total_tokens",
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * F.col("covered_tokens")
+                    / F.col("total_tokens")
+                )
+                .cast("bigint")
+                .alias("coverage_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4947,12 +4947,197 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q118_snapshot_as_of",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    doc="Point-in-time snapshot reconstruction (time-travel) from the CDC "
+    "change log: latest image per key as of T, delete-marked keys removed "
+    "— the VERSION AS OF read a consumer materializes from the envelope "
+    "stream (reference offset semantics: mysql.py:380-384). The as_of "
+    "filter reaches the parquet scan; one compaction shuffle.",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from datetime import datetime
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return (
+        compaction.snapshot_as_of(
+            ev,
+            ["user_id"],
+            "ts",
+            "event_id",
+            as_of=datetime(2024, 1, 15),
+            op_col="event_type",
+            delete_label="error",
+        )
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q119_vocab_coverage",
+    """
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tf
+    )
+    SELECT v.n_vocab,
+           CAST(SUM(CASE WHEN rnk <= v.n_vocab THEN cnt ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(1000000.0
+                * SUM(CASE WHEN rnk <= v.n_vocab THEN cnt ELSE 0 END)
+                / SUM(cnt)) AS BIGINT) AS coverage_ppm
+    FROM ranked CROSS JOIN (VALUES (100), (1000), (10000)) v(n_vocab)
+    GROUP BY v.n_vocab ORDER BY v.n_vocab
+    """,
+    doc="Tokenizer vocab sizing: exact corpus coverage of the top-N "
+    "vocabulary (N = 100/1k/10k). Token-count aggregate + distributed "
+    "TakeOrdered top-k per N — no global sort; integer-exact ppm.",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.vocab_coverage(d, "text").orderBy("n_vocab")
+
+
+@_register(
+    "q120_quality_report",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM documents
+    ), s AS (
+      SELECT lang,
+             CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+                  + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+                  + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                         THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score,
+             CAST(n_tok AS BIGINT) AS n_tokens
+      FROM f
+    )
+    SELECT lang, quality_score,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY lang, quality_score ORDER BY lang, quality_score
+    """,
+    doc="Curation quality report: corpus mass by (lang, composite quality "
+    "score) — the keep/drop dashboard a training-data team reads before "
+    "gating. Same score expression as q21; one hash aggregate, integer "
+    "outputs (score is a discrete exact-double lattice).",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.quality_score(text.quality_features(load(spark, sf, "documents")))
+    return (
+        d.groupBy("lang", "quality_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "quality_score")
+    )
+
+
+# Driver verification window, round 5 — the rotation policy:
+#  (1) the 18 queries whose most recent driver-green row dates to r1/r2
+#      (VERDICT r4 "What's missing" #3): several sit on operators
+#      rewritten in r3/r4 (q39 on the array_distinct shingle change,
+#      q40/q41 token ops, q32 on distributed_prefix_sum), so external
+#      re-verification is overdue;
+#  (2) every query added this round (q118-q120, never driver-checked);
+#  (3) continuity anchors for operators whose code changed this round:
+#      q110 (index parameter stamp), q111 (uncapped containment
+#      denominators);
+#  (4) the remaining slots go to the oldest-green (round-3) queries,
+#      prioritizing the headline bench set and one representative per
+#      operator family. Everything outside the window has a driver-green
+#      row from r3/r4 and stays value-checked every session by
+#      tests/test_queries_oracle.py.
+_DRIVER_WINDOW_R5 = [
+    # (1) 18 stale r1/r2-green queries:
+    "q04_last_position",
+    "q09_changed_keys_semi_join",
+    "q11_scalar_pipeline",
+    "q16_top_k_orders",
+    "q23_doc_fingerprint",
+    "q32_running_total",
+    "q33_lag_delta",
+    "q35_having_filter",
+    "q36_set_except",
+    "q37_pivot_counts",
+    "q38_discrete_percentiles",
+    "q39_near_dedup_filter",
+    "q40_token_frequencies",
+    "q41_regex_tokens",
+    "q42_vector_stats",
+    "q45_date_rollup",
+    "q46_above_customer_avg",
+    "q50_string_pipeline",
+    # (2) new this round:
+    "q118_snapshot_as_of",
+    "q119_vocab_coverage",
+    "q120_quality_report",
+    # (3) continuity anchors (code changed this round):
+    "q110_incremental_dedup",
+    "q111_containment_pairs",
+    # (4) oldest-green (r3) fillers — headline bench set first:
+    "q01_envelope_filter_project",
+    "q03_log_compaction",
+    "q07_cdc_apply_join",
+    "q10_hourly_window",
+    "q13_tpch_q1",
+    "q19_exact_dedup",
+    "q24_ngram_jaccard_pairs",
+    "q27_minhash_lsh_pairs",
+    "q31_sessionization",
+    "q48_cdc_merge_apply",
+    "q51_asof_join",
+    "q66_winnow_fingerprints",
+    # one representative per remaining r3-green operator family:
+    "q02_classify_count",
+    "q05_batch_assembly",
+    "q08_delete_anti_join",
+    "q12_consumer_dedup",
+    "q17_set_intersect",
+    "q28_simhash_near_pairs",
+    "q29_ann_lsh_topk",
+    "q30_embedding_near_dup",
+    "q44_ivf_ann_topk",
+    "q47_cube_counts",
+    "q52_range_join",
+    "q56_scd2_history",
+    "q64_dedup_components",
+    "q67_approx_distinct_bounded",
+    "q87_incremental_agg",
+    # (q97_window_rank_zoo stays out: the window-function family is
+    # already re-proven in-window by stale entries q32/q33/q38.)
+]
+
+assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R4. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R5. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R4)
+_window = set(_DRIVER_WINDOW_R5)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R4},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R5},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -539,19 +539,31 @@ LSH_DEDUP_STATE = StructType(
     [
         StructField("ids", ArrayType(LongType()), True),
         StructField("sigs", ArrayType(ArrayType(LongType())), True),
+        StructField("seen", ArrayType(LongType()), True),
     ]
 )
 
+# Redelivery guard for docs REJECTED by the max_bucket cap: admitted docs
+# are deduped via bucket membership, but a capped doc re-emits its matches
+# on redelivery unless its id is remembered. The seen-list is bounded
+# (FIFO) — only hot buckets ever cap, and an evicted id degrades to the
+# documented at-least-once emission the consumer-side dropDuplicates
+# already absorbs.
+_SEEN_CAP_FACTOR = 8
 
-def _bucket_matches(members, pdfs, num_hashes, min_agree, max_bucket):
+
+def _bucket_matches(members, pdfs, num_hashes, min_agree, max_bucket, seen=None):
     """Shared per-bucket admission scan for both state APIs.
 
     ``members``: list of (doc_id, signature tuple) already in the bucket.
-    Returns (match rows, updated members). Rows are normalized to
-    (max(id), min(id)) regardless of arrival order, matching the batch
-    family's id_a < id_b convention under out-of-order delivery.
+    ``seen``: list of capped-but-processed doc ids (redelivery guard for
+    docs the cap kept out of ``members``).
+    Returns (match rows, updated members, updated seen). Rows are
+    normalized to (max(id), min(id)) regardless of arrival order, matching
+    the batch family's id_a < id_b convention under out-of-order delivery.
     """
-    known = {m[0] for m in members}
+    seen = list(seen or [])
+    known = {m[0] for m in members} | set(seen)
     arrivals = []
     for pdf in pdfs:
         for did, sig in zip(pdf["doc_id"], pdf["signature"]):
@@ -560,7 +572,7 @@ def _bucket_matches(members, pdfs, num_hashes, min_agree, max_bucket):
     out_doc, out_dup, out_agree = [], [], []
     for did, sig in arrivals:
         if did in known:
-            continue  # redelivery — already admitted, nothing to emit
+            continue  # redelivery — already processed, nothing to emit
         for mid, msig in members:
             agree = sum(a == b for a, b in zip(sig, msig))
             if agree / num_hashes >= min_agree:
@@ -571,7 +583,11 @@ def _bucket_matches(members, pdfs, num_hashes, min_agree, max_bucket):
         known.add(did)
         if len(members) < max_bucket:
             members.append((did, sig))
-    return (out_doc, out_dup, out_agree), members
+        else:
+            seen.append(did)
+    if len(seen) > _SEEN_CAP_FACTOR * max_bucket:
+        seen = seen[-_SEEN_CAP_FACTOR * max_bucket :]
+    return (out_doc, out_dup, out_agree), members, seen
 
 
 class _LshDedupProcessor:
@@ -596,22 +612,24 @@ class _LshDedupProcessor:
 
     def init(self, handle) -> None:
         self.bucket = handle.getValueState(
-            "bucket", "ids ARRAY<BIGINT>, sigs ARRAY<ARRAY<BIGINT>>"
+            "bucket",
+            "ids ARRAY<BIGINT>, sigs ARRAY<ARRAY<BIGINT>>, seen ARRAY<BIGINT>",
         )
 
     def handleInputRows(self, key, rows, timerValues):
         if self.bucket.exists():
-            ids, sigs = self.bucket.get()
+            ids, sigs, seen = self.bucket.get()
             members = [
                 (int(i), tuple(int(x) for x in s)) for i, s in zip(ids, sigs)
             ]
         else:
-            members = []
-        (docs, dups, agrees), members = _bucket_matches(
-            members, rows, self.num_hashes, self.min_agree, self.max_bucket
+            members, seen = [], []
+        (docs, dups, agrees), members, seen = _bucket_matches(
+            members, rows, self.num_hashes, self.min_agree, self.max_bucket,
+            seen,
         )
         self.bucket.update(
-            ([m[0] for m in members], [list(m[1]) for m in members])
+            ([m[0] for m in members], [list(m[1]) for m in members], seen)
         )
         if docs:
             yield pd.DataFrame(
@@ -637,17 +655,17 @@ def _lsh_dedup_legacy(num_hashes: int, min_agree: float, max_bucket: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ids, sigs = state.get
+            ids, sigs, seen = state.get
             members = [
                 (int(i), tuple(int(x) for x in s)) for i, s in zip(ids, sigs)
             ]
         else:
-            members = []
-        (docs, dups, agrees), members = _bucket_matches(
-            members, pdfs, num_hashes, min_agree, max_bucket
+            members, seen = [], []
+        (docs, dups, agrees), members, seen = _bucket_matches(
+            members, pdfs, num_hashes, min_agree, max_bucket, seen
         )
         state.update(
-            ([m[0] for m in members], [list(m[1]) for m in members])
+            ([m[0] for m in members], [list(m[1]) for m in members], list(seen))
         )
         if docs:
             yield pd.DataFrame(
@@ -657,41 +675,21 @@ def _lsh_dedup_legacy(num_hashes: int, min_agree: float, max_bucket: int):
     return inner
 
 
-def lsh_dedup_stream(
+def banded_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    min_agree: float = 0.8,
-    max_bucket: int = 64,
-    use_transform_with_state: bool | None = None,
 ) -> DataFrame:
-    """Continuous near-duplicate admission over a document stream — the
-    streaming twin of dedup.incremental_verified_dedup: every arriving doc
-    is checked against all previously admitted docs and flagged in the
-    micro-batch it arrives, with the accumulated corpus living in the
-    state store instead of a re-scanned table.
-
-    Shape: MinHash signatures are computed NARROWLY per row
-    (array_min over the shingle array — no explode, no aggregate, no
-    shuffle; the values are identical to the batch minhash_signatures
-    family because the hash expression xxhash64(shingle, i) is shared),
-    then each doc fans out to its ``bands`` (band, key) buckets and the
-    stateful operator compares it against the bucket's residents. State
-    per bucket is capped at max_bucket (id, signature) pairs; per-doc
-    state across the store is bands rows — linear in admitted docs,
-    RocksDB-capable.
-
-    Emits (doc_id, dup_of, agree_ppm) per matching resident with
-    agreement >= min_agree; a pair colliding in several bands is emitted
-    once per band — consumers dedup per micro-batch (foreachBatch
-    dropDuplicates), exactly as the batch path's dropDuplicates does.
-    Sketch-level decision (engine-specific hash), hence unit/restart
-    tested rather than SQL-oracled; the exact-verify certificate is the
-    batch join of q110 over the emitted candidates.
-    """
+    """Per-row MinHash signature + (band, key) fan-out, all narrow and
+    whole-stage-codegen'd: (band INT, key BIGINT, doc_id BIGINT,
+    signature ARRAY<BIGINT>). Values are identical to the batch
+    minhash_signatures family (same xxhash64(shingle, i) expression per
+    position), so streaming emissions line up exactly with batch LSH
+    candidates. Shared by lsh_dedup_stream (per-bucket state store) and
+    LshDedupSnapshot (foreachBatch snapshot joins)."""
     from pyspark.sql import functions as F
 
     from stream_cdc_spark.operators.dedup import shingle_array
@@ -700,9 +698,7 @@ def lsh_dedup_stream(
     # Literal-unrolled per-position mins: a transform over
     # sequence(0, num_hashes-1) reads nicer but its non-literal seed falls
     # out of codegen (measured 12x slower at sf0.1); with literal seeds
-    # the whole signature stays whole-stage-generated. Values are
-    # identical to the batch minhash family (same xxhash64(shingle, i)
-    # expression per position).
+    # the whole signature stays whole-stage-generated.
     sig = F.array(
         *[
             F.array_min(
@@ -712,7 +708,7 @@ def lsh_dedup_stream(
         ]
     )
     rows_per_band = num_hashes // bands
-    keyed = (
+    return (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             sig.alias("signature"),
@@ -749,6 +745,54 @@ def lsh_dedup_stream(
             "signature",
         )
     )
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_agree: float = 0.8,
+    max_bucket: int = 64,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
+    """Continuous near-duplicate admission over a document stream — the
+    streaming twin of dedup.incremental_verified_dedup: every arriving doc
+    is checked against all previously admitted docs and flagged in the
+    micro-batch it arrives, with the accumulated corpus living in the
+    state store instead of a re-scanned table.
+
+    Shape: MinHash signatures are computed NARROWLY per row
+    (array_min over the shingle array — no explode, no aggregate, no
+    shuffle; the values are identical to the batch minhash_signatures
+    family because the hash expression xxhash64(shingle, i) is shared),
+    then each doc fans out to its ``bands`` (band, key) buckets and the
+    stateful operator compares it against the bucket's residents. State
+    per bucket is capped at max_bucket (id, signature) pairs; per-doc
+    state across the store is bands rows — linear in admitted docs,
+    RocksDB-capable.
+
+    Emits (doc_id, dup_of, agree_ppm) per matching resident with
+    agreement >= min_agree; a pair colliding in several bands is emitted
+    once per band — consumers dedup per micro-batch (foreachBatch
+    dropDuplicates), exactly as the batch path's dropDuplicates does.
+    Sketch-level decision (engine-specific hash), hence unit/restart
+    tested rather than SQL-oracled; the exact-verify certificate is the
+    batch join of q110 over the emitted candidates.
+
+    Throughput note: this per-bucket stateful form is the continuous-
+    admission design point (small micro-batches, sub-second). Draining a
+    LARGE backlog through it pays one Python group invocation per
+    (band, key) bucket — ~bands groups per doc — which the fallback
+    applyInPandasWithState API cannot amortize. For backfills and bulk
+    drains use streaming.lsh_snapshot.LshDedupSnapshot: the same
+    admission semantics as JVM-side joins against a batch-versioned
+    parquet snapshot (measured ~40x this operator's drain throughput at
+    the 10x corpus; see SCALE_BENCH_r05).
+    """
+    keyed = banded_signatures(docs, text_col, id_col, k, num_hashes, bands)
     if use_transform_with_state is None:
         use_transform_with_state = transform_with_state_available()
     if use_transform_with_state:

@@ -170,6 +170,54 @@ def test_sequential_admission_matches_greedy_reference(spark):
     assert len(spark_kept) < d.count()  # dups genuinely dropped
 
 
+def test_incremental_rejects_mismatched_index_params(spark):
+    """A prebuilt index built with different (k, num_hashes, bands) yields
+    zero corpus candidates — every near-dup would be silently admitted.
+    The index is stamped with its parameters; a mismatched probe raises."""
+    import pytest
+
+    corpus = _docs(spark, [(1, BODY), (2, OTHER)])
+    batch = _docs(spark, [(10, BODY)])
+    idx = dedup.minhash_band_index(corpus, bands=8, num_hashes=32)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup.incremental_verified_dedup(batch, corpus, index=idx)
+    # matching params still accepted (and the stamp survives parquet)
+    path = "/tmp/lsh-index-stamp-test"
+    dedup.minhash_band_index(corpus).write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    out = dedup.incremental_verified_dedup(batch, corpus, index=reloaded)
+    assert {r["doc_id"]: r["keep"] for r in out.collect()} == {10: False}
+
+
+def test_containment_denominators_ignore_df_cap(spark, monkeypatch):
+    """The df-cap must apply only to the pair-generating self-join, never
+    the per-doc size denominators: capping |A| for a boilerplate-heavy doc
+    shrinks the denominator toward the doc's few informative shingles and
+    manufactures a false positive when those happen to be shared. Simulate
+    a fired cap by forcing the filter to drop the boilerplate shingles and
+    assert the short doc is NOT reported contained (old capped-denominator
+    behavior reported exactly 1_000_000 ppm here)."""
+    boiler = " ".join(f"zz{i}" for i in range(12))
+    tail = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i}" for i in range(30))
+    # doc 1: mostly boilerplate, tiny informative tail shared with doc 2
+    df = _docs(spark, [(1, boiler + " " + tail), (2, tail + " " + filler)])
+
+    def drop_boiler(sh, max_df, **kw):
+        return sh.filter(~F.col("shingle").rlike("zz"))
+
+    monkeypatch.setattr(dedup, "stop_shingle_filter", drop_boiler)
+    all_ratios = {
+        (r["id_in"], r["id_out"]): r["containment_ppm"]
+        for r in dedup.containment_pairs(df, threshold_ppm=1).collect()
+    }
+    # true containment of doc 1 in doc 2 is 3 shared / 14 total shingles;
+    # capped denominators would report 3/3 = 1.0
+    assert all_ratios[(1, 2)] < 300_000, all_ratios
+    # so at the default 0.9 threshold the pair must not be emitted
+    assert dedup.containment_pairs(df).count() == 0
+
+
 def test_fuzzy_prefix_pairs_catches_typos_and_guards_hot_blocks(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     typo = "alpha beta gamma delta epsilon zeta eta theta iota kappo"  # 1 edit

@@ -79,28 +79,39 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round4_rotation():
+def test_driver_window_matches_round5_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-4 policy: every query added this round (q100+, never
-    driver-checked) comes first, then the queries whose latest green row
-    predates round 3, then the claim-check continuity anchor (rationale
-    above _DRIVER_WINDOW_R4 in plans/queries.py). Everything outside the
-    window has a round-3 green driver row and stays value-checked by the
-    repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R4
+    Round-5 policy: the 18 queries whose latest driver-green row dates to
+    r1/r2 lead, then every query added this round (q118+), then the
+    continuity anchors for this round's code changes (q110/q111), then
+    oldest-green (r3) fillers (rationale above _DRIVER_WINDOW_R5 in
+    plans/queries.py). Everything outside the window has an r3/r4 green
+    driver row and stays value-checked by the repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R5
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R4) == 50
-    assert len(set(_DRIVER_WINDOW_R4)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R4
-    # every round-4 addition is inside the window:
+    assert len(_DRIVER_WINDOW_R5) == 50
+    assert len(set(_DRIVER_WINDOW_R5)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R5
+    # the 18 stale queries all rotated in:
+    stale = [
+        "q04_last_position", "q09_changed_keys_semi_join",
+        "q11_scalar_pipeline", "q16_top_k_orders", "q23_doc_fingerprint",
+        "q32_running_total", "q33_lag_delta", "q35_having_filter",
+        "q36_set_except", "q37_pivot_counts", "q38_discrete_percentiles",
+        "q39_near_dedup_filter", "q40_token_frequencies",
+        "q41_regex_tokens", "q42_vector_stats", "q45_date_rollup",
+        "q46_above_customer_avg", "q50_string_pipeline",
+    ]
+    assert set(stale) <= set(_DRIVER_WINDOW_R5)
+    # every round-5 addition is inside the window:
     new_this_round = [
         n for n in names
-        if n.split("_")[0][1:].isdigit() and int(n.split("_")[0][1:]) >= 100
+        if n.split("_")[0][1:].isdigit() and int(n.split("_")[0][1:]) >= 118
     ]
-    assert set(new_this_round) <= set(_DRIVER_WINDOW_R4), new_this_round
+    assert new_this_round and set(new_this_round) <= set(_DRIVER_WINDOW_R5)
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 117
+    assert len(names) == len(set(names)) == 120
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -23,7 +23,22 @@ under .scale/ by deterministic replication with three invariants:
 Output ids stay far below the q28-q30 planted-row offset (max doc_id
 49,999 vs 100,000 at factor 10), so the sketch-oracle guards hold.
 
-Usage: python scripts/make_scale_data.py [factor] [outdir]
+Round-5 addition — **skewed vocabulary head**: the plain per-replica
+suffix flattens per-token counts (every token's corpus frequency stays
+at its sf0.1 value while N grows by `factor`), which starves the
+frequency-skew operators: q108 heavy hitters returned 0 rows at 10x,
+and q103/q94's bigram LM saw an unrealistically flat unigram table.
+Real corpora are Zipfian: the head tokens grow WITH the corpus. So the
+top `zipf_head` tokens of the source corpus (by exact count) keep their
+surface form in every replica — their counts scale by `factor`, giving a
+realistic Zipf head — while tail tokens still get the per-replica suffix
+that keeps replicas shingle-disjoint. Head-only shingles could collide
+across replicas, but those are exactly the boilerplate shingles the
+df-cap (stop_shingle_filter) removes, so the near-dup pair structure
+stays per-replica.
+
+Usage: python scripts/make_scale_data.py [factor] [outdir] [--zipf-head N]
+(default N=32; --zipf-head 0 restores the round-4 flat behavior)
 Data is written outside git (.scale/ is ignored); regenerate on demand.
 """
 
@@ -68,8 +83,23 @@ KEY_OF = {
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    outdir = sys.argv[2] if len(sys.argv) > 2 else f".scale/sf{factor}x0.1"
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("factor", type=int, nargs="?", default=10)
+    p.add_argument("outdir", nargs="?", default=None)
+    p.add_argument("--zipf-head", type=int, default=32)
+    p.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate (e.g. "
+        "'documents' for the dedup-family 100x stress)",
+    )
+    ns = p.parse_args()
+    factor = ns.factor
+    outdir = ns.outdir or f".scale/sf{factor}x0.1"
+    zipf_head = ns.zipf_head
+    only = set(ns.tables.split(",")) if ns.tables else None
     spark = get_spark(app_name="stream-cdc-spark-scale-gen")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,7 +107,27 @@ def main() -> None:
         t: load(spark, SRC, t).agg(F.max(KEY_OF[t])).first()[0] + 1 for t in KEY_OF
     }
 
+    # Zipf head: exact top-N tokens of the source corpus (N-row collect —
+    # a planning aggregate, not a data path)
+    hot_tokens: list[str] = []
+    if zipf_head > 0 and (only is None or "documents" in only):
+        hot_tokens = [
+            r["tok"]
+            for r in (
+                load(spark, SRC, "documents")
+                .select(F.explode(F.split("text", " ")).alias("tok"))
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("tok"))
+                .limit(zipf_head)
+                .collect()
+            )
+        ]
+        print(f"zipf head ({zipf_head}): {hot_tokens[:8]}...", file=sys.stderr)
+
     for t in TABLES:
+        if only is not None and t not in only:
+            continue
         src = load(spark, SRC, t)
         dst = os.path.join(outdir, f"{t}.parquet")
         if t in ("region", "nation"):
@@ -91,17 +141,25 @@ def main() -> None:
                 col, F.col(col) + F.col("__r") * F.lit(blocks[block_of])
             )
         if t == "documents":
-            # per-replica token suffix => replicas share no shingles
+            # per-replica token suffix => replicas share no (informative)
+            # shingles; Zipf-head tokens keep their surface form so the
+            # corpus frequency head scales with the corpus
+            if hot_tokens:
+                suffixed = F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.when(x.isin(*hot_tokens), x).otherwise(
+                        F.concat(x, F.lit("~"), F.col("__r"))
+                    ),
+                )
+            else:
+                suffixed = F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit("~"), F.col("__r")),
+                )
             rep = rep.withColumn(
                 "text",
                 F.when(F.col("__r") == 0, F.col("text")).otherwise(
-                    F.array_join(
-                        F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda x: F.concat(x, F.lit("~"), F.col("__r")),
-                        ),
-                        " ",
-                    )
+                    F.array_join(suffixed, " ")
                 ),
             )
         if t == "embeddings":

@@ -107,7 +107,10 @@ class LshDedupSnapshot:
 
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from stream_cdc_spark.streaming.stateful import banded_signatures
+        from stream_cdc_spark.operators.dedup import (
+            band_buckets,
+            minhash_signatures,
+        )
 
         spark = batch_df.sparkSession
         docs = batch_df.select(
@@ -121,12 +124,25 @@ class LshDedupSnapshot:
             state_sigs.select("doc_id"), "doc_id", "left_anti"
         )
 
-        # One narrow codegen pass computes signature + band keys; the
-        # relation feeds four joins, so pin it (a micro-batch is small).
-        keyed = banded_signatures(
-            docs, "text", "doc_id", self.k, self.num_hashes, self.bands
-        ).localCheckpoint(eager=True)
-        if not keyed.take(1):
+        # Signatures via the BATCH operator (explode + groupBy with 64
+        # map-side-combined mins) — a foreachBatch body works on a plain
+        # batch DataFrame, so the streaming path's narrow-expression
+        # constraint doesn't apply and the proven-fastest shape does.
+        # Values are identical (min over xxhash64(shingle, i)), so
+        # emissions still line up with the batch LSH family and the
+        # state-store stream. The relation feeds four joins; pin it (a
+        # micro-batch is small).
+        batch_sigs = (
+            minhash_signatures(docs, "text", "doc_id", self.k, self.num_hashes)
+            .withColumnRenamed("id", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        keyed = band_buckets(
+            batch_sigs.withColumnRenamed("doc_id", "id"),
+            self.num_hashes,
+            self.bands,
+        ).withColumnRenamed("id", "doc_id")
+        if not batch_sigs.take(1):
             # still must commit the (empty) batch dirs so replay sees a
             # committed batch rather than re-running against newer state
             for d, schema in (
@@ -174,7 +190,13 @@ class LshDedupSnapshot:
                 <= F.lit(self.max_bucket),
             )
         )
-        admitted_bk = slots.filter("admitted").select("band", "key", "doc_id")
+        # pinned: three consumers (in-batch candidates, index commit,
+        # counts commit) would each replay the row_number window shuffle
+        admitted_bk = (
+            slots.filter("admitted")
+            .select("band", "key", "doc_id")
+            .localCheckpoint(eager=True)
+        )
 
         cand_batch = (
             admitted_bk.withColumnRenamed("doc_id", "other_id")
@@ -193,9 +215,6 @@ class LshDedupSnapshot:
         )
 
         # -- verification: signature agreement, JVM-side zip_with ---------
-        batch_sigs = keyed.select("doc_id", "signature").dropDuplicates(
-            ["doc_id"]
-        )
         # candidates << corpus, so both sig attachments broadcast the pair
         # side; at scale sigs/ is a doc_id-bucketed table and these become
         # pruned probes instead of scans

@@ -699,23 +699,36 @@ def banded_signatures(
     # sequence(0, num_hashes-1) reads nicer but its non-literal seed falls
     # out of codegen (measured 12x slower at sf0.1); with literal seeds
     # the whole signature stays whole-stage-generated.
+    # The per-seed lambda MUST take exactly one parameter: F.transform
+    # inspects the lambda's arity and passes the ARRAY INDEX as a second
+    # argument, so the former `lambda s, i=i:` had its seed default
+    # silently overridden by the element index — every signature position
+    # degenerated to min(xxhash64(shingle_j, j)), i.e. one hash repeated
+    # 64 times (agreement all-or-nothing, LSH recall broken for non-exact
+    # near-dups; the sf0.001 restart test couldn't see it because every
+    # planted near-dup there is an exact dup).
+    def _seeded(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
     )
     rows_per_band = num_hashes // bands
+    # Empty/short docs are dropped by filtering on the SHINGLE count, not
+    # on the signature: a signature element is null iff the shingle array
+    # is empty (array_min of [] — xxhash64 never yields null), so the
+    # predicates are equivalent, but a filter that references the
+    # signature alias gets pushed below the projection with the whole
+    # 64-expression array substituted into the predicate, which knocks
+    # the operator out of whole-stage codegen — measured 84 s vs 0.6 s
+    # for a 2k-doc micro-batch (round-4's 284 docs/s drain was largely
+    # THIS, not only the per-bucket Python overhead).
     return (
-        docs.select(
+        docs.filter(F.size(sh) > 0)
+        .select(
             F.col(id_col).cast("long").alias("doc_id"),
             sig.alias("signature"),
         )
-        .filter(F.size("signature") > 0)
-        .filter(~F.array_contains(F.transform(
-            F.col("signature"), lambda x: x.isNull()), F.lit(True)))
         .select(
             "doc_id",
             "signature",
@@ -789,8 +802,9 @@ def lsh_dedup_stream(
     applyInPandasWithState API cannot amortize. For backfills and bulk
     drains use streaming.lsh_snapshot.LshDedupSnapshot: the same
     admission semantics as JVM-side joins against a batch-versioned
-    parquet snapshot (measured ~40x this operator's drain throughput at
-    the 10x corpus; see SCALE_BENCH_r05).
+    parquet snapshot — measured 2500 docs/s on the 10x-corpus drain vs
+    284 docs/s recorded for this operator's fallback in round 4 (see
+    SCALE_BENCH_r05.md for the round-5 numbers of both paths).
     """
     keyed = banded_signatures(docs, text_col, id_col, k, num_hashes, bands)
     if use_transform_with_state is None:

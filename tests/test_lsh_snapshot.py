@@ -144,6 +144,49 @@ def test_snapshot_cap_matches_bucket_semantics(spark, tmp_path):
     assert per_bucket == 1
 
 
+def test_partial_agreement_near_dup_is_caught(spark, tmp_path):
+    """Regression for the transform-arity bug: F.transform passes the
+    array index as a second lambda argument, so a seeded two-parameter
+    lambda collapsed every signature position to the same value and
+    agreement became all-or-nothing — exact dups still matched, genuine
+    NEAR-dups (0.8 <= agreement < 1.0) were silently dropped. This pair
+    agrees on 59/64 positions, catching exactly that failure mode in
+    both streaming paths."""
+    from stream_cdc_spark.operators.dedup import minhash_signatures
+    from stream_cdc_spark.streaming.stateful import banded_signatures
+
+    base = " ".join(f"w{i}" for i in range(60))
+    variant = (
+        " ".join(f"w{i}" for i in range(56)) + " z0 z1 z2 z3"
+    )
+    df = _docs(spark, [(1, base), (2, variant)])
+    sigs = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(df, "text", "doc_id").collect()
+    }
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert 52 <= agree < 64  # partial agreement above the 0.8 gate
+
+    # streaming signature relation must agree bit-for-bit with batch
+    stream_sigs = {
+        r["doc_id"]: r["signature"]
+        for r in banded_signatures(df, "text", "doc_id")
+        .select("doc_id", "signature")
+        .dropDuplicates(["doc_id"])
+        .collect()
+    }
+    assert stream_sigs == sigs
+
+    # and the snapshot path emits the pair with the exact agreement ppm
+    snap = LshDedupSnapshot(str(tmp_path / "state"))
+    snap.foreach_batch(df, 0)
+    got = {
+        (r["doc_id"], r["dup_of"]): r["agree_ppm"]
+        for r in snap.matches(spark).collect()
+    }
+    assert got == {(2, 1): 1_000_000 * agree // 64}
+
+
 def test_snapshot_within_batch_cap_orders_by_id(spark, tmp_path):
     """Within one batch, bucket slots go to smaller doc_ids first and an
     admitted smaller peer IS matched by later arrivals."""

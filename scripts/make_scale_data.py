@@ -28,17 +28,25 @@ suffix flattens per-token counts (every token's corpus frequency stays
 at its sf0.1 value while N grows by `factor`), which starves the
 frequency-skew operators: q108 heavy hitters returned 0 rows at 10x,
 and q103/q94's bigram LM saw an unrealistically flat unigram table.
-Real corpora are Zipfian: the head tokens grow WITH the corpus. So the
-top `zipf_head` tokens of the source corpus (by exact count) keep their
-surface form in every replica — their counts scale by `factor`, giving a
-realistic Zipf head — while tail tokens still get the per-replica suffix
-that keeps replicas shingle-disjoint. Head-only shingles could collide
-across replicas, but those are exactly the boilerplate shingles the
-df-cap (stop_shingle_filter) removes, so the near-dup pair structure
-stays per-replica.
+Real corpora are Zipfian: the head tokens grow WITH the corpus. With
+`--zipf-head N`, the top N tokens of the source corpus (by exact count)
+keep their surface form in every replica — their counts scale by
+`factor`, giving a realistic Zipf head — while tail tokens still get the
+per-replica suffix.
 
-Usage: python scripts/make_scale_data.py [factor] [outdir] [--zipf-head N]
-(default N=32; --zipf-head 0 restores the round-4 flat behavior)
+The Zipf mode is OPT-IN and meant for the frequency-skew operator family
+(heavy hitters, bigram LM, vocab coverage) on a SEPARATE corpus: all-hot
+trigrams collide across replicas, which manufactures cross-replica
+containment/overlap pairs (measured: q111 explodes from hundreds to
+~500k pairs at 10x) — an everything-matches pathology the dedup-family
+stress must not include. So: dedup corpora use the default flat mode
+(shingle-disjoint replicas), and a documents-only Zipf corpus serves
+q108/q103/q94/q119:
+
+    python scripts/make_scale_data.py 10                      # dedup corpus
+    python scripts/make_scale_data.py 10 .scale/sf10x0.1-zipf \
+        --tables documents --zipf-head 32                      # skew corpus
+
 Data is written outside git (.scale/ is ignored); regenerate on demand.
 """
 
@@ -88,7 +96,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("factor", type=int, nargs="?", default=10)
     p.add_argument("outdir", nargs="?", default=None)
-    p.add_argument("--zipf-head", type=int, default=32)
+    p.add_argument("--zipf-head", type=int, default=0)
     p.add_argument(
         "--tables",
         default=None,

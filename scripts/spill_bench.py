@@ -76,7 +76,24 @@ def main() -> None:
     qset = QUERY_SET
     if os.environ.get("SPILL_QUERIES"):
         qset = os.environ["SPILL_QUERIES"].split(",")
-    spark = get_spark(app_name="stream-cdc-spark-spill-bench")
+    # SPILL_MEMORY_FRACTION shrinks the unified execution/storage pool so
+    # HashAggregate/Sort hit the ceiling and SPILL while the JVM keeps
+    # enough user/metadata headroom to survive — a hard 2g heap with 32
+    # tasks dies on raw allocation (GCLocker) before the spill path ever
+    # engages, which tests nothing.
+    extra = {}
+    if os.environ.get("SPILL_MEMORY_FRACTION"):
+        extra["spark.memory.fraction"] = os.environ["SPILL_MEMORY_FRACTION"]
+    # Even at fraction 0.08 the engine's per-task state (counts, bounded
+    # sketches, slim join keys) fits the pool and nothing spills — which
+    # is itself the design claim. To exercise the spill/merge machinery
+    # anyway, SPILL_FORCE_ELEMENTS caps in-memory elements per sorter so
+    # every big sort/window/shuffle-write provably round-trips disk.
+    if os.environ.get("SPILL_FORCE_ELEMENTS"):
+        extra["spark.shuffle.spill.numElementsForceSpillThreshold"] = (
+            os.environ["SPILL_FORCE_ELEMENTS"]
+        )
+    spark = get_spark(app_name="stream-cdc-spark-spill-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     collector = QueryMetricsCollector(spark)
     out: dict[str, dict] = {}
@@ -98,6 +115,7 @@ def main() -> None:
         print(f"{name}: {out[name]}", file=sys.stderr)
     print(json.dumps({
         "mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "memory_fraction": os.environ.get("SPILL_MEMORY_FRACTION", "0.6"),
         "sf_dir": sf_dir,
         "total_wall_s": round(total_wall, 1),
         "total_spill_bytes": total_spill,

@@ -99,18 +99,28 @@ def main() -> None:
     out: dict[str, dict] = {}
     total_wall = 0.0
     total_spill = 0
+    skip_fp = os.environ.get("SPILL_NO_FP") == "1"
+    import time as _time
+
     for name in qset:
+        # time the BUILDER too: iterative operators (q114's connected
+        # components) materialize localCheckpoints during plan build, so
+        # timing only the final collect undercounts them
+        t_build = _time.perf_counter()
         df = QUERIES[name].builder(spark, sf_dir)
+        build_s = _time.perf_counter() - t_build
         qm = collector.measure(name, df)
-        rows = QUERIES[name].builder(spark, sf_dir).collect()
         d = qm.as_dict()
         out[name] = {
-            "wall_s": round(d["wall_s"], 2),
+            "wall_s": round(d["wall_s"] + build_s, 2),
+            "build_s": round(build_s, 2),
             "spill_bytes": d.get("spill_bytes", 0),
-            "rows": len(rows),
-            "fp": fingerprint(rows),
+            "rows": d["result_rows"],
         }
-        total_wall += d["wall_s"]
+        if not skip_fp:
+            rows = QUERIES[name].builder(spark, sf_dir).collect()
+            out[name]["fp"] = fingerprint(rows)
+        total_wall += d["wall_s"] + build_s
         total_spill += d.get("spill_bytes", 0) or 0
         print(f"{name}: {out[name]}", file=sys.stderr)
     print(json.dumps({

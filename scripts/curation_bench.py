@@ -66,7 +66,7 @@ def main() -> None:
     )
     t0 = time.time()
     q = (
-        stream.writeStream.foreachBatch(pipe.sink)
+        stream.writeStream.foreachBatch(pipe.sink())
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

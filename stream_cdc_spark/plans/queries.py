@@ -4996,7 +4996,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     ), ranked AS (
       SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tf
     )
-    SELECT v.n_vocab,
+    SELECT CAST(v.n_vocab AS BIGINT) AS n_vocab,
            CAST(SUM(CASE WHEN rnk <= v.n_vocab THEN cnt ELSE 0 END) AS BIGINT)
              AS covered_tokens,
            CAST(SUM(cnt) AS BIGINT) AS total_tokens,

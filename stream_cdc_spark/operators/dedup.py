@@ -21,7 +21,7 @@ oracle-checked (plans/queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.operators.text import tokens
@@ -943,5 +943,52 @@ def remove_duplicated_segments(
             F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("removed_blocks"),
+        )
+    )
+
+
+def survivorship(
+    docs: DataFrame,
+    edges: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical-record selection over near-dup clusters (entity-resolution
+    survivorship): cluster docs by connected components of the pair graph,
+    then elect one canonical per cluster — highest ``score_col``, ties to
+    the smallest id. Docs in no pair are their own (singleton) canonical.
+
+    The keep-one-per-cluster policy a curation pipeline applies after
+    near-dup detection when it wants the BEST copy, not the first-seen
+    copy (contrast q39's min-id rule). Plan: the CC label propagation
+    (O(diameter) rounds), one broadcast-friendly label join, one per-
+    cluster window — no additional pair materialization.
+
+    Returns (id_col, cluster, canonical_id, is_canonical).
+    """
+    comp = connected_components(edges, id_a, id_b)  # (vertex, component)
+    labeled = docs.join(
+        comp.select(
+            F.col("vertex").alias(id_col), F.col("component").alias("cluster")
+        ),
+        id_col,
+        "left",
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = labeled.withColumn("__rn", F.row_number().over(w))
+    canon = ranked.filter(F.col("__rn") == 1).select(
+        F.col("cluster"), F.col(id_col).alias("canonical_id")
+    )
+    return (
+        labeled.join(F.broadcast(canon), "cluster")
+        .select(
+            id_col,
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("canonical_id").cast("bigint").alias("canonical_id"),
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         )
     )

@@ -39,22 +39,25 @@ from stream_cdc_spark.sources import datasource_registry
 from stream_cdc_spark.streaming.pipeline import CdcPipeline
 
 
-def _curation_main(cfg) -> int:
-    """PIPELINE=curation: continuous document curation over a parquet feed."""
+def _curation_main(cfg, pipeline: str = "curation") -> int:
+    """PIPELINE=curation | lsh_dedup: a continuous document-feed pipeline
+    over a parquet directory — quality-gated dedup admission (curation)
+    or near-dup match emission via the snapshot-join LSH sink
+    (lsh_dedup). Same streaming scaffold, sink chosen by registry name."""
     from stream_cdc_spark.sources import sink_registry
 
-    spark = get_spark(app_name="stream-cdc-spark-curation")
+    spark = get_spark(app_name=f"stream-cdc-spark-{pipeline}")
     spark.sparkContext.setLogLevel(cfg.log_level)
     docs_path = os.environ.get("DOCS_PATH", "/root/testdata/sf0.001")
     state_dir = os.environ.get(
-        "CURATION_STATE_DIR", "/tmp/stream-cdc-spark-curation"
+        "CURATION_STATE_DIR", f"/tmp/stream-cdc-spark-{pipeline}"
     )
     ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
     drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
     min_tokens = int(os.environ.get("MIN_TOKENS", "5"))
 
     sink = sink_registry.create(
-        "curation", state_dir=state_dir, min_tokens=min_tokens
+        pipeline, state_dir=state_dir, min_tokens=min_tokens
     )
     # DOCS_PATH may be an sf dir (documents.parquet file inside, next to
     # other tables with different schemas) or a directory of document
@@ -90,14 +93,15 @@ def _curation_main(cfg) -> int:
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     query.awaitTermination()
-    print(f"curation stopped; state at {state_dir}, checkpoint at {ckpt}")
+    print(f"{pipeline} stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 
 
 def main() -> int:
     cfg = AppConfig.load()
-    if os.environ.get("PIPELINE", "cdc") == "curation":
-        return _curation_main(cfg)
+    pipeline = os.environ.get("PIPELINE", "cdc")
+    if pipeline in ("curation", "lsh_dedup"):
+        return _curation_main(cfg, pipeline)
     spark = get_spark(app_name="stream-cdc-spark-pipeline")
     spark.sparkContext.setLogLevel(cfg.log_level)
 

@@ -114,6 +114,17 @@ def _register_builtins() -> None:
     # admission with durable batch-versioned state) as a config-wirable
     # sink: STREAM_TYPE=curation STATE_DIR=...
     sink_registry.register("curation", _curation_sink)
+
+    def _lsh_dedup_sink(state_dir, **kw):
+        from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
+
+        kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
+        return LshDedupSnapshot(state_dir, **kw).sink
+
+    # Continuous near-dup match emission over a document feed — the
+    # snapshot-join twin of streaming.stateful.lsh_dedup_stream, built
+    # for bulk drains: PIPELINE=lsh_dedup STATE_DIR=...
+    sink_registry.register("lsh_dedup", _lsh_dedup_sink)
     state_registry.register("parquet_kv", ParquetKVState)
 
 

@@ -187,6 +187,36 @@ def test_partial_agreement_near_dup_is_caught(spark, tmp_path):
     assert got == {(2, 1): 1_000_000 * agree // 64}
 
 
+def test_lsh_dedup_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+    """PIPELINE=lsh_dedup entrypoint: one availableNow drain over the
+    sf0.001 corpus emits the batch LSH candidate pairs and registers
+    every shingled doc — the snapshot sink wired through the registry +
+    env config exactly like the curation mode."""
+    from stream_cdc_spark import main as M
+    from stream_cdc_spark.tables import load as _load
+
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "lsh_dedup")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("CURATION_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    snap = LshDedupSnapshot(state)
+    d = _load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    got = {
+        (r["dup_of"], r["doc_id"])
+        for r in snap.matches(spark).select("doc_id", "dup_of").distinct().collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(d)
+        .filter(F.col("est_jaccard") >= 0.8)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_snapshot_within_batch_cap_orders_by_id(spark, tmp_path):
     """Within one batch, bucket slots go to smaller doc_ids first and an
     admitted smaller peer IS matched by later arrivals."""

@@ -5198,6 +5198,50 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.survivorship(scored, edges, "quality_score").orderBy("doc_id")
 
 
+@_register(
+    "q123_mixture_weights",
+    f"""
+    WITH m AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens,
+           CAST(FLOOR(1000000.0 * (SELECT MIN(total_tokens) FROM m)
+                / total_tokens) AS BIGINT) AS weight_ppm
+    FROM m ORDER BY lang
+    """,
+    doc="Training-data mixture weights: per-language token mass and the "
+    "downsample-only sampling weight (ppm) that equalizes token mass "
+    "across languages to the smallest one — the dataset-mixing knob next "
+    "to q109's per-source caps and q79's stratified sampling. One hash "
+    "aggregate + a broadcast one-row scalar; integer-exact ppm.",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    mn = m.agg(F.min("total_tokens").alias("__min_mass"))
+    return (
+        m.crossJoin(F.broadcast(mn))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("__min_mass") / F.col("total_tokens")
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Driver verification window, round 5 — the rotation policy:
 #  (1) the 18 queries whose most recent driver-green row dates to r1/r2
 #      (VERDICT r4 "What's missing" #3): several sit on operators
@@ -5239,6 +5283,7 @@ _DRIVER_WINDOW_R5 = [
     "q120_quality_report",
     "q121_snapshot_delta",
     "q122_dedup_survivorship",
+    "q123_mixture_weights",
     # (3) continuity anchors (code changed this round):
     "q110_incremental_dedup",
     "q111_containment_pairs",
@@ -5265,7 +5310,8 @@ _DRIVER_WINDOW_R5 = [
     "q29_ann_lsh_topk",
     "q30_embedding_near_dup",
     "q44_ivf_ann_topk",
-    "q47_cube_counts",
+    # (q47_cube_counts stays out — r3-green; the grouping-set family is
+    # re-proven in-window by q18-r4 and q37; slot went to q123.)
     "q52_range_join",
     "q56_scd2_history",
     "q64_dedup_components",

@@ -111,7 +111,7 @@ def test_driver_window_matches_round5_rotation():
     ]
     assert new_this_round and set(new_this_round) <= set(_DRIVER_WINDOW_R5)
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 122
+    assert len(names) == len(set(names)) == 123
 
 
 def test_q69_q70_dims_broadcast(spark):

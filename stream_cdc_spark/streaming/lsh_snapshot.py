@@ -107,12 +107,49 @@ class LshDedupSnapshot:
 
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        built = self._build(spark, batch_df, batch_id)
+        if built is None:
+            # still must commit the (empty) batch dirs so replay sees a
+            # committed batch rather than re-running against newer state
+            for d, schema in (
+                (self.sigs_dir, SIGS_SCHEMA),
+                (self.index_dir, INDEX_SCHEMA),
+                (self.counts_dir, COUNTS_SCHEMA),
+                (self.matches_dir, MATCHES_SCHEMA),
+            ):
+                spark.createDataFrame([], schema).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(d, f"batch={batch_id}"))
+            return
+        batch_sigs, admitted_bk, matches = built
+
+        # -- commit: overwrite this batch's own subdirs -------------------
+        def commit(df: DataFrame, root: str) -> None:
+            df.write.mode("overwrite").parquet(
+                os.path.join(root, f"batch={batch_id}")
+            )
+
+        commit(matches, self.matches_dir)
+        commit(batch_sigs, self.sigs_dir)
+        commit(admitted_bk.select("doc_id", "band", "key"), self.index_dir)
+        commit(
+            admitted_bk.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ),
+            self.counts_dir,
+        )
+
+    def _build(self, spark, batch_df: DataFrame, batch_id: int):
+        """Build (batch_sigs, admitted_bk, matches) for one micro-batch, or
+        None for an effectively-empty batch. Separated from the commit so
+        plan-shape tests can assert the scale properties (index side never
+        rides a shuffle join) on the exact relations foreach_batch writes."""
         from stream_cdc_spark.operators.dedup import (
             band_buckets,
             minhash_signatures,
         )
 
-        spark = batch_df.sparkSession
         docs = batch_df.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             F.col(self.text_col).alias("text"),
@@ -143,18 +180,7 @@ class LshDedupSnapshot:
             self.bands,
         ).withColumnRenamed("id", "doc_id")
         if not batch_sigs.take(1):
-            # still must commit the (empty) batch dirs so replay sees a
-            # committed batch rather than re-running against newer state
-            for d, schema in (
-                (self.sigs_dir, SIGS_SCHEMA),
-                (self.index_dir, INDEX_SCHEMA),
-                (self.counts_dir, COUNTS_SCHEMA),
-                (self.matches_dir, MATCHES_SCHEMA),
-            ):
-                spark.createDataFrame([], schema).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(d, f"batch={batch_id}"))
-            return
+            return None
 
     # -- candidate generation: slim (band, key) joins, batch side broadcast
         bk = keyed.select("band", "key", "doc_id")
@@ -219,22 +245,23 @@ class LshDedupSnapshot:
         # side; at scale sigs/ is a doc_id-bucketed table and these become
         # pruned probes instead of scans
         sigs_all = state_sigs.unionByName(batch_sigs)
-        pairs = (
-            F.broadcast(cand)
-            .join(
-                sigs_all.select(
-                    F.col("doc_id").alias("hi"),
-                    F.col("signature").alias("sig_hi"),
-                ),
-                "hi",
-            )
-            .join(
-                sigs_all.select(
-                    F.col("doc_id").alias("lo"),
-                    F.col("signature").alias("sig_lo"),
-                ),
-                "lo",
-            )
+        # both attachment joins must build the PAIR side (hint each stage
+        # explicitly — the hint on cand does not survive through the first
+        # join, and a static SortMergeJoin here would sort the corpus-wide
+        # sigs relation every micro-batch)
+        half = F.broadcast(cand).join(
+            sigs_all.select(
+                F.col("doc_id").alias("hi"),
+                F.col("signature").alias("sig_hi"),
+            ),
+            "hi",
+        )
+        pairs = F.broadcast(half).join(
+            sigs_all.select(
+                F.col("doc_id").alias("lo"),
+                F.col("signature").alias("sig_lo"),
+            ),
+            "lo",
         )
         agree = F.size(
             F.filter(
@@ -255,22 +282,7 @@ class LshDedupSnapshot:
                 .alias("agree_ppm"),
             )
         )
-
-        # -- commit: overwrite this batch's own subdirs -------------------
-        def commit(df: DataFrame, root: str) -> None:
-            df.write.mode("overwrite").parquet(
-                os.path.join(root, f"batch={batch_id}")
-            )
-
-        commit(matches, self.matches_dir)
-        commit(batch_sigs, self.sigs_dir)
-        commit(admitted_bk.select("doc_id", "band", "key"), self.index_dir)
-        commit(
-            admitted_bk.groupBy("band", "key").agg(
-                F.count(F.lit(1)).alias("cnt")
-            ),
-            self.counts_dir,
-        )
+        return batch_sigs, admitted_bk, matches
 
     @property
     def sink(self):

@@ -802,7 +802,7 @@ def lsh_dedup_stream(
     applyInPandasWithState API cannot amortize. For backfills and bulk
     drains use streaming.lsh_snapshot.LshDedupSnapshot: the same
     admission semantics as JVM-side joins against a batch-versioned
-    parquet snapshot — measured 2500 docs/s on the 10x-corpus drain vs
+    parquet snapshot — measured 3367 docs/s on the 10x-corpus drain vs
     284 docs/s recorded for this operator's fallback in round 4 (see
     SCALE_BENCH_r05.md for the round-5 numbers of both paths).
     """

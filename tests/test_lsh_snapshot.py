@@ -187,6 +187,27 @@ def test_partial_agreement_near_dup_is_caught(spark, tmp_path):
     assert got == {(2, 1): 1_000_000 * agree // 64}
 
 
+def test_snapshot_index_never_rides_a_shuffle_join(spark, tmp_path):
+    """The 100 TB property: the corpus-side state tables (index/, sigs/)
+    are probed by broadcast hash joins with the batch/candidate side
+    built — a SortMergeJoin or ShuffledHashJoin anywhere in the matches
+    plan would mean the accumulated corpus state is being shuffled per
+    micro-batch."""
+    state = str(tmp_path / "state")
+    snap = LshDedupSnapshot(state)
+    snap.foreach_batch(_docs(spark, [(1, BODY), (2, BODY + " tail")]), 0)
+    built = snap._build(
+        spark, _docs(spark, [(9, BODY), (10, BODY + " other end")]), 1
+    )
+    assert built is not None
+    _, _, matches = built
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_lsh_dedup_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     """PIPELINE=lsh_dedup entrypoint: one availableNow drain over the
     sf0.001 corpus emits the batch LSH candidate pairs and registers

@@ -415,6 +415,7 @@ def incremental_verified_dedup(
     bands: int = 16,
     threshold_ppm: int = 800_000,
     broadcast_batch: bool = True,
+    pin: bool = False,
 ) -> DataFrame:
     """Admit a new batch against an already-deduped, LSH-indexed corpus —
     the production incremental shape: as batches stream in (the CDC feed
@@ -480,11 +481,24 @@ def incremental_verified_dedup(
         .dropDuplicates(["new_id", "other_id"])
     )
     cand = cand_corpus.unionByName(cand_batch).dropDuplicates(["new_id", "other_id"])
+    if pin:
+        # The candidate relation feeds the corpus semi-join, both
+        # verification joins, and the final outer join; lazily it is
+        # re-derived (index probe + bucket self-join) once per consumer —
+        # measured 4 duplicated subtrees in the executed plan. Callers in
+        # an eager context (the curation/drain sinks, which run this per
+        # micro-batch) pass pin=True to materialize it once; the default
+        # stays lazy so registry queries remain composable plans.
+        cand = cand.localCheckpoint(eager=True)
 
     # Exact verification: shingle only the batch plus the candidate-matched
-    # corpus docs (semi-join prunes the corpus scan to candidates).
+    # corpus docs (semi-join prunes the corpus scan to candidates). The
+    # candidate-id side is batch-bounded and MUST broadcast: unhinted,
+    # this planned as a SortMergeJoin that sorts the CORPUS every batch.
     touched = corpus_df.join(
-        cand.select(F.col("other_id").alias(id_col)).dropDuplicates(),
+        F.broadcast(
+            cand.select(F.col("other_id").alias(id_col)).dropDuplicates()
+        ),
         id_col,
         "left_semi",
     )
@@ -514,7 +528,12 @@ def incremental_verified_dedup(
     )
     return (
         new_df.select(F.col(id_col))
-        .join(dup_of.withColumnRenamed("new_id", id_col), id_col, "left")
+        # dup_of has at most one row per batch doc — broadcast, never sort
+        .join(
+            F.broadcast(dup_of.withColumnRenamed("new_id", id_col)),
+            id_col,
+            "left",
+        )
         .select(
             id_col,
             F.col("dup_of").isNull().alias("keep"),

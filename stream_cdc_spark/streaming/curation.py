@@ -136,7 +136,8 @@ class CurationPipeline:
         # by the decisions write AND the admitted semi-join — unpinned, the
         # second consumer replays the whole candidate+verify join tree.
         adm = dedup.incremental_verified_dedup(
-            qual_ok, corpus, index=index, threshold_ppm=self.threshold_ppm
+            qual_ok, corpus, index=index, threshold_ppm=self.threshold_ppm,
+            pin=True,
         ).localCheckpoint(eager=True)
 
         decisions = qual_bad.select(

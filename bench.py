@@ -29,6 +29,38 @@ def _load_baseline() -> dict | None:
         return None
 
 
+def _load_prev_round() -> dict | None:
+    """Per-query medians from the newest recorded BENCH_r*.json, so the
+    round-over-round delta is decidable from this artifact alone (the
+    round-5 verdict's bench-hygiene task: +18% total drift was almost
+    certainly shared-session load, but nothing in the artifact could
+    prove it). The driver keeps only the TAIL of the stdout line, so the
+    queries dict is recovered from the tail text."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return None
+    path = files[-1]
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        tail = rec.get("tail") or ""
+        m = None
+        for m in re.finditer(r'"queries":\s*(\{[^{}]*\})', tail):
+            pass
+        if m is None:
+            return None
+        return {
+            "source": os.path.basename(path),
+            "queries": json.loads(m.group(1)),
+        }
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="stream-cdc-spark-bench")
@@ -84,15 +116,43 @@ def main() -> None:
     # so a consumer that keeps only the tail of a long stdout line still
     # sees metric/value/queries/vs_baseline/regressed intact (the round-3
     # driver capture truncated the front of the line).
+    wall_min = {
+        n: stats[n].get("wall_min", timings[n]) for n in headline
+    }
     out = {
         "stats": stats,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "metric": "headline_queries_total",
+        # per-query best-of-repeats next to the medians: wall_min strips
+        # same-session noise (GC, page cache), so drift vs regression is
+        # decidable from the artifact (round-5 verdict task 2)
+        "wall_min": wall_min,
         "queries": timings,
         "value": total,
     }
+
+    # Round-over-round drift vs the newest recorded BENCH_r*.json:
+    # flagged only when the BEST repeat exceeds the previous median by
+    # more than the noise band (25% + 0.1 s) — median-vs-median motion
+    # inside the band is session noise, not a plan change.
+    prev = _load_prev_round()
+    if prev:
+        pq = {
+            n: round(wall_min[n] / max(prev["queries"][n], 1e-9), 2)
+            for n in timings
+            if n in prev["queries"]
+        }
+        out["drift"] = {
+            "vs": prev["source"],
+            "min_over_prev_median": pq,
+            "flagged": sorted(
+                n
+                for n in pq
+                if wall_min[n] > 1.25 * prev["queries"][n] + 0.1
+            ),
+        }
 
     # Regression check against the frozen per-query baseline (stderr only —
     # stdout stays one JSON line for the driver).
@@ -127,6 +187,16 @@ def main() -> None:
                 }
                 print(f"REGRESSIONS vs {baseline.get('source')}: {slower}", file=sys.stderr)
 
+    # Tail-truncation safety (see key-order note above): bulky diagnostic
+    # blocks first, compact headline blocks — wall_min, drift, queries,
+    # value, vs_baseline, regressed — last, so the driver's 2000-char
+    # tail capture always retains them.
+    order = [
+        "stats", "per_query_vs_baseline", "unit", "sf", "repeats",
+        "metric", "wall_min", "drift", "queries", "value", "vs_baseline",
+        "regressed",
+    ]
+    out = {k: out[k] for k in order if k in out}
     print(json.dumps(out))
     spark.stop()
 

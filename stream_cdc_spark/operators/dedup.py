@@ -288,7 +288,7 @@ def minhash_band_index(
     LSH parameters silently yields zero candidates (every near-dup of the
     corpus would be admitted), so consumers validate the stamp — see
     incremental_verified_dedup. Column metadata survives parquet
-    round-trips and unions, so extend_band_index keeps the stamp.
+    round-trips and unions, so update_band_index keeps the stamp.
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     out = band_buckets(sig, num_hashes, bands)
@@ -995,19 +995,18 @@ def survivorship(
         id_col,
         "left",
     ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    # The elected id reaches every cluster row through the SAME ordered
+    # window (first() over unboundedPreceding..currentRow always sees the
+    # partition's top row), so no canon self-join exists at all — one
+    # cluster-keyed shuffle total. The former canon relation was one row
+    # per cluster (worst case, all singletons: O(#docs)), so its static
+    # broadcast hint was a driver-OOM hazard at 100 TB (round-5 advice);
+    # now there is nothing to broadcast.
     w = Window.partitionBy("cluster").orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )
-    ranked = labeled.withColumn("__rn", F.row_number().over(w))
-    canon = ranked.filter(F.col("__rn") == 1).select(
-        F.col("cluster"), F.col(id_col).alias("canonical_id")
-    )
-    return (
-        labeled.join(F.broadcast(canon), "cluster")
-        .select(
-            id_col,
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.col("canonical_id").cast("bigint").alias("canonical_id"),
-            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
-        )
-    )
+    return labeled.select(
+        id_col,
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.first(F.col(id_col)).over(w).cast("bigint").alias("canonical_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))

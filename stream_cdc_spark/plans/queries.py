@@ -5242,94 +5242,89 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Driver verification window, round 5 — the rotation policy:
-#  (1) the 18 queries whose most recent driver-green row dates to r1/r2
-#      (VERDICT r4 "What's missing" #3): several sit on operators
-#      rewritten in r3/r4 (q39 on the array_distinct shingle change,
-#      q40/q41 token ops, q32 on distributed_prefix_sum), so external
-#      re-verification is overdue;
-#  (2) every query added this round (q118-q120, never driver-checked);
-#  (3) continuity anchors for operators whose code changed this round:
-#      q110 (index parameter stamp), q111 (uncapped containment
-#      denominators);
-#  (4) the remaining slots go to the oldest-green (round-3) queries,
-#      prioritizing the headline bench set and one representative per
-#      operator family. Everything outside the window has a driver-green
-#      row from r3/r4 and stays value-checked every session by
-#      tests/test_queries_oracle.py.
-_DRIVER_WINDOW_R5 = [
-    # (1) 18 stale r1/r2-green queries:
-    "q04_last_position",
-    "q09_changed_keys_semi_join",
-    "q11_scalar_pipeline",
-    "q16_top_k_orders",
-    "q23_doc_fingerprint",
-    "q32_running_total",
-    "q33_lag_delta",
-    "q35_having_filter",
-    "q36_set_except",
-    "q37_pivot_counts",
-    "q38_discrete_percentiles",
-    "q39_near_dedup_filter",
-    "q40_token_frequencies",
-    "q41_regex_tokens",
-    "q42_vector_stats",
-    "q45_date_rollup",
-    "q46_above_customer_avg",
-    "q50_string_pipeline",
-    # (2) new this round:
-    "q118_snapshot_as_of",
-    "q119_vocab_coverage",
-    "q120_quality_report",
-    "q121_snapshot_delta",
+# Driver verification window, round 6 — the rotation policy (round-5
+# verdict task 4): every query's most-recent driver-green row should be
+# no older than two rounds.
+#  (1) the 25 queries whose latest driver-green dates to r3 (q47, q67,
+#      q68, q74-q78, q81-q87, q90-q99) lead the window — several sit on
+#      code touched in r4/r5 (q94/q103 text ops, q87/q90 incremental),
+#      and q99 additionally covers the curation state layer rewritten
+#      this round (statedir compaction);
+#  (2) continuity anchors for code changed THIS round: q122 (survivorship
+#      rewritten join-free — canonical id now reaches rows through the
+#      ordered window itself), q110 (the LSH index stamp now survives the
+#      persisted-state read path);
+#  (3) the four headline bench queries whose latest green is r4 (q14,
+#      q15, q25, q34);
+#  (4) remaining slots: oldest-green (r4) representatives, one per
+#      operator family (the out-of-window r4 TPC-H shapes q55-q63/
+#      q69-q73 are re-proven in-window by the q74-q78 rotation and stay
+#      value-checked every session by tests/test_queries_oracle.py).
+_DRIVER_WINDOW_R6 = [
+    # (1) 25 stale r3-green queries:
+    "q47_cube_counts",
+    "q67_approx_distinct_bounded",
+    "q68_approx_percentile_bounded",
+    "q74_tpch_q8_market_share",
+    "q75_tpch_q14_promo_effect",
+    "q76_tpch_q15_top_supplier",
+    "q77_tpch_q19_disjunctive_filter",
+    "q78_tpch_q20_heavy_shippers",
+    "q81_pii_redaction",
+    "q82_sequence_packing",
+    "q83_decontamination",
+    "q84_sliding_window",
+    "q85_full_outer_reconcile",
+    "q86_except_all_multiset",
+    "q87_incremental_agg",
+    "q90_incremental_distinct_hll",
+    "q91_funnel_conversion",
+    "q92_retention_cohorts",
+    "q93_duplicated_spans",
+    "q94_bigram_lm",
+    "q95_shard_balance",
+    "q96_json_field_rollup",
+    "q97_window_rank_zoo",
+    "q98_column_profile",
+    "q99_curation_decisions",
+    # (2) anchors on round-6 code changes:
     "q122_dedup_survivorship",
-    "q123_mixture_weights",
-    # (3) continuity anchors (code changed this round):
     "q110_incremental_dedup",
-    "q111_containment_pairs",
-    # (4) oldest-green (r3) fillers — headline bench set first:
-    "q01_envelope_filter_project",
-    "q03_log_compaction",
-    "q07_cdc_apply_join",
-    "q10_hourly_window",
-    "q13_tpch_q1",
-    "q19_exact_dedup",
-    "q24_ngram_jaccard_pairs",
-    "q27_minhash_lsh_pairs",
-    "q31_sessionization",
-    "q48_cdc_merge_apply",
-    "q51_asof_join",
-    "q66_winnow_fingerprints",
-    # one representative per remaining r3-green operator family:
-    "q02_classify_count",
-    "q05_batch_assembly",
-    "q08_delete_anti_join",
-    "q12_consumer_dedup",
-    "q17_set_intersect",
-    "q28_simhash_near_pairs",
-    "q29_ann_lsh_topk",
-    "q30_embedding_near_dup",
-    "q44_ivf_ann_topk",
-    # (q47_cube_counts stays out — r3-green; the grouping-set family is
-    # re-proven in-window by q18-r4 and q37; slot went to q123.)
-    "q52_range_join",
-    "q56_scd2_history",
-    "q64_dedup_components",
-    # (q97_window_rank_zoo, q67_approx_distinct_bounded and
-    # q87_incremental_agg stay out — r3-green, and their families are
-    # re-proven in-window by q32/q33/q38 (windows) and q116/q108-r4
-    # (sketch aggregates); the slots went to the late q121/q122
-    # additions.)
+    # (3) r4-green headline bench queries:
+    "q14_tpch_q3",
+    "q15_star_join_revenue",
+    "q25_ann_bruteforce_topk",
+    "q34_tpch_q6",
+    # (4) oldest-green (r4) family representatives:
+    "q06_claim_check_routing",
+    "q18_rollup_value",
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_lang_id",
+    "q26_multimodal_meta",
+    "q43_ivf_cells",
+    "q49_topk_per_group",
+    "q53_tpch_q18",
+    "q54_tfidf_top_terms",
+    "q65_kmeans_assign",
+    "q79_stratified_sample",
+    "q80_doc_repetition",
+    "q104_semantic_dedup",
+    "q105_segment_removal",
+    "q112_gram_matrix",
+    "q113_fuzzy_prefix_pairs",
+    "q114_leakage_safe_split",
+    "q117_soft_dedup_weights",
 ]
 
-assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
+assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R5. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R6. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R5)
+_window = set(_DRIVER_WINDOW_R6)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R5},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R6},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

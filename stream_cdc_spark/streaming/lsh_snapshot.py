@@ -16,14 +16,23 @@ row Python runs anywhere. The reference's continuous coordinator loop
 (reference: stream_cdc/processing/worker.py:26-77) is the production
 mode this accelerates.
 
-State layout under ``state_dir`` (parquet, one subdir per micro-batch;
-exactly-once by the same batch-versioned overwrite + read-exclusion rule
-as streaming/curation.py):
+State layout under ``state_dir`` (parquet, batch-versioned with
+compaction — exactly-once by the same overwrite + read-exclusion rule as
+streaming/statedir.py, which also holds the crash-interleaving proof):
 
     sigs/batch=<id>/    (doc_id, signature)       every PROCESSED doc
     index/batch=<id>/   (doc_id, band, key)       ADMITTED band keys only
     counts/batch=<id>/  (band, key, cnt)          per-bucket admit increments
     matches/batch=<id>/ (doc_id, dup_of, agree_ppm)
+    */compact=<w>/      compacted snapshot of all batches < w
+
+Every ``compact_every`` committed batches each table's subdirs fold into
+one atomically-published snapshot (counts additionally re-aggregate on
+fold — readers sum increments, so the reduction is read-equivalent),
+bounding dir listing and union planning at O(compact_every) regardless
+of stream age; an effectively-empty micro-batch commits NOTHING (the
+read-exclusion rule makes the skipped dirs unobservable — a replay of
+the empty batch sees the same pre-batch state either way).
 
 Semantics (matches _bucket_matches):
   - every arriving doc is compared against all bucket residents, emits a
@@ -43,10 +52,12 @@ consumers dropDuplicates either way).
 
 Scale notes: the batch side of every join is broadcast (a micro-batch is
 small by construction); index/ and sigs/ are streamed, never shuffled.
-At 100 TB both become (band, key)- / doc_id-bucketed tables (see
-tests/test_bucketing.py) so the probe also prunes instead of scanning,
-and counts/ increments compact periodically; the read-exclusion rule is
-unchanged.
+With ``bucketed=True`` compaction publishes index/ as a (band, key)-
+bucketed table and sigs/ as a doc_id-bucketed table (the layout
+tests/test_bucketing.py proves joins with no snapshot-side Exchange), so
+at 100 TB a probe too large to broadcast still joins without shuffling
+the corpus, and downstream batch consumers (incremental_verified_dedup)
+read the same tables in place.
 """
 
 from __future__ import annotations
@@ -55,7 +66,7 @@ import os
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from stream_cdc_spark.streaming.curation import _subdirs_before
+from stream_cdc_spark.streaming import statedir
 
 SIGS_SCHEMA = "doc_id bigint, signature array<bigint>"
 INDEX_SCHEMA = "doc_id bigint, band int, key bigint"
@@ -77,6 +88,9 @@ class LshDedupSnapshot:
         bands: int = 16,
         min_agree: float = 0.8,
         max_bucket: int = 64,
+        compact_every: int = 16,
+        bucketed: bool = False,
+        num_buckets: int = 32,
     ):
         self.state_dir = state_dir
         self.sigs_dir = os.path.join(state_dir, "sigs")
@@ -90,13 +104,13 @@ class LshDedupSnapshot:
         self.bands = bands
         self.min_agree = min_agree
         self.max_bucket = max_bucket
+        self.compact_every = compact_every
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
-        paths = _subdirs_before(root, batch_id)
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        return statedir.read_state(spark, root, schema, batch_id)
 
     def matches(self, spark) -> DataFrame:
         """All matches emitted by committed batches."""
@@ -105,29 +119,55 @@ class LshDedupSnapshot:
     def processed(self, spark) -> DataFrame:
         return self._read(spark, self.sigs_dir, SIGS_SCHEMA, 1 << 62)
 
+    def bucketed_index(self, spark) -> DataFrame | None:
+        """The compacted admitted-corpus band index as its registered
+        (band, key)-bucketed table — the shuffle-free join side for batch
+        consumers; None until the first bucketed compaction ran."""
+        if not self.bucketed:
+            return None
+        return statedir.bucketed_relation(
+            spark, self.index_dir, INDEX_SCHEMA, ["band", "key"],
+            self.num_buckets,
+        )
+
+    def _compact(self, spark, batch_id: int) -> None:
+        sum_counts = lambda df: df.groupBy("band", "key").agg(  # noqa: E731
+            F.sum("cnt").alias("cnt")
+        )
+        plans = [
+            (self.matches_dir, MATCHES_SCHEMA, None, None),
+            (self.counts_dir, COUNTS_SCHEMA, sum_counts, None),
+            (self.sigs_dir, SIGS_SCHEMA, None, ["doc_id"]),
+            (self.index_dir, INDEX_SCHEMA, None, ["band", "key"]),
+        ]
+        for root, schema, transform, bucket_cols in plans:
+            statedir.maybe_compact(
+                spark, root, schema, batch_id,
+                every=self.compact_every,
+                transform=transform,
+                bucket_cols=bucket_cols if self.bucketed else None,
+                num_buckets=self.num_buckets,
+            )
+
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # fold committed prefix first — a replayed batch re-folds the
+        # identical prefix, so compaction inherits replay idempotence
+        self._compact(spark, batch_id)
         built = self._build(spark, batch_df, batch_id)
         if built is None:
-            # still must commit the (empty) batch dirs so replay sees a
-            # committed batch rather than re-running against newer state
-            for d, schema in (
-                (self.sigs_dir, SIGS_SCHEMA),
-                (self.index_dir, INDEX_SCHEMA),
-                (self.counts_dir, COUNTS_SCHEMA),
-                (self.matches_dir, MATCHES_SCHEMA),
-            ):
-                spark.createDataFrame([], schema).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(d, f"batch={batch_id}"))
+            # nothing to commit: the read-exclusion rule makes a missing
+            # batch dir indistinguishable from an empty one, so skipping
+            # the write keeps replay exact AND stops metadata growth on
+            # idle triggers (round-5: 4 empty dirs per empty batch)
             return
         batch_sigs, admitted_bk, matches = built
 
         # -- commit: overwrite this batch's own subdirs -------------------
         def commit(df: DataFrame, root: str) -> None:
             df.write.mode("overwrite").parquet(
-                os.path.join(root, f"batch={batch_id}")
+                statedir.batch_dir(root, batch_id)
             )
 
         commit(matches, self.matches_dir)
@@ -167,20 +207,21 @@ class LshDedupSnapshot:
         # constraint doesn't apply and the proven-fastest shape does.
         # Values are identical (min over xxhash64(shingle, i)), so
         # emissions still line up with the batch LSH family and the
-        # state-store stream. The relation feeds four joins; pin it (a
-        # micro-batch is small).
-        batch_sigs = (
-            minhash_signatures(docs, "text", "doc_id", self.k, self.num_hashes)
-            .withColumnRenamed("id", "doc_id")
-            .localCheckpoint(eager=True)
-        )
+        # state-store stream. Emptiness is decided on the LAZY plan
+        # (take(1) early-exits) BEFORE the eager pin, so an idle trigger
+        # never pays a full materialization; the pin then serves the four
+        # downstream joins (a micro-batch is small).
+        batch_sigs = minhash_signatures(
+            docs, "text", "doc_id", self.k, self.num_hashes
+        ).withColumnRenamed("id", "doc_id")
+        if not batch_sigs.take(1):
+            return None
+        batch_sigs = batch_sigs.localCheckpoint(eager=True)
         keyed = band_buckets(
             batch_sigs.withColumnRenamed("doc_id", "id"),
             self.num_hashes,
             self.bands,
         ).withColumnRenamed("id", "doc_id")
-        if not batch_sigs.take(1):
-            return None
 
     # -- candidate generation: slim (band, key) joins, batch side broadcast
         bk = keyed.select("band", "key", "doc_id")
@@ -242,8 +283,8 @@ class LshDedupSnapshot:
 
         # -- verification: signature agreement, JVM-side zip_with ---------
         # candidates << corpus, so both sig attachments broadcast the pair
-        # side; at scale sigs/ is a doc_id-bucketed table and these become
-        # pruned probes instead of scans
+        # side; with ``bucketed`` compaction sigs/ is a doc_id-bucketed
+        # table and these become pruned probes instead of scans
         sigs_all = state_sigs.unionByName(batch_sigs)
         # both attachment joins must build the PAIR side (hint each stage
         # explicitly — the hint on cand does not survive through the first

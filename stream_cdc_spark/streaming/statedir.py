@@ -72,6 +72,11 @@ _TMP_PREFIX = ".tmp-compact-"
 
 
 def batch_dir(root: str, batch_id: int) -> str:
+    # pre-compaction layouts wrote batch=<id> unpadded; a replayed batch
+    # must OVERWRITE that dir, not create a padded sibling for the same id
+    legacy = os.path.join(root, f"batch={batch_id}")
+    if os.path.isdir(legacy):
+        return legacy
     return os.path.join(root, f"batch={batch_id:09d}")
 
 

@@ -79,37 +79,37 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round5_rotation():
+def test_driver_window_matches_round6_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-5 policy: the 18 queries whose latest driver-green row dates to
-    r1/r2 lead, then every query added this round (q118+), then the
-    continuity anchors for this round's code changes (q110/q111), then
-    oldest-green (r3) fillers (rationale above _DRIVER_WINDOW_R5 in
-    plans/queries.py). Everything outside the window has an r3/r4 green
+    Round-6 policy: the 25 queries whose latest driver-green row dates to
+    r3 lead, then the continuity anchors for this round's code changes
+    (q122 survivorship rewrite, q110 index-stamp read path), then the
+    r4-green headline bench queries, then oldest-green (r4) family
+    representatives (rationale above _DRIVER_WINDOW_R6 in
+    plans/queries.py). Everything outside the window has an r4/r5 green
     driver row and stays value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R5
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R6
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R5) == 50
-    assert len(set(_DRIVER_WINDOW_R5)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R5
-    # the 18 stale queries all rotated in:
-    stale = [
-        "q04_last_position", "q09_changed_keys_semi_join",
-        "q11_scalar_pipeline", "q16_top_k_orders", "q23_doc_fingerprint",
-        "q32_running_total", "q33_lag_delta", "q35_having_filter",
-        "q36_set_except", "q37_pivot_counts", "q38_discrete_percentiles",
-        "q39_near_dedup_filter", "q40_token_frequencies",
-        "q41_regex_tokens", "q42_vector_stats", "q45_date_rollup",
-        "q46_above_customer_avg", "q50_string_pipeline",
-    ]
-    assert set(stale) <= set(_DRIVER_WINDOW_R5)
-    # every round-5 addition is inside the window:
-    new_this_round = [
-        n for n in names
-        if n.split("_")[0][1:].isdigit() and int(n.split("_")[0][1:]) >= 118
-    ]
-    assert new_this_round and set(new_this_round) <= set(_DRIVER_WINDOW_R5)
+    assert len(_DRIVER_WINDOW_R6) == 50
+    assert len(set(_DRIVER_WINDOW_R6)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R6
+    # the 25 stale r3-green queries all rotated in:
+    stale = (
+        ["q47_cube_counts", "q67_approx_distinct_bounded",
+         "q68_approx_percentile_bounded"]
+        + [n for n in names
+           if n.split("_")[0][1:].isdigit()
+           and (74 <= int(n.split("_")[0][1:]) <= 78
+                or 81 <= int(n.split("_")[0][1:]) <= 87
+                or 90 <= int(n.split("_")[0][1:]) <= 99)]
+    )
+    assert len(stale) == 25
+    assert set(stale) <= set(_DRIVER_WINDOW_R6)
+    # this round's code-change anchors are inside the window:
+    assert {"q122_dedup_survivorship", "q110_incremental_dedup"} <= set(
+        _DRIVER_WINDOW_R6
+    )
     # nothing was lost in the reorder: same registry, same specs
     assert len(names) == len(set(names)) == 123
 

@@ -3,7 +3,11 @@
 10x corpus: LshDedupSnapshot (foreachBatch snapshot joins) vs the
 recorded applyInPandasWithState fallback baseline (284 docs/s, round 4).
 
-Usage: python scripts/drain_bench.py [docs_parquet] [--stateful]
+Usage: python scripts/drain_bench.py [docs_parquet] [--stateful|--bucketed]
+
+--bucketed runs the snapshot sink with bucketed compaction
+(compact_every=2 so folds actually occur during an 8-file drain),
+measuring the probe against the bucketed snapshot tier at 10x.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ def main() -> None:
         else ".scale/sf10x0.1/documents.parquet"
     )
     stateful = "--stateful" in sys.argv
+    bucketed = "--bucketed" in sys.argv
     spark = get_spark(app_name="lsh-drain-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,7 +81,11 @@ def main() -> None:
     else:
         from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
 
-        snap = LshDedupSnapshot(state)
+        snap = (
+            LshDedupSnapshot(state, bucketed=True, compact_every=2)
+            if bucketed
+            else LshDedupSnapshot(state)
+        )
         q = (
             stream.writeStream.foreachBatch(snap.sink)
             .option("checkpointLocation", ckpt)
@@ -86,7 +95,7 @@ def main() -> None:
         q.awaitTermination()
         wall = time.time() - t0
         matches = snap.matches(spark).dropDuplicates(["doc_id", "dup_of"]).count()
-        path = "snapshot"
+        path = "snapshot_bucketed" if bucketed else "snapshot"
     print(json.dumps({
         "path": path,
         "docs": n_docs,

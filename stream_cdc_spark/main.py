@@ -18,6 +18,10 @@ incremental near-dup admission with durable batch-versioned state:
   PIPELINE=curation DOCS_PATH=<documents parquet dir>
   CURATION_STATE_DIR=<dir>           decisions/kept/index state tables
   MIN_TOKENS=<n>                     quality gate (default 5)
+  COMPACT_EVERY=<n>                  fold state dirs every n batches
+                                     (default 16; 0 disables)
+  LSH_BUCKETED=1                     lsh_dedup mode: compact into
+                                     bucketed snapshot tables
 
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
@@ -55,9 +59,15 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
     drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
     min_tokens = int(os.environ.get("MIN_TOKENS", "5"))
+    # state-layer knobs: COMPACT_EVERY=<n batch dirs before a fold; 0
+    # disables>, LSH_BUCKETED=1 publishes compacted LSH snapshots as
+    # bucketed tables (lsh_dedup mode only)
+    sink_kw = {"compact_every": int(os.environ.get("COMPACT_EVERY", "16"))}
+    if pipeline == "lsh_dedup" and os.environ.get("LSH_BUCKETED", "0") == "1":
+        sink_kw["bucketed"] = True
 
     sink = sink_registry.create(
-        pipeline, state_dir=state_dir, min_tokens=min_tokens
+        pipeline, state_dir=state_dir, min_tokens=min_tokens, **sink_kw
     )
     # DOCS_PATH may be an sf dir (documents.parquet file inside, next to
     # other tables with different schemas) or a directory of document

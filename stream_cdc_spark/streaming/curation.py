@@ -85,6 +85,7 @@ class CurationPipeline:
         num_hashes: int = 64,
         bands: int = 16,
         compact_every: int = 16,
+        commit_files: int = 1,
     ):
         self.state_dir = state_dir
         self.decisions_dir = os.path.join(state_dir, "decisions")
@@ -97,6 +98,10 @@ class CurationPipeline:
         self.num_hashes = num_hashes
         self.bands = bands
         self.compact_every = compact_every
+        # micro-batch commits are single-file by default (a batch is
+        # small by construction; multi-file commits balloon long-horizon
+        # file counts and per-trigger write latency)
+        self.commit_files = commit_files
         # Column construction needs an active SparkContext; defer the
         # default predicate so the pipeline can be built config-first
         # (sink_registry) before any session exists.
@@ -185,18 +190,18 @@ class CurationPipeline:
                 "dup_of",
             )
         )
-        decisions.write.mode("overwrite").parquet(
+        decisions.coalesce(self.commit_files).write.mode("overwrite").parquet(
             statedir.batch_dir(self.decisions_dir, batch_id)
         )
         admitted = qual_ok.join(
             adm.filter("keep").select("doc_id"), "doc_id", "left_semi"
         )
-        admitted.write.mode("overwrite").parquet(
+        admitted.coalesce(self.commit_files).write.mode("overwrite").parquet(
             statedir.batch_dir(self.kept_dir, batch_id)
         )
         dedup.minhash_band_index(
             admitted, k=self.k, num_hashes=self.num_hashes, bands=self.bands
-        ).write.mode("overwrite").parquet(
+        ).coalesce(self.commit_files).write.mode("overwrite").parquet(
             statedir.batch_dir(self.index_dir, batch_id)
         )
 

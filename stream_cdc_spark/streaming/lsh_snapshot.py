@@ -91,6 +91,7 @@ class LshDedupSnapshot:
         compact_every: int = 16,
         bucketed: bool = False,
         num_buckets: int = 32,
+        commit_files: int = 1,
     ):
         self.state_dir = state_dir
         self.sigs_dir = os.path.join(state_dir, "sigs")
@@ -107,6 +108,12 @@ class LshDedupSnapshot:
         self.compact_every = compact_every
         self.bucketed = bucketed
         self.num_buckets = num_buckets
+        # A micro-batch is small by construction (the same premise that
+        # lets every batch-side join broadcast), so its commit is a
+        # single file per table by default — without this each trigger
+        # writes up to <shuffle partitions> part files per dir, and the
+        # long-horizon file count (and per-batch write latency) balloons.
+        self.commit_files = commit_files
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
@@ -166,7 +173,7 @@ class LshDedupSnapshot:
 
         # -- commit: overwrite this batch's own subdirs -------------------
         def commit(df: DataFrame, root: str) -> None:
-            df.write.mode("overwrite").parquet(
+            df.coalesce(self.commit_files).write.mode("overwrite").parquet(
                 statedir.batch_dir(root, batch_id)
             )
 

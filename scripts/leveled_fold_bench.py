@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Fold-cost microbench for the leveled state tier (statedir module doc):
+single-level compaction re-reads O(total state) on every fold, the L1
+delta fold reads only the pending batch dirs — O(recent). This isolates
+that claim: build a snapshot of SNAP_ROWS rows plus PENDING batch dirs of
+BATCH_ROWS rows each, then time compact_minor (delta fold) vs compact
+(full fold) from identical starting layouts.
+
+At 100 TB the admitted corpus dwarfs any micro-batch by 4-6 orders of
+magnitude, so the full-fold wall here is a LOWER bound on the gap; the
+leveled tier pays it only once per `major_every` folds.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stream_cdc_spark.session import get_spark  # noqa: E402
+from stream_cdc_spark.streaming import statedir  # noqa: E402
+
+SCHEMA = "id bigint, v bigint"
+SNAP_ROWS = int(os.environ.get("SNAP_ROWS", "20000000"))
+BATCH_ROWS = int(os.environ.get("BATCH_ROWS", "20000"))
+PENDING = int(os.environ.get("PENDING", "16"))
+
+
+def _layout(spark, root: str) -> None:
+    shutil.rmtree(root, ignore_errors=True)
+    snap = spark.range(SNAP_ROWS).select(
+        F.col("id"), (F.col("id") * 7).alias("v")
+    )
+    dest = os.path.join(root, "compact=000000100")
+    snap.write.mode("overwrite").parquet(dest)
+    for b in range(100, 100 + PENDING):
+        rows = spark.range(BATCH_ROWS).select(
+            (F.col("id") + b * BATCH_ROWS).alias("id"),
+            (F.col("id") * 3).alias("v"),
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, b)
+        )
+
+
+def main() -> None:
+    spark = get_spark(app_name="leveled-fold-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/leveled-fold-bench"
+    head = 100 + PENDING
+    out = {
+        "metric": "leveled_fold_cost",
+        "snap_rows": SNAP_ROWS,
+        "batch_rows": BATCH_ROWS,
+        "pending": PENDING,
+    }
+
+    root = os.path.join(work, "minor")
+    _layout(spark, root)
+    t0 = time.time()
+    assert statedir.compact_minor(spark, root, SCHEMA, head)
+    out["minor_fold_s"] = round(time.time() - t0, 2)
+    rows_after_minor = statedir.read_state(spark, root, SCHEMA, head).count()
+
+    root = os.path.join(work, "major")
+    _layout(spark, root)
+    t0 = time.time()
+    assert statedir.compact(spark, root, SCHEMA, head)
+    out["full_fold_s"] = round(time.time() - t0, 2)
+    rows_after_full = statedir.read_state(spark, root, SCHEMA, head).count()
+
+    assert rows_after_minor == rows_after_full, (rows_after_minor, rows_after_full)
+    out["rows"] = rows_after_full
+    out["full_over_minor"] = round(out["full_fold_s"] / max(out["minor_fold_s"], 1e-9), 1)
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

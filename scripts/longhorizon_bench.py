@@ -15,8 +15,11 @@ trigger overhead; per-batch wall therefore equals the state-layer
 latency the verdict asks to see flat.
 
 Usage:
-  python scripts/longhorizon_bench.py lsh_drain [n_batches] [compact_every]
-  python scripts/longhorizon_bench.py curation  [n_batches] [compact_every]
+  python scripts/longhorizon_bench.py lsh_drain [n_batches] [compact_every] [major_every]
+  python scripts/longhorizon_bench.py curation  [n_batches] [compact_every] [major_every]
+
+major_every > 0 enables the leveled tier (L1 delta folds, full fold
+every K deltas — statedir module doc).
 
 Prints ONE JSON line with per-segment latency means (first/mid/last
 10%), a latency slope estimate, and dir/file counts sampled along the
@@ -41,11 +44,12 @@ from stream_cdc_spark.streaming import statedir  # noqa: E402
 
 
 def _state_stats(state_dir: str, subs) -> dict:
-    out = {"batch_dirs": 0, "compact_dirs": 0, "files": 0}
+    out = {"batch_dirs": 0, "compact_dirs": 0, "delta_dirs": 0, "files": 0}
     for sub in subs:
         c = statedir.dir_counts(os.path.join(state_dir, sub))
         out["batch_dirs"] += c["batch"]
         out["compact_dirs"] += c["compact"]
+        out["delta_dirs"] += c.get("delta", 0)
         out["files"] += c["files"]
     return out
 
@@ -65,10 +69,12 @@ def _segments(walls: list[float]) -> dict:
     }
 
 
-def run(section: str, n_batches: int, compact_every: int) -> None:
+def run(
+    section: str, n_batches: int, compact_every: int, major_every: int = 0
+) -> None:
     spark = get_spark(app_name=f"stream-cdc-spark-longhorizon-{section}")
     spark.sparkContext.setLogLevel("ERROR")
-    work = f"/tmp/longhorizon-{section}-{compact_every}"
+    work = f"/tmp/longhorizon-{section}-{compact_every}-{major_every}"
     shutil.rmtree(work, ignore_errors=True)
     state = os.path.join(work, "state")
 
@@ -78,7 +84,9 @@ def run(section: str, n_batches: int, compact_every: int) -> None:
         docs_path = os.environ.get(
             "LONGHORIZON_DOCS", "/root/testdata/sf0.1/documents.parquet"
         )
-        sink = LshDedupSnapshot(state, compact_every=compact_every)
+        sink = LshDedupSnapshot(
+            state, compact_every=compact_every, major_every=major_every
+        )
         subs = ("sigs", "index", "counts", "matches")
     else:
         from stream_cdc_spark.streaming.curation import CurationPipeline
@@ -86,7 +94,10 @@ def run(section: str, n_batches: int, compact_every: int) -> None:
         docs_path = os.environ.get(
             "LONGHORIZON_DOCS", ".scale/sf10x0.1/documents.parquet"
         )
-        sink = CurationPipeline(state, min_tokens=5, compact_every=compact_every)
+        sink = CurationPipeline(
+            state, min_tokens=5, compact_every=compact_every,
+            major_every=major_every,
+        )
         subs = ("decisions", "kept", "index")
 
     d = (
@@ -122,6 +133,7 @@ def run(section: str, n_batches: int, compact_every: int) -> None:
         "docs": n_docs,
         "n_batches": n_batches,
         "compact_every": compact_every,
+        "major_every": major_every,
         "total_wall_s": round(total, 1),
         "docs_per_s": round(n_docs / total, 1),
         "latency": _segments(walls),
@@ -144,4 +156,5 @@ if __name__ == "__main__":
     section = sys.argv[1] if len(sys.argv) > 1 else "lsh_drain"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else (1000 if section == "lsh_drain" else 200)
     every = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    run(section, n, every)
+    major = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    run(section, n, every, major)

@@ -20,6 +20,9 @@ incremental near-dup admission with durable batch-versioned state:
   MIN_TOKENS=<n>                     quality gate (default 5)
   COMPACT_EVERY=<n>                  fold state dirs every n batches
                                      (default 16; 0 disables)
+  COMPACT_MAJOR_EVERY=<K>            leveled: minor L1 delta folds,
+                                     full fold every K deltas
+                                     (default 0 = single-level)
   LSH_BUCKETED=1                     lsh_dedup mode: compact into
                                      bucketed snapshot tables
 
@@ -60,9 +63,13 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
     min_tokens = int(os.environ.get("MIN_TOKENS", "5"))
     # state-layer knobs: COMPACT_EVERY=<n batch dirs before a fold; 0
-    # disables>, LSH_BUCKETED=1 publishes compacted LSH snapshots as
+    # disables>, COMPACT_MAJOR_EVERY=<K deltas before a full fold; 0 =
+    # single-level>, LSH_BUCKETED=1 publishes compacted LSH snapshots as
     # bucketed tables (lsh_dedup mode only)
-    sink_kw = {"compact_every": int(os.environ.get("COMPACT_EVERY", "16"))}
+    sink_kw = {
+        "compact_every": int(os.environ.get("COMPACT_EVERY", "16")),
+        "major_every": int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+    }
     if pipeline == "lsh_dedup" and os.environ.get("LSH_BUCKETED", "0") == "1":
         sink_kw["bucketed"] = True
 

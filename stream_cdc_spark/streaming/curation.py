@@ -28,9 +28,12 @@ Every ``compact_every`` committed batches the per-batch subdirs are
 folded into an atomically-published compact=<w> snapshot (the read rule
 is unchanged, so replay idempotence survives the fold — see
 streaming/statedir.py for the crash-interleaving proof), keeping driver
-listing and union planning O(compact_every) instead of O(stream age).
-This is the parquet analogue of the reference's O(1)-forever checkpoint
-item (reference: stream_cdc/state/dynamodb.py:76-91).
+listing and union planning O(compact_every) instead of O(stream age);
+``major_every=K`` enables the leveled tier (L1 delta folds of only the
+pending batch dirs, full O(total state) folds 1/K as often — the shape
+for a kept-corpus that dwarfs any micro-batch). This is the parquet
+analogue of the reference's O(1)-forever checkpoint item (reference:
+stream_cdc/state/dynamodb.py:76-91).
 
 At 100 TB the kept/ and index/ tables compact into bucketed tables (see
 tests/test_bucketing.py: the (band, key)-bucketed index joins without an
@@ -85,6 +88,7 @@ class CurationPipeline:
         num_hashes: int = 64,
         bands: int = 16,
         compact_every: int = 16,
+        major_every: int = 0,
         commit_files: int = 1,
     ):
         self.state_dir = state_dir
@@ -98,6 +102,11 @@ class CurationPipeline:
         self.num_hashes = num_hashes
         self.bands = bands
         self.compact_every = compact_every
+        # major_every=K enables the leveled tier: pending batch dirs fold
+        # into L1 deltas (O(recent)); a full O(total state) fold only
+        # every K deltas — the shape for a kept-corpus that dwarfs any
+        # micro-batch (statedir module doc)
+        self.major_every = major_every
         # micro-batch commits are single-file by default (a batch is
         # small by construction; multi-file commits balloon long-horizon
         # file counts and per-trigger write latency)
@@ -134,7 +143,8 @@ class CurationPipeline:
             (self.index_dir, INDEX_SCHEMA),
         ):
             statedir.maybe_compact(
-                spark, root, schema, batch_id, every=self.compact_every
+                spark, root, schema, batch_id, every=self.compact_every,
+                major_every=self.major_every,
             )
 
     # -- the sink ---------------------------------------------------------

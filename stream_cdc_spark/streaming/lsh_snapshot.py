@@ -30,7 +30,11 @@ Every ``compact_every`` committed batches each table's subdirs fold into
 one atomically-published snapshot (counts additionally re-aggregate on
 fold — readers sum increments, so the reduction is read-equivalent),
 bounding dir listing and union planning at O(compact_every) regardless
-of stream age; an effectively-empty micro-batch commits NOTHING (the
+of stream age (``major_every=K`` switches to the leveled tier: cheap L1
+delta folds of just the pending batch dirs, with the O(total state) full
+fold paid only every K deltas — the shape for a corpus that dwarfs any
+micro-batch; statedir module doc); an effectively-empty micro-batch
+commits NOTHING (the
 read-exclusion rule makes the skipped dirs unobservable — a replay of
 the empty batch sees the same pre-batch state either way).
 
@@ -89,6 +93,7 @@ class LshDedupSnapshot:
         min_agree: float = 0.8,
         max_bucket: int = 64,
         compact_every: int = 16,
+        major_every: int = 0,
         bucketed: bool = False,
         num_buckets: int = 32,
         commit_files: int = 1,
@@ -106,6 +111,10 @@ class LshDedupSnapshot:
         self.min_agree = min_agree
         self.max_bucket = max_bucket
         self.compact_every = compact_every
+        # major_every=K: leveled compaction — pending batch dirs fold
+        # into L1 deltas (O(recent)); the full O(total state) fold runs
+        # only every K deltas (statedir module doc)
+        self.major_every = major_every
         self.bucketed = bucketed
         self.num_buckets = num_buckets
         # A micro-batch is small by construction (the same premise that
@@ -151,6 +160,7 @@ class LshDedupSnapshot:
             statedir.maybe_compact(
                 spark, root, schema, batch_id,
                 every=self.compact_every,
+                major_every=self.major_every,
                 transform=transform,
                 bucket_cols=bucket_cols if self.bucketed else None,
                 num_buckets=self.num_buckets,

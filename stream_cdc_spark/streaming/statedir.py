@@ -48,13 +48,27 @@ is skipped as a no-op (only the stale-dir cleanup reruns).
 
 Scale notes: the fold is a single union-scan -> overwrite (optionally
 bucketed — see ``bucket_cols`` — so the compacted snapshot doubles as the
-shuffle-free join-side table of tests/test_bucketing.py). The fold cost
-is O(total state) every ``every`` batches — single-level compaction,
-amortized O(state/every) per trigger; at 100 TB the same watermark rule
-supports leveled tiers (fold batch dirs into L1 deltas, L1 into the L0
-snapshot less often) without changing any reader. Dir listing is one
-os.listdir per state table per trigger, bounded by ``every`` + 1 entries
-once compaction is running.
+shuffle-free join-side table of tests/test_bucketing.py). Single-level
+compaction re-reads O(total state) every ``every`` batches; for state
+that dwarfs a batch (the 100 TB admitted corpus) the LEVELED tier caps
+the common fold at O(recent) instead:
+
+    <root>/delta=<lo>-<hi>/   union of all batch ids in [lo, hi) —
+                              an L1 fold, published atomically exactly
+                              like compact= (temp dir + _SUCCESS +
+                              os.rename)
+
+Enabled by ``maybe_compact(..., major_every=K)``: every ``every``
+batches the pending batch dirs fold into one delta (cost O(every
+batches)); once K deltas sit on the chain, everything folds into a fresh
+``compact=`` snapshot (cost O(total state), paid 1/K as often). The read
+rule extends without changing any invariant: compact=W0, then the
+maximal contiguous delta chain lo==W0 -> hi1 -> hi2 ... ending at cover
+C, then batch=i with C <= i < B; anything below the cover (leftover
+batch dirs, off-chain deltas) is invisible, so torn publishes and
+interrupted deletes stay unreadable exactly as before. Dir listing is
+one os.listdir per state table per trigger, bounded by ``every`` +
+``major_every`` + 1 entries once compaction is running.
 """
 
 from __future__ import annotations
@@ -68,6 +82,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 _COMPACT_RE = re.compile(r"^compact=(\d+)$")
+_DELTA_RE = re.compile(r"^delta=(\d+)-(\d+)$")
 _TMP_PREFIX = ".tmp-compact-"
 
 
@@ -80,14 +95,18 @@ def batch_dir(root: str, batch_id: int) -> str:
     return os.path.join(root, f"batch={batch_id:09d}")
 
 
-def _scan(root: str) -> tuple[dict[int, str], dict[int, str]]:
-    """(compacts, batches) as {id: path}. Only compact dirs holding a
-    _SUCCESS marker count — a markerless dir is a torn publish on a
-    filesystem without atomic rename and must never be read."""
+def _scan(
+    root: str,
+) -> tuple[dict[int, str], dict[int, str], dict[tuple[int, int], str]]:
+    """(compacts, batches, deltas) as {id: path} / {(lo, hi): path}. Only
+    compact/delta dirs holding a _SUCCESS marker count — a markerless dir
+    is a torn publish on a filesystem without atomic rename and must
+    never be read."""
     compacts: dict[int, str] = {}
     batches: dict[int, str] = {}
+    deltas: dict[tuple[int, int], str] = {}
     if not os.path.isdir(root):
-        return compacts, batches
+        return compacts, batches, deltas
     for name in os.listdir(root):
         path = os.path.join(root, name)
         m = _BATCH_RE.match(name)
@@ -95,26 +114,52 @@ def _scan(root: str) -> tuple[dict[int, str], dict[int, str]]:
             batches[int(m.group(1))] = path
             continue
         m = _COMPACT_RE.match(name)
+        if m:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                compacts[int(m.group(1))] = path
+            continue
+        m = _DELTA_RE.match(name)
         if m and os.path.exists(os.path.join(path, "_SUCCESS")):
-            compacts[int(m.group(1))] = path
-    return compacts, batches
+            deltas[(int(m.group(1)), int(m.group(2)))] = path
+    return compacts, batches, deltas
+
+
+def _chain(
+    compacts: dict[int, str],
+    deltas: dict[tuple[int, int], str],
+    batch_id: int,
+) -> tuple[list[str], int]:
+    """(snapshot + delta-chain paths, cover) for ``batch_id``: the best
+    compact watermark W0 <= batch_id, then the maximal contiguous chain
+    of deltas lo==W0 -> hi1, lo==hi1 -> hi2, ... with every hi <=
+    batch_id. Returns the paths in read order and the cover C — batch
+    dirs with id < C are invisible."""
+    eligible = [w for w in compacts if w <= batch_id]
+    w = max(eligible, default=0)
+    out = [compacts[w]] if eligible else []
+    cur = w
+    while True:
+        nxt = [(lo, hi) for (lo, hi) in deltas if lo == cur and hi <= batch_id]
+        if not nxt:
+            return out, cur
+        lo, hi = max(nxt, key=lambda b: b[1])
+        out.append(deltas[(lo, hi)])
+        cur = hi
 
 
 def watermark(root: str, batch_id: int) -> int:
     """Largest valid compact watermark <= batch_id (0 if none)."""
-    compacts, _ = _scan(root)
+    compacts, _, _ = _scan(root)
     eligible = [w for w in compacts if w <= batch_id]
     return max(eligible, default=0)
 
 
 def state_paths(root: str, batch_id: int) -> list[str]:
-    """The read set for batch ``batch_id``: the best compacted snapshot
-    plus the batch dirs after its watermark (see module doc)."""
-    compacts, batches = _scan(root)
-    eligible = [w for w in compacts if w <= batch_id]
-    w = max(eligible, default=0)
-    out = [compacts[w]] if eligible else []
-    out.extend(p for i, p in sorted(batches.items()) if w <= i < batch_id)
+    """The read set for batch ``batch_id``: the best compacted snapshot,
+    its delta chain, then the batch dirs above the cover (module doc)."""
+    compacts, batches, deltas = _scan(root)
+    out, cover = _chain(compacts, deltas, batch_id)
+    out.extend(p for i, p in sorted(batches.items()) if cover <= i < batch_id)
     return out
 
 
@@ -161,32 +206,23 @@ def compact(
     a snapshot-side Exchange (tests/test_bucketing.py). The bucketed
     publish is guarded by the same _SUCCESS-marker rule instead of the
     rename (saveAsTable fixes the table location at write time)."""
-    compacts, batches = _scan(root)
+    _clean_torn(root, batch_id)
+    compacts, batches, deltas = _scan(root)
+    chain, cover = _chain(compacts, deltas, batch_id)
     eligible = [w for w in compacts if w <= batch_id]
     w = max(eligible, default=0)
-    fold = [p for i, p in sorted(batches.items()) if w <= i < batch_id]
-    stale_batches = [p for i, p in batches.items() if i < w]
-    stale_compacts = [p for i, p in compacts.items() if eligible and i < w]
-    # torn publishes / leftover temps from a crashed attempt
-    junk = [
-        os.path.join(root, n)
-        for n in (os.listdir(root) if os.path.isdir(root) else [])
-        if n.startswith(_TMP_PREFIX)
-        or (
-            _COMPACT_RE.match(n)
-            and not os.path.exists(os.path.join(root, n, "_SUCCESS"))
-        )
+    fold_batches = [p for i, p in sorted(batches.items()) if cover <= i < batch_id]
+    fold_deltas = chain[1:] if eligible else chain  # chain minus the snapshot
+    stale_batches = [p for i, p in batches.items() if i < cover]
+    stale_deltas = [
+        p for (lo, hi), p in deltas.items() if p not in chain and hi <= cover
     ]
-    # Torn publishes must go BEFORE the new publish: a markerless
-    # compact=<batch_id> leftover would collide with the rename target.
-    for p in junk:
-        shutil.rmtree(p, ignore_errors=True)
-    junk = []
+    stale_compacts = [p for i, p in compacts.items() if eligible and i < w]
     # Note: a replay after a COMPLETED publish needs no special case —
-    # compact=batch_id being valid makes w == batch_id, the fold set
+    # compact=batch_id being valid makes cover == batch_id, the fold set
     # empty, and the folded dirs fall into the stale cleanup below.
     published = False
-    if fold:
+    if fold_batches or fold_deltas:
         df = read_state(spark, root, schema, batch_id)
         if transform is not None:
             df = transform(df)
@@ -209,11 +245,64 @@ def compact(
             df.write.mode("overwrite").parquet(tmp)
             os.rename(tmp, dest)
         published = True
-        stale_batches = fold + [p for i, p in batches.items() if i < w]
+        stale_batches = [p for i, p in batches.items() if i < batch_id]
+        stale_deltas = [p for (lo, hi), p in deltas.items() if hi <= batch_id]
         stale_compacts = [compacts[i] for i in compacts if i < batch_id]
-    for p in junk + stale_batches + stale_compacts:
+    for p in stale_batches + stale_deltas + stale_compacts:
         shutil.rmtree(p, ignore_errors=True)
     return published
+
+
+def compact_minor(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_id: int,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> bool:
+    """L1 fold: publish ``delta=<cover>-<batch_id>`` holding exactly the
+    batch dirs in [cover, batch_id), then delete them. Cost is O(those
+    batches), never O(total state) — the compacted snapshot and earlier
+    deltas are not re-read. Same atomic publish and read-exclusion rules
+    as ``compact``; ``transform`` must be the same read-equivalent
+    reduction (a delta holding partially-reduced increments still reads
+    correctly because readers aggregate)."""
+    _clean_torn(root, batch_id)
+    compacts, batches, deltas = _scan(root)
+    _, cover = _chain(compacts, deltas, batch_id)
+    if cover >= batch_id:
+        return False  # replay after a completed publish: chain already ends here
+    fold = [(i, p) for i, p in sorted(batches.items()) if cover <= i < batch_id]
+    if not fold:
+        return False
+    try:
+        df = spark.read.parquet(*[p for _, p in fold])
+    except Exception:
+        # every fold dir is file-less (legacy empty-batch commits)
+        df = spark.read.schema(schema).parquet(*[p for _, p in fold])
+    if transform is not None:
+        df = transform(df)
+    dest = os.path.join(root, f"delta={cover:09d}-{batch_id:09d}")
+    tmp = os.path.join(root, f"{_TMP_PREFIX}d{batch_id:09d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dest)
+    for _, p in fold:
+        shutil.rmtree(p, ignore_errors=True)
+    return True
+
+
+def _clean_torn(root: str, batch_id: int) -> None:
+    """Remove leftover temp dirs and markerless (torn) compact/delta
+    publishes — they are unreadable by rule, and a markerless dir at this
+    batch's target name would collide with the rename."""
+    for n in os.listdir(root) if os.path.isdir(root) else []:
+        path = os.path.join(root, n)
+        if n.startswith(_TMP_PREFIX) or (
+            (_COMPACT_RE.match(n) or _DELTA_RE.match(n))
+            and not os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def maybe_compact(
@@ -222,21 +311,34 @@ def maybe_compact(
     schema: str,
     batch_id: int,
     every: int,
+    major_every: int = 0,
     **kwargs,
 ) -> bool:
-    """Compact iff at least ``every`` batch dirs sit above the current
-    watermark — the per-trigger entry point (called at the START of
-    foreach_batch, before the batch writes its own dirs, so a replayed
-    batch re-folds the identical prefix)."""
+    """Per-trigger entry point (called at the START of foreach_batch,
+    before the batch writes its own dirs, so a replayed batch re-folds
+    the identical prefix).
+
+    ``major_every <= 0`` (default): single-level — full fold iff at
+    least ``every`` batch dirs sit above the cover. ``major_every = K``:
+    leveled — ``every`` pending batch dirs fold into one L1 delta
+    (O(recent)); once K deltas sit on the chain everything folds into a
+    fresh snapshot (O(total state), paid 1/K as often)."""
     if every <= 0:
         return False
-    compacts, batches = _scan(root)
-    eligible = [w for w in compacts if w <= batch_id]
-    w = max(eligible, default=0)
-    pending = sum(1 for i in batches if w <= i < batch_id)
+    compacts, batches, deltas = _scan(root)
+    chain, cover = _chain(compacts, deltas, batch_id)
+    pending = sum(1 for i in batches if cover <= i < batch_id)
     if pending < every:
         return False
-    return compact(spark, root, schema, batch_id, **kwargs)
+    if major_every <= 0:
+        return compact(spark, root, schema, batch_id, **kwargs)
+    n_deltas = len(chain) - (1 if any(w <= batch_id for w in compacts) else 0)
+    if n_deltas + 1 >= major_every:
+        # this fold would make the chain major_every long — fold it all
+        return compact(spark, root, schema, batch_id, **kwargs)
+    return compact_minor(
+        spark, root, schema, batch_id, transform=kwargs.get("transform")
+    )
 
 
 def bucketed_relation(
@@ -253,7 +355,7 @@ def bucketed_relation(
     ids Spark maps at scan time — do). Returns None when no bucketed
     snapshot exists. ``schema`` / ``bucket_cols`` / ``num_buckets`` must
     match what ``compact`` wrote (they are the sink's own constants)."""
-    compacts, _ = _scan(root)
+    compacts, _, _ = _scan(root)
     if not compacts:
         return None
     latest = compacts[max(compacts)]
@@ -283,11 +385,16 @@ def _default_table_name(root: str) -> str:
 
 
 def dir_counts(root: str) -> dict[str, int]:
-    """Metadata-size observability: {'compact': n, 'batch': n, 'files': n}
-    — the quantity compaction bounds (asserted flat in the long-horizon
-    bench)."""
-    compacts, batches = _scan(root)
+    """Metadata-size observability: {'compact': n, 'delta': n, 'batch':
+    n, 'files': n} — the quantities compaction bounds (asserted flat in
+    the long-horizon bench)."""
+    compacts, batches, deltas = _scan(root)
     files = 0
     for _, _, fs in os.walk(root):
         files += len(fs)
-    return {"compact": len(compacts), "batch": len(batches), "files": files}
+    return {
+        "compact": len(compacts),
+        "delta": len(deltas),
+        "batch": len(batches),
+        "files": files,
+    }

@@ -166,3 +166,40 @@ def test_curation_param_drift_fails_loudly_on_restart(spark, tmp_path):
     ok.foreach_batch(more, 1)
     d = {r["doc_id"]: r["keep"] for r in ok.decisions(spark).collect()}
     assert d[3] is False  # near-dup of doc 1 caught through the index
+
+
+def test_snapshot_leveled_mode_matches_plain(spark, tmp_path):
+    """major_every: minor L1 folds between full folds — identical
+    matches/processed vs compaction-off, and the state settles into
+    snapshot + a bounded delta chain (never an unbounded batch list)."""
+    batches = _slices(spark, 8)
+    plain = LshDedupSnapshot(str(tmp_path / "plain"), compact_every=0)
+    leveled = LshDedupSnapshot(
+        str(tmp_path / "lvl"), compact_every=2, major_every=3
+    )
+    for i, b in enumerate(batches):
+        plain.foreach_batch(b, i)
+        leveled.foreach_batch(b, i)
+    assert _pairs(leveled, spark) == _pairs(plain, spark)
+    assert leveled.processed(spark).count() == plain.processed(spark).count()
+    saw_delta = False
+    for sub in ("sigs", "index", "counts", "matches"):
+        c = statedir.dir_counts(os.path.join(str(tmp_path / "lvl"), sub))
+        assert c["batch"] <= 2, (sub, c)
+        assert c["delta"] <= 3, (sub, c)
+        saw_delta = saw_delta or c["delta"] > 0 or c["compact"] > 0
+    assert saw_delta  # folds actually happened
+
+
+def test_curation_leveled_mode_matches_plain(spark, tmp_path):
+    batches = _slices(spark, 6)
+    plain = CurationPipeline(str(tmp_path / "plain"), compact_every=0)
+    leveled = CurationPipeline(
+        str(tmp_path / "lvl"), compact_every=2, major_every=2
+    )
+    for i, b in enumerate(batches):
+        plain.foreach_batch(b, i)
+        leveled.foreach_batch(b, i)
+    a = sorted(map(tuple, plain.decisions(spark).collect()))
+    b2 = sorted(map(tuple, leveled.decisions(spark).collect()))
+    assert a == b2

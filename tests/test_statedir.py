@@ -205,3 +205,141 @@ def test_legacy_unpadded_batch_dirs_still_read(spark, tmp_path):
     )
     assert _rows(spark, root, 9) == [(1, "a"), (2, "b")]
     assert _rows(spark, root, 8) == [(1, "a")]
+
+# -- leveled tier ----------------------------------------------------------
+
+
+def test_minor_fold_preserves_reads_and_bounds_dirs(spark, tmp_path):
+    """compact_minor folds ONLY the pending batch dirs into a delta; the
+    read set for every batch is unchanged and the batch-dir count drops
+    to zero without touching (or re-reading) the snapshot."""
+    root = str(tmp_path / "s")
+    for b in range(4):
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+    assert statedir.compact(spark, root, SCHEMA, 4)  # L0 snapshot at 4
+    for b in range(4, 8):
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+    want = {b: _rows(spark, root, b) for b in (5, 7, 8)}
+    assert statedir.compact_minor(spark, root, SCHEMA, 8)
+    c = statedir.dir_counts(root)
+    assert c == {"compact": 1, "delta": 1, "batch": 0, "files": c["files"]}
+    # reads through the chain are identical for the replayable batch and
+    # the accessor horizon
+    assert _rows(spark, root, 8) == want[8]
+    assert _rows(spark, root, 1 << 62) == want[8]
+    # replayed minor fold at the same cover: no-op
+    assert not statedir.compact_minor(spark, root, SCHEMA, 8)
+
+
+def test_delta_chain_reads_in_order_and_major_fold_collapses(spark, tmp_path):
+    root = str(tmp_path / "s")
+    rows = []
+    for b in range(9):
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+        rows.append((b, f"v{b}"))
+        if b in (2, 5):  # minor folds at batches 3 and 6
+            statedir.compact_minor(spark, root, SCHEMA, b + 1)
+    # two deltas + pending batches, no snapshot yet
+    c = statedir.dir_counts(root)
+    assert c["compact"] == 0 and c["delta"] == 2 and c["batch"] == 3
+    assert _rows(spark, root, 9) == rows
+    # read at the latest fold watermark: whole chain, no batch dirs
+    # (reads BELOW the latest fold are outside the protocol, exactly as
+    # in single-level mode — streaming replays only the last in-flight
+    # batch, and folds at the start of batch B cover only ids < B)
+    assert _rows(spark, root, 6) == rows[:6]
+    # major fold eats snapshot-less chain + batches
+    assert statedir.compact(spark, root, SCHEMA, 9)
+    c = statedir.dir_counts(root)
+    assert c["compact"] == 1 and c["delta"] == 0 and c["batch"] == 0
+    assert _rows(spark, root, 9) == rows
+
+
+def test_torn_delta_publish_is_ignored_and_cleaned(spark, tmp_path):
+    root = str(tmp_path / "s")
+    for b in range(3):
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+    torn = os.path.join(root, "delta=000000000-000000002")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    want = [(i, f"v{i}") for i in range(3)]
+    assert _rows(spark, root, 3) == want  # torn delta excluded
+    assert statedir.compact_minor(spark, root, SCHEMA, 3)
+    assert _rows(spark, root, 3) == want
+    assert statedir.dir_counts(root)["delta"] == 1  # torn one replaced
+
+
+def test_delta_interrupted_delete_does_not_double_count(spark, tmp_path):
+    """Crash between publishing delta=[0,3) and deleting the folded batch
+    dirs: leftovers below the cover are invisible."""
+    root = str(tmp_path / "s")
+    for b in range(3):
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+    df = statedir.read_state(spark, root, SCHEMA, 3)
+    tmp = os.path.join(root, ".tmp-compact-d000000003")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(root, "delta=000000000-000000003"))
+    want = [(i, f"v{i}") for i in range(3)]
+    assert _rows(spark, root, 3) == want  # not doubled
+    _write_batch(spark, root, 3, [(3, "v3")])
+    assert _rows(spark, root, 4) == want + [(3, "v3")]
+
+
+def test_maybe_compact_leveled_schedule(spark, tmp_path):
+    """every=2, major_every=3: batches fold into deltas every 2, the
+    third fold is a full snapshot; reads identical to a never-compacted
+    control throughout."""
+    root = str(tmp_path / "s")
+    control = str(tmp_path / "ctl")
+    rows = []
+    majors = minors = 0
+    for b in range(13):
+        did = statedir.maybe_compact(
+            spark, root, SCHEMA, b, every=2, major_every=3
+        )
+        if did:
+            c = statedir.dir_counts(root)
+            if c["batch"] == 0 and c["delta"] == 0:
+                majors += 1
+            else:
+                minors += 1
+        _write_batch(spark, root, b, [(b, f"v{b}")])
+        _write_batch(spark, control, b, [(b, f"v{b}")])
+        rows.append((b, f"v{b}"))
+        assert _rows(spark, root, b + 1) == _rows(spark, control, b + 1) == rows
+    assert majors >= 1 and minors >= 2
+    c = statedir.dir_counts(root)
+    assert c["delta"] <= 3 and c["batch"] <= 2 + 1
+
+
+def test_leveled_transform_reduces_on_every_fold(spark, tmp_path):
+    """The counts-style reduction applies at minor AND major folds and
+    the aggregate answer never changes (read-equivalent reduction)."""
+    root = str(tmp_path / "s")
+    red = lambda df: df.groupBy("id").agg(  # noqa: E731
+        F.sum(F.col("v").cast("bigint")).cast("string").alias("v")
+    )
+    total = 0
+    for b in range(9):
+        statedir.maybe_compact(
+            spark, root, SCHEMA, b, every=2, major_every=2, transform=red
+        )
+        _write_batch(spark, root, b, [(7, "1")])
+        total += 1
+        got = statedir.read_state(spark, root, SCHEMA, b + 1)
+        s = got.groupBy("id").agg(F.sum(F.col("v").cast("bigint")).alias("t"))
+        assert [tuple(r) for r in s.collect()] == [(7, total)]
+
+
+def test_column_metadata_survives_minor_fold(spark, tmp_path):
+    """The LSH parameter stamp must ride through L1 delta folds exactly
+    as through full folds (the restart-path mismatch guard reads it)."""
+    root = str(tmp_path / "s")
+    df = spark.createDataFrame([(1, "a")], SCHEMA).withColumn(
+        "id", F.col("id").alias("id", metadata={"lsh_k": 3})
+    )
+    df.write.mode("overwrite").parquet(statedir.batch_dir(root, 0))
+    assert statedir.compact_minor(spark, root, SCHEMA, 1)
+    got = statedir.read_state(spark, root, SCHEMA, 1)
+    assert dict(got.schema["id"].metadata)["lsh_k"] == 3

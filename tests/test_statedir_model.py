@@ -4,7 +4,8 @@ commits, compactions, torn compactions, and interrupted deletes must
 never change what any executing batch observes.
 
 This generalizes test_statedir.py's hand-picked interleavings: hypothesis
-drives the schedule, the model is the obviously-correct union, and the
+drives the schedule (including the leveled tier's minor delta folds and
+torn delta publishes), the model is the obviously-correct union, and the
 assertion is read_state == model at every step for both the next batch id
 and the accessor horizon (1 << 62)."""
 
@@ -26,7 +27,16 @@ SCHEMA = "id bigint, v bigint"
 # without _SUCCESS); ("interrupted_delete",) publishes by hand but leaves
 # the folded dirs in place.
 OPS = st.lists(
-    st.sampled_from(["commit", "compact", "torn_compact", "interrupted_delete"]),
+    st.sampled_from(
+        [
+            "commit",
+            "compact",
+            "minor_compact",
+            "torn_compact",
+            "torn_delta",
+            "interrupted_delete",
+        ]
+    ),
     min_size=4,
     max_size=10,
 )
@@ -67,6 +77,14 @@ def test_random_interleavings_preserve_reads(spark, sd_root, ops):
             head += 1
         elif op == "compact":
             statedir.compact(spark, root, SCHEMA, head)
+        elif op == "minor_compact":
+            statedir.compact_minor(spark, root, SCHEMA, head)
+        elif op == "torn_delta":
+            torn = os.path.join(root, f"delta=000000000-{head:09d}")
+            if not os.path.exists(torn):
+                os.makedirs(torn)
+                with open(os.path.join(torn, "part-0.parquet"), "wb") as f:
+                    f.write(b"\x00torn")
         elif op == "torn_compact":
             torn = os.path.join(root, f"compact={head:09d}")
             if not os.path.exists(torn):

@@ -246,3 +246,55 @@ def test_snapshot_within_batch_cap_orders_by_id(spark, tmp_path):
     snap.foreach_batch(_docs(spark, [(5, BODY), (7, BODY)]), 0)
     got = sorted((r["doc_id"], r["dup_of"]) for r in snap.matches(spark).collect())
     assert got == [(7, 5)]  # 5 admitted (smaller id), 7 matched against it
+
+
+def test_snapshot_leveled_restart_equality(spark, tmp_path):
+    """Same restart-equality contract with the leveled state tier active
+    (compact_every=1, major_every=2 so the two runs cross delta folds AND
+    a full fold): distinct pairs equal the batch candidate set."""
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    indir, ckpt, state = (str(tmp_path / p) for p in ("in", "ckpt", "state"))
+    os.makedirs(indir, exist_ok=True)
+    parts = (
+        d.repartition(4)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+    snap = LshDedupSnapshot(state, compact_every=1, major_every=2)
+
+    def run():
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/slice=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(snap.sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for i, rows in parts[:2]:
+        spark.createDataFrame(rows, d.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+    run()
+    for i, rows in parts[2:]:
+        spark.createDataFrame(rows, d.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+    run()
+
+    got = {
+        (r["dup_of"], r["doc_id"])
+        for r in snap.matches(spark).select("doc_id", "dup_of").distinct().collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(d)
+        .filter(F.col("est_jaccard") >= 0.8)
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -117,3 +117,57 @@ def equidepth_histogram(
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier gate: rows whose value sits more than
+    `threshold` sample standard deviations from their group's mean — the
+    data-quality tripwire a curation pipeline runs on numeric telemetry
+    (payload sizes, event values) before trusting a batch.
+
+    Cross-engine determinism: values are quantized to integer cents
+    per-row (ROUND(v*100) — one identical IEEE multiply, never near a
+    .5 boundary for 2-decimal data), and the group moments are EXACT
+    integer sums of cents and squared cents carried as DECIMAL(38,0)
+    (order-insensitive; integer->double is correctly rounded in both
+    engines, unlike fractional-decimal->double). Mean, variance, and
+    each row's z are then one identical double sequence, making the
+    >= threshold cut and the ppm-quantized output hash-stable.
+
+    Plan shape at 100 TB: one groupBy shuffle with map-side combine
+    collapses the corpus to |groups| moment rows, which broadcast back
+    onto the stream — no window over raw rows, no sort, no second
+    shuffle. Groups with fewer than 2 rows or zero variance emit nothing
+    (no z is defined there).
+    """
+    vi = F.round(F.col(value_col) * F.lit(100.0)).cast("bigint")
+    big = "decimal(38,0)"
+    stats = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vi.cast(big)).alias("s1"),
+        F.sum((vi * vi).cast(big)).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    moments = stats.select(
+        key_col, mean.alias("mean"), var.alias("var")
+    ).filter(F.col("var") > 0)
+    z = (vi.cast("double") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        df.join(F.broadcast(moments), key_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= F.lit(float(threshold)))
+        .select(
+            id_col,
+            key_col,
+            F.col(value_col),
+            F.floor(F.lit(1_000_000.0) * F.col("z")).cast("bigint").alias("z_ppm"),
+        )
+    )

@@ -12,7 +12,7 @@ Scale notes: every operator here is a narrow map — no shuffle at all; at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword list shared with the oracle SQL; enough for ratio features.
@@ -549,3 +549,92 @@ def vocab_coverage(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    top_p: float = 0.5,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-`top_p` fraction of documents by quality score WITHIN
+    each group (FineWeb-style per-language thresholding: an absolute score
+    cutoff over-prunes low-resource languages, so the gate is a percentile
+    per group).
+
+    Selection is exact and deterministic: rank by (quality_score DESC,
+    id) — the id tiebreak totalizes the order so both engines pick the
+    identical document set — and keep rank <= ceil(top_p * group size).
+
+    Plan shape: the score is pure per-row expressions (no shuffle), then
+    ONE hash-partition exchange on `by` serves both window functions
+    (the ordered row_number and the unordered group count share the
+    partitioning). Group cardinality is languages — tiny — so skew is
+    bounded by corpus imbalance, which percentile gating is precisely
+    the tool for. No join, no second pass over the corpus.
+    """
+    scored = quality_score(quality_features(df))
+    w = Window.partitionBy(by).orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_group", F.count(F.lit(1)).over(Window.partitionBy(by)))
+        .filter(
+            F.col("rn") <= F.ceil(F.lit(float(top_p)) * F.col("n_group"))
+        )
+        .select(by, id_col, "quality_score")
+    )
+
+
+def token_distribution_drift(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group distribution drift: KL divergence (nats) of each group's
+    unigram token distribution from the corpus-wide mixture — the
+    monitoring primitive for "did source X's content shift?" and "which
+    source is least like the blend we train on?".
+
+    Cross-engine determinism: every KL term is computed per (group,
+    token) row from exact integer counts through an identical IEEE
+    sequence (two divisions, one ln, two multiplies), floor-quantized to
+    parts-per-billion BIGINT, then INTEGER-summed — so aggregation order
+    cannot perturb the result (the q103 all-integer-after-quantization
+    rule).
+
+    Plan shape at 100 TB: the corpus is touched once by the (group,
+    token) count — one shuffle with map-side combine, output |groups| x
+    |vocab| rows, orders of magnitude smaller than the token stream.
+    Everything after runs on that collapsed relation: two window sums
+    (group totals, global token totals) and a broadcast one-row grand
+    total. No corpus-sized join or second scan.
+    """
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    counts = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grand = counts.agg(F.sum("c").cast("double").alias("n_all"))
+    enriched = (
+        counts.withColumn("t_grp", F.sum("c").over(Window.partitionBy("grp")))
+        .withColumn("g_tok", F.sum("c").over(Window.partitionBy("tok")))
+        .crossJoin(F.broadcast(grand))
+    )
+    p = F.col("c").cast("double") / F.col("t_grp").cast("double")
+    q = F.col("g_tok").cast("double") / F.col("n_all")
+    term = F.floor(F.lit(1_000_000_000.0) * p * F.log(p / q)).cast("bigint")
+    return (
+        enriched.withColumn("term_ppb", term)
+        .groupBy("grp")
+        .agg(
+            F.max("t_grp").cast("bigint").alias("n_tokens"),
+            F.sum("term_ppb").cast("bigint").alias("kl_ppb"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

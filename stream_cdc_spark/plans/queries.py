@@ -5242,6 +5242,139 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q124_quality_percentile_gate",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+                  + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+                  + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                         THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score
+      FROM f
+    ),
+    r AS (
+      SELECT lang, doc_id, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_group
+      FROM s
+    )
+    SELECT lang, doc_id, quality_score FROM r
+    WHERE rn <= CEIL(0.5 * n_group)
+    ORDER BY lang, doc_id
+    """,
+    doc="Per-language top-p quality gate (text.quality_percentile_gate): "
+    "keep the best half of each language by q21's composite score — the "
+    "FineWeb-style percentile threshold that an absolute cutoff would "
+    "turn into low-resource-language erasure. Deterministic selection "
+    "(score DESC, doc_id totalizes the order); one exchange on lang "
+    "serves both window functions.",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.quality_percentile_gate(d, top_p=0.5, by="lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+@_register(
+    "q125_source_drift_kl",
+    """
+    WITH c AS (
+      SELECT grp, tok, COUNT(*) AS c FROM (
+        SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT grp, c,
+             SUM(c) OVER (PARTITION BY grp) AS t_grp,
+             SUM(c) OVER (PARTITION BY tok) AS g_tok,
+             SUM(c) OVER () AS n_all
+      FROM c
+    ),
+    t AS (
+      SELECT grp, t_grp,
+             CAST(FLOOR(1000000000.0
+                        * (CAST(c AS DOUBLE) / CAST(t_grp AS DOUBLE))
+                        * ln((CAST(c AS DOUBLE) / CAST(t_grp AS DOUBLE))
+                             / (CAST(g_tok AS DOUBLE) / CAST(n_all AS DOUBLE))))
+                  AS BIGINT) AS term_ppb
+      FROM e
+    )
+    SELECT grp AS source,
+           CAST(MAX(t_grp) AS BIGINT) AS n_tokens,
+           CAST(SUM(term_ppb) AS BIGINT) AS kl_ppb
+    FROM t GROUP BY grp ORDER BY source
+    """,
+    doc="Source-distribution drift (text.token_distribution_drift): KL "
+    "divergence of each source's unigram distribution from the corpus "
+    "mixture, nats in ppb — the which-source-shifted monitor next to "
+    "q100's language mix and q123's mixture weights. Corpus touched once "
+    "by the (source, token) count; all divergence math runs on that "
+    "collapsed relation (two window sums + a broadcast grand total), "
+    "per-term floor-ppb quantization then integer sums (q103 rule).",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.token_distribution_drift(d, group_col="source").orderBy("source")
+
+
+@_register(
+    "q126_zscore_anomaly",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND("value" * 100.0) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND("value" * 100.0) AS BIGINT)
+                 * CAST(ROUND("value" * 100.0) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e."value",
+           CAST(FLOOR(1000000.0
+                      * ((CAST(ROUND(e."value" * 100.0) AS BIGINT) - m.mean)
+                         / sqrt(m.var))) AS BIGINT) AS z_ppm
+    FROM events e JOIN m USING (event_type)
+    WHERE m.var > 0
+      AND ABS((CAST(ROUND(e."value" * 100.0) AS BIGINT) - m.mean)
+              / sqrt(m.var)) >= 3.0
+    ORDER BY e.event_id
+    """,
+    doc="Per-type z-score anomaly gate (profiling.zscore_outliers): "
+    "events more than 3 sample standard deviations from their type's "
+    "mean — the numeric-telemetry tripwire beside q98's column profile. "
+    "Moments are exact integer sums of cents (values quantized per-row, "
+    "integer->double is correctly rounded in both engines), so the cut "
+    "and the ppm z hash-match. One map-side-combined aggregate + a "
+    "broadcast join back; no window over raw events.",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import profiling
+
+    d = load(spark, sf, "events")
+    return profiling.zscore_outliers(
+        d, key_col="event_type", id_col="event_id", value_col="value"
+    ).orderBy("event_id")
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -5259,7 +5392,12 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
 #  (4) remaining slots: oldest-green (r4) representatives, one per
 #      operator family (the out-of-window r4 TPC-H shapes q55-q63/
 #      q69-q73 are re-proven in-window by the q74-q78 rotation and stay
-#      value-checked every session by tests/test_queries_oracle.py).
+#      value-checked every session by tests/test_queries_oracle.py);
+#  (5) the three queries ADDED in round 6 (q124-q126) — never driver-
+#      green yet, so they take window slots from three r4-green entries
+#      whose families stay represented in-window (q18 rollup -> q47
+#      cube, q49 per-group top-k -> q97 rank zoo, q53 TPC-H -> q14/q34/
+#      q74-q78); the displaced three rotate back in r7.
 _DRIVER_WINDOW_R6 = [
     # (1) 25 stale r3-green queries:
     "q47_cube_counts",
@@ -5297,14 +5435,11 @@ _DRIVER_WINDOW_R6 = [
     "q34_tpch_q6",
     # (4) oldest-green (r4) family representatives:
     "q06_claim_check_routing",
-    "q18_rollup_value",
     "q20_token_stats",
     "q21_quality_scores",
     "q22_lang_id",
     "q26_multimodal_meta",
     "q43_ivf_cells",
-    "q49_topk_per_group",
-    "q53_tpch_q18",
     "q54_tfidf_top_terms",
     "q65_kmeans_assign",
     "q79_stratified_sample",
@@ -5315,6 +5450,10 @@ _DRIVER_WINDOW_R6 = [
     "q113_fuzzy_prefix_pairs",
     "q114_leakage_safe_split",
     "q117_soft_dedup_weights",
+    # (5) round-6 additions, never driver-green yet:
+    "q124_quality_percentile_gate",
+    "q125_source_drift_kl",
+    "q126_zscore_anomaly",
 ]
 
 assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)

@@ -622,3 +622,71 @@ def pca_project(
     proj = pandas_udf(_proj, "array<double>")
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def group_centroid_cosine(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inter-group centroid similarity map: the pairwise cosine between
+    per-group mean embeddings — the class-separability / source-affinity
+    diagnostic a curation pipeline reads before deciding which sources
+    are near-redundant (two sources whose centroids sit at cos ~ 1 are
+    candidates for cross-source dedup; a label whose centroid drifts is
+    a distribution-shift alarm).
+
+    Cross-engine determinism: vector components are floor-quantized to
+    integer ppm PER ROW, so the per-(group, dim) sums are order-
+    insensitive integers (the q112 gram-matrix rule); centroids are then
+    exact-integer / count doubles, and each pairwise cosine is one
+    identical sequential-fold sequence (same dot as q25's oracle-proven
+    list_dot_product parity), quantized to basis points.
+
+    Plan shape at 100 TB: ONE shuffle carries (group, dim) partial sums
+    — map-side combine collapses each task to |groups| x d rows before
+    the exchange, so shuffle volume is partitions x groups x d integers
+    regardless of corpus size. Everything pairwise runs on the
+    |groups|-row centroid relation via a broadcast self-join; the corpus
+    is never joined or re-scanned.
+    """
+    comps = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.col(vec_col)).alias("i", "x"),
+        )
+        .withColumn(
+            "q",
+            F.floor(F.lit(1_000_000.0) * F.col("x").cast("double")).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("g", "i")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        comps.withColumn(
+            "m", F.col("sq").cast("double") / F.col("n").cast("double")
+        )
+        .groupBy("g")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    a = cent.select(F.col("g").alias("ga"), F.col("c").alias("ca"))
+    b = cent.select(F.col("g").alias("gb"), F.col("c").alias("cb"))
+    cos = dot(F.col("ca"), F.col("cb")) / (
+        l2_norm(F.col("ca")) * l2_norm(F.col("cb"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ga") < F.col("gb"))
+        .select(
+            F.col("ga").cast("bigint").alias("label_a"),
+            F.col("gb").cast("bigint").alias("label_b"),
+            F.floor(F.lit(10_000.0) * cos).cast("bigint").alias("cos_bp"),
+        )
+    )

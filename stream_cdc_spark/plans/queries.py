@@ -5375,6 +5375,45 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_register(
+    "q127_centroid_similarity",
+    """
+    WITH comp AS (
+      SELECT label AS g, s.i AS i, SUM(s.q) AS sq, COUNT(*) AS n FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {'i': i,
+                            'q': CAST(FLOOR(1000000.0 * v[i]) AS BIGINT)})) AS s
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      ) GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT g,
+             list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS c
+      FROM comp GROUP BY g
+    )
+    SELECT CAST(a.g AS BIGINT) AS label_a,
+           CAST(b.g AS BIGINT) AS label_b,
+           CAST(FLOOR(10000.0 * (list_dot_product(a.c, b.c)
+                / (sqrt(list_dot_product(a.c, a.c))
+                   * sqrt(list_dot_product(b.c, b.c))))) AS BIGINT) AS cos_bp
+    FROM cent a JOIN cent b ON a.g < b.g
+    ORDER BY label_a, label_b
+    """,
+    doc="Inter-class centroid similarity map "
+    "(similarity.group_centroid_cosine): pairwise cosine between "
+    "per-label mean embeddings — the class-separability / "
+    "source-affinity diagnostic next to q104's SemDeDup and q65's "
+    "k-means. Components ppm-quantized per row so the (label, dim) sums "
+    "are integer-exact (q112 rule); one map-side-combined shuffle of "
+    "groups x dims integers, pairwise math on the tiny centroid "
+    "relation via broadcast self-join.",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "embeddings")
+    return similarity.group_centroid_cosine(d).orderBy("label_a", "label_b")
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -5397,7 +5436,8 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
 #      green yet, so they take window slots from three r4-green entries
 #      whose families stay represented in-window (q18 rollup -> q47
 #      cube, q49 per-group top-k -> q97 rank zoo, q53 TPC-H -> q14/q34/
-#      q74-q78); the displaced three rotate back in r7.
+#      q74-q78, q43 embedding arrays -> q25/q104/q112/q127); the
+#      displaced four rotate back in r7.
 _DRIVER_WINDOW_R6 = [
     # (1) 25 stale r3-green queries:
     "q47_cube_counts",
@@ -5439,7 +5479,6 @@ _DRIVER_WINDOW_R6 = [
     "q21_quality_scores",
     "q22_lang_id",
     "q26_multimodal_meta",
-    "q43_ivf_cells",
     "q54_tfidf_top_terms",
     "q65_kmeans_assign",
     "q79_stratified_sample",
@@ -5454,6 +5493,7 @@ _DRIVER_WINDOW_R6 = [
     "q124_quality_percentile_gate",
     "q125_source_drift_kl",
     "q126_zscore_anomaly",
+    "q127_centroid_similarity",
 ]
 
 assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)

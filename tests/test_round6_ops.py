@@ -98,3 +98,21 @@ def test_zscore_plan_broadcasts_moments(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_centroid_cosine_known_geometry(spark):
+    from stream_cdc_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # centroid -> (1, 0)
+        (3, [0.0, 1.0], 1), (4, [0.0, 1.0], 1),   # centroid -> (0, 1)
+        (5, [1.0, 0.0], 2), (6, [0.0, 1.0], 2),   # centroid -> (.5, .5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {
+        (r["label_a"], r["label_b"]): r["cos_bp"]
+        for r in similarity.group_centroid_cosine(df).collect()
+    }
+    assert out[(0, 1)] == 0          # orthogonal
+    assert 7070 <= out[(0, 2)] <= 7072   # cos 45deg ~ 0.70710
+    assert out[(0, 2)] == out[(1, 2)]    # symmetric geometry

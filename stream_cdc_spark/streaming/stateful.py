@@ -366,6 +366,53 @@ def hll_distinct_stream(
     )
 
 
+def moments_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuously maintained per-key numeric moments — the streaming
+    twin of q126's z-score anomaly gate (profiling.zscore_outliers):
+    the same exact integer-cents (n, sum, sum-of-squares) that batch
+    operator derives in one aggregate, kept as three numbers per key in
+    Spark's state store.
+
+    Like hll_distinct_stream, deliberately declarative rather than a
+    custom StatefulProcessor: count/sum over exact integers are
+    mergeable monoids, so a plain streaming groupBy gets map-side
+    partial aggregation before the state shuffle, exactly-once restart
+    via the checkpoint, and RocksDB capability for free. Because every
+    per-row contribution is an exact integer, the drained streaming
+    moments EQUAL the batch moments bit-for-bit regardless of
+    micro-batch slicing or restarts (asserted in tests/test_stateful.py)
+    — so a z-gate evaluated against them reproduces
+    profiling.zscore_outliers exactly.
+
+    Emits (key, n, s1, s2, mean, var) per update; var is NULL for
+    single-row keys. Use ``outputMode("update")``.
+    """
+    from pyspark.sql import functions as F
+
+    vi = F.round(F.col(value_col) * F.lit(100.0)).cast("bigint")
+    big = "decimal(38,0)"
+    agg = events.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vi.cast(big)).alias("s1"),
+        F.sum((vi * vi).cast(big)).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    return agg.select(
+        key_col,
+        "n",
+        "s1",
+        "s2",
+        mean.alias("mean"),
+        F.when(F.col("n") >= 2, var).alias("var"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Continuous heavy-hitter maintenance (streaming twin of q108's Misra-Gries)
 # ---------------------------------------------------------------------------

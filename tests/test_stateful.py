@@ -488,3 +488,109 @@ def test_heavy_hitter_stream_restart_keeps_mg_guarantee(spark, tmp_path):
             assert c_hat <= tc[item]
             assert tc[item] - c_hat <= bound
     assert last_batch is not None and last_batch >= 3  # restart really resumed
+
+
+def test_moments_stream_restart_equals_batch_gate(spark, tmp_path):
+    """Streaming moments maintenance (twin of q126): drain the events
+    table through moments_stream in two runs with a checkpoint restart in
+    between; the final per-key (n, s1, s2) must equal the batch integer-
+    cents moments EXACTLY (integer monoids — slicing/restart cannot
+    perturb them), and the z-gate evaluated against the streamed moments
+    must flag exactly the rows profiling.zscore_outliers flags."""
+    import os
+
+    from pyspark.sql import Window
+
+    from stream_cdc_spark.operators import profiling
+    from stream_cdc_spark.streaming.stateful import moments_stream
+
+    ev = load(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt-mom")
+    outdir = str(tmp_path / "out-mom")
+    parts = (
+        ev.repartition(6)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+    os.makedirs(indir, exist_ok=True)
+
+    def write_slice(i, rows):
+        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+
+    for i, rows in parts[:3]:
+        write_slice(i, rows)
+
+    def emit(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    def run_to_completion():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/slice=*")
+        )
+        q = (
+            moments_stream(stream.select("event_type", "value"))
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_to_completion()
+    for i, rows in parts[3:]:
+        write_slice(i, rows)
+    run_to_completion()
+
+    emitted = spark.read.parquet(outdir)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n", "s1", "s2", "mean", "var")
+    )
+    got = {r.event_type: r for r in latest.collect()}
+
+    vi = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    batch = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vi.cast("decimal(38,0)")).alias("s1"),
+        F.sum((vi * vi).cast("decimal(38,0)")).alias("s2"),
+    )
+    for r in batch.collect():
+        g = got[r.event_type]
+        assert (g.n, g.s1, g.s2) == (r.n, r.s1, r.s2), r.event_type
+
+    # gate equivalence: z computed from the streamed moments flags
+    # exactly the rows the batch operator flags
+    mom = latest.select(
+        "event_type",
+        F.col("mean").alias("m_mean"),
+        F.col("var").alias("m_var"),
+    )
+    z = (vi.cast("double") - F.col("m_mean")) / F.sqrt(F.col("m_var"))
+    stream_flagged = {
+        r.event_id
+        for r in ev.join(F.broadcast(mom), "event_type")
+        .filter(F.col("m_var") > 0)
+        .filter(F.abs(z) >= 3.0)
+        .collect()
+    }
+    batch_flagged = {
+        r.event_id
+        for r in profiling.zscore_outliers(
+            ev, key_col="event_type", id_col="event_id", value_col="value"
+        ).collect()
+    }
+    assert stream_flagged == batch_flagged and len(batch_flagged) > 0

@@ -171,6 +171,27 @@ def test_q82_single_shard_shuffle_then_pandas(spark):
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
 
 
+def test_q124_one_exchange_serves_both_windows(spark):
+    """The percentile gate's row_number and group count must share ONE
+    hash exchange on lang (the final range exchange is the contract
+    ORDER BY); a second lang hash-partitioning would mean the windows
+    split into separate shuffles."""
+    plan = _plan(spark, "q124_quality_percentile_gate")
+    assert plan.count("hashpartitioning(lang") == 1
+
+
+def test_q125_corpus_scanned_once_at_runtime(spark):
+    """The drift query's grand-total branch must reuse the (source,
+    token) count exchange, not rescan the corpus: exactly one FileScan
+    survives in the executed (AQE-final) plan."""
+    df = QUERIES["q125_source_drift_kl"].builder(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan parquet") == 1
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """The scale-regime join shape: a selective dimension too big to
     broadcast must inject a bloom-filter semi-join (might_contain) into

@@ -5414,6 +5414,69 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.group_centroid_cosine(d).orderBy("label_a", "label_b")
 
 
+@_register(
+    "q128_cross_source_near_dup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 800000.0
+    ),
+    m AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM p JOIN documents da ON p.id_a = da.doc_id
+             JOIN documents db ON p.id_b = db.doc_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cross-source NEAR-duplication matrix: which source pairs share "
+    ">= 0.8-Jaccard near-dups (q27's verified pairs rolled up to "
+    "source granularity, pair order normalized least/greatest) — the "
+    "which-sources-copy-each-other triage map that q101 gives for exact "
+    "dups only; drives per-source-pair dedup priority. Scale shape: the "
+    "pair relation is output-bounded (near-dup density, not corpus "
+    "size), so BOTH source-attachment joins broadcast the pair side and "
+    "the corpus never shuffles for the rollup; if pairs ever outgrow "
+    "broadcast range the same plan degrades to doc_id equi-joins.",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_verified_pairs(d, threshold_ppm=800_000).select(
+        "id_a", "id_b"
+    )
+    src = d.select("doc_id", "source")
+    withs = F.broadcast(
+        F.broadcast(pairs).join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+        "id_b",
+    )
+    return (
+        withs.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -5436,8 +5499,9 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
 #      green yet, so they take window slots from three r4-green entries
 #      whose families stay represented in-window (q18 rollup -> q47
 #      cube, q49 per-group top-k -> q97 rank zoo, q53 TPC-H -> q14/q34/
-#      q74-q78, q43 embedding arrays -> q25/q104/q112/q127); the
-#      displaced four rotate back in r7.
+#      q74-q78, q43 embedding arrays -> q25/q104/q112/q127, q54 tf-idf
+#      -> q20 token stats + out-of-window value checks); the displaced
+#      five rotate back in r7.
 _DRIVER_WINDOW_R6 = [
     # (1) 25 stale r3-green queries:
     "q47_cube_counts",
@@ -5479,7 +5543,6 @@ _DRIVER_WINDOW_R6 = [
     "q21_quality_scores",
     "q22_lang_id",
     "q26_multimodal_meta",
-    "q54_tfidf_top_terms",
     "q65_kmeans_assign",
     "q79_stratified_sample",
     "q80_doc_repetition",
@@ -5494,6 +5557,7 @@ _DRIVER_WINDOW_R6 = [
     "q125_source_drift_kl",
     "q126_zscore_anomaly",
     "q127_centroid_similarity",
+    "q128_cross_source_near_dup",
 ]
 
 assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)

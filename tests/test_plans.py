@@ -111,13 +111,14 @@ def test_driver_window_matches_round6_rotation():
         _DRIVER_WINDOW_R6
     )
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 127
+    assert len(names) == len(set(names)) == 128
     # round-6 additions are in-window (never driver-green before r6):
     assert {
         "q124_quality_percentile_gate",
         "q125_source_drift_kl",
         "q126_zscore_anomaly",
         "q127_centroid_similarity",
+        "q128_cross_source_near_dup",
     } <= set(_DRIVER_WINDOW_R6)
 
 

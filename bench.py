@@ -40,7 +40,13 @@ def _load_prev_round() -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    # sort NUMERICALLY on the round id: lexicographic order picks
+    # BENCH_r9 over BENCH_r10 once widths mix, silently comparing
+    # against a stale round
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
     if not files:
         return None
     path = files[-1]
@@ -55,13 +61,33 @@ def _load_prev_round() -> dict | None:
             return None
         return {
             "source": os.path.basename(path),
+            "sf": rec.get("sf"),
             "queries": json.loads(m.group(1)),
         }
     except (OSError, ValueError):
         return None
 
 
+ISOLATED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATED.json"
+)
+
+
+def _load_isolated() -> dict | None:
+    """The most recent `bench.py --isolated` record, embedded into the
+    default (driver-run) artifact so both totals live in BENCH_r{N} and
+    a judge never needs the side file (round-6 verdict task 6: q24/q27
+    driver-run walls moved +27%/+35% under session load while the
+    isolated total held within 2% — the artifact must carry both)."""
+    try:
+        with open(ISOLATED_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def main() -> None:
+    isolated = "--isolated" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="stream-cdc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,6 +113,12 @@ def main() -> None:
     # per-query second is the MEDIAN of the repeats; min/max ride along in
     # stats so the spread is visible in the recorded artifact.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    if isolated:
+        # isolated protocol: run on an otherwise-idle host (operator's
+        # responsibility), two extra repeats so the min is a stable
+        # floor, and record to BENCH_ISOLATED.json for the next default
+        # run to embed
+        repeats = max(repeats, 5)
 
     collector = QueryMetricsCollector(spark)
     timings: dict[str, float] = {}
@@ -124,20 +156,36 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
-        "metric": "headline_queries_total",
+        "metric": "headline_queries_total"
+        + ("_isolated" if isolated else ""),
         # per-query best-of-repeats next to the medians: wall_min strips
         # same-session noise (GC, page cache), so drift vs regression is
         # decidable from the artifact (round-5 verdict task 2)
         "wall_min": wall_min,
+        # best-of-repeats total: the in-run approximation of the
+        # isolated protocol (load inflates medians far more than mins)
+        "value_min": round(sum(wall_min.values()), 3),
         "queries": timings,
         "value": total,
     }
+    if not isolated:
+        iso = _load_isolated()
+        if iso:
+            # both totals in ONE artifact (see _load_isolated)
+            out["isolated"] = {
+                "value": iso.get("value"),
+                "value_min": iso.get("value_min"),
+                "repeats": iso.get("repeats"),
+                "queries": iso.get("queries"),
+            }
 
     # Round-over-round drift vs the newest recorded BENCH_r*.json:
     # flagged only when the BEST repeat exceeds the previous median by
     # more than the noise band (25% + 0.1 s) — median-vs-median motion
     # inside the band is session noise, not a plan change.
     prev = _load_prev_round()
+    if prev and prev.get("sf") is not None and str(prev["sf"]) != str(out["sf"]):
+        prev = None  # cross-scale comparison is meaningless
     if prev:
         pq = {
             n: round(wall_min[n] / max(prev["queries"][n], 1e-9), 2)
@@ -193,10 +241,13 @@ def main() -> None:
     # tail capture always retains them.
     order = [
         "stats", "per_query_vs_baseline", "unit", "sf", "repeats",
-        "metric", "wall_min", "drift", "queries", "value", "vs_baseline",
-        "regressed",
+        "metric", "wall_min", "drift", "isolated", "queries",
+        "value_min", "value", "vs_baseline", "regressed",
     ]
     out = {k: out[k] for k in order if k in out}
+    if isolated:
+        with open(ISOLATED_PATH, "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
     spark.stop()
 

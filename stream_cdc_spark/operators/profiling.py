@@ -153,6 +153,11 @@ def zscore_outliers(
         F.sum(vi.cast(big)).alias("s1"),
         F.sum((vi * vi).cast(big)).alias("s2"),
     )
+    # singleton groups have no sample variance: drop them BEFORE the
+    # (n - 1) divisor so ANSI mode cannot raise DIVIDE_BY_ZERO on a
+    # one-row key (plausible in real telemetry; the gate must gate, not
+    # crash). Mirrored by HAVING count(*) >= 2 in the q126 oracle.
+    stats = stats.filter(F.col("n") >= F.lit(2))
     n = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / n
     var = (F.col("s2").cast("double") - n * mean * mean) / (n - F.lit(1.0))

@@ -676,6 +676,11 @@ def group_centroid_cosine(
             ).alias("c")
         )
     )
+    # a zero-vector centroid (all-zero / padding embeddings) has no
+    # cosine: drop it from the pairwise relation BEFORE the norm divisor
+    # so ANSI mode cannot raise DIVIDE_BY_ZERO. Mirrored by the norm > 0
+    # predicate in the q127 oracle.
+    cent = cent.filter(l2_norm(F.col("c")) > F.lit(0.0))
     a = cent.select(F.col("g").alias("ga"), F.col("c").alias("ca"))
     b = cent.select(F.col("g").alias("gb"), F.col("c").alias("cb"))
     cos = dot(F.col("ca"), F.col("cb")) / (

@@ -5338,6 +5338,7 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
              SUM(CAST(ROUND("value" * 100.0) AS BIGINT)
                  * CAST(ROUND("value" * 100.0) AS BIGINT)) AS s2
       FROM events GROUP BY event_type
+      HAVING COUNT(*) >= 2
     ),
     m AS (
       SELECT event_type,
@@ -5398,6 +5399,7 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
                 / (sqrt(list_dot_product(a.c, a.c))
                    * sqrt(list_dot_product(b.c, b.c))))) AS BIGINT) AS cos_bp
     FROM cent a JOIN cent b ON a.g < b.g
+    WHERE list_dot_product(a.c, a.c) > 0 AND list_dot_product(b.c, b.c) > 0
     ORDER BY label_a, label_b
     """,
     doc="Inter-class centroid similarity map "

@@ -116,3 +116,36 @@ def test_centroid_cosine_known_geometry(spark):
     assert out[(0, 1)] == 0          # orthogonal
     assert 7070 <= out[(0, 2)] <= 7072   # cos 45deg ~ 0.70710
     assert out[(0, 2)] == out[(1, 2)]    # symmetric geometry
+
+
+def test_zscore_singleton_group_gates_not_crashes(spark):
+    # round-7 ADVICE: a key with exactly one row made the (n - 1) divisor
+    # 0 and, under this repo's ANSI mode, threw DIVIDE_BY_ZERO instead of
+    # gating. Singleton keys must simply emit nothing.
+    rows = [(i, "t", 10.0 + (i % 3) * 0.5) for i in range(50)]
+    rows.append((999, "t", 10_000.0))
+    rows.append((1000, "lonely", 42.0))  # singleton key
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    out = profiling.zscore_outliers(
+        df, key_col="event_type", id_col="event_id", value_col="value"
+    ).collect()
+    assert [r["event_id"] for r in out] == [999]
+
+
+def test_centroid_cosine_zero_vector_group_dropped_not_crash(spark):
+    # round-7 ADVICE: an all-zero centroid made the norm divisor 0 under
+    # ANSI mode. Zero-norm groups must drop out of the pairwise relation.
+    from stream_cdc_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 1), (4, [0.0, 1.0], 1),
+        (5, [0.0, 0.0], 2), (6, [0.0, 0.0], 2),  # zero centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {
+        (r["label_a"], r["label_b"]): r["cos_bp"]
+        for r in similarity.group_centroid_cosine(df).collect()
+    }
+    assert set(out) == {(0, 1)}  # pairs touching label 2 are gone
+    assert out[(0, 1)] == 0

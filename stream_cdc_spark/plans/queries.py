@@ -5479,6 +5479,68 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q129_phash_near_dup",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), i ->
+               substr(md5(coalesce(string_split(text, ' ')[i + 1], '')), 1, 2)
+             ) AS p
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               CASE WHEN p[(k // 8) * 9 + (k % 8) + 2]
+                         > p[(k // 8) * 9 + (k % 8) + 1]
+                    THEN 1 ELSE 0 END) AS b
+      FROM px
+    ),
+    d AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum(list_transform(range(1, 65), k ->
+                  CASE WHEN a.b[k] <> b.b[k] THEN 1 ELSE 0 END)) AS BIGINT)
+               AS hamming
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM d
+    WHERE hamming <= 4 ORDER BY id_a, id_b
+    """,
+    doc="Multimodal perceptual near-dup (multimodal.dhash_near_duplicates): "
+    "dHash over 9x8 grayscale thumbnails, banded 8x8, candidates "
+    "verified by exact Hamming <= 4. The thumbnails are the "
+    "deterministic raw-raster media tier: pixel j = first md5 byte of "
+    "token j (hex-string compare == byte compare in both engines), so "
+    "documents stand in for a media corpus without image libs while the "
+    "binary-blob -> pandas-UDF decode -> band-join plumbing is the real "
+    "100 TB path. Recall is a THEOREM here, not a probability: Hamming "
+    "<= 4 over 8 bands leaves one band identical by pigeonhole, so the "
+    "all-pairs oracle hash-match proves both the hash pipeline and "
+    "candidate completeness. Plan: signature pass (Arrow-vectorized "
+    "UDF), (band_idx, band_val) self-join, id-joins for verify — no "
+    "all-pairs, pixel bytes never shuffle.",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import multimodal
+
+    d = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.substring(
+            F.md5(F.coalesce(F.get(toks, i), F.lit(""))), 1, 2
+        ),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.concat_ws("", hexes), F.lit("hex")).alias("blob"),
+    )
+    return multimodal.dhash_near_duplicates(media, max_hamming=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -5564,12 +5626,90 @@ _DRIVER_WINDOW_R6 = [
 
 assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 
+# Driver verification window, round 7 — rotation policy unchanged (no
+# query's most-recent driver-green row older than two rounds):
+#  (1) the 30 queries whose latest driver-green dates to r4 (the round-6
+#      verdict's task-2 list: q18, q43, q49, q53-q55, q57-q63, q69-q73,
+#      q88, q89, q100-q103, q106-q109, q115, q116) lead the window —
+#      several sit on code touched since (text.py, incremental.py);
+#  (2) anchors for code changed THIS round: q126 (zscore singleton-key
+#      ANSI guard), q127 (zero-norm centroid guard), q99 + q110 (the
+#      statedir commit protocol these state layers ride was rewritten
+#      rename-free / manifest-based this round);
+#  (3) q129 — NEW this round (multimodal perceptual near-dup), never
+#      driver-green;
+#  (4) r6-addition continuity: q124, q125, q128 (one green row each);
+#  (5) headline-bench continuity anchors (q01, q02, q07, q10, q13, q19,
+#      q24, q27, q31, q48, q51, q66) so every bench query stays
+#      value-verified in the round it is timed.
+#  Displaced r5/r6-green families remain value-checked every session by
+#  tests/test_queries_oracle.py and rotate back in r8.
+_DRIVER_WINDOW_R7 = [
+    # (1) 30 stale r4-green queries:
+    "q18_rollup_value",
+    "q43_ivf_cells",
+    "q49_topk_per_group",
+    "q53_tpch_q18",
+    "q54_tfidf_top_terms",
+    "q55_tpch_q10",
+    "q57_tpch_q5_local_supplier",
+    "q58_tpch_q12_priority_counts",
+    "q59_tpch_q4_late_orders",
+    "q60_tpch_q2_min_cost_supplier",
+    "q61_tpch_q16_supplier_variety",
+    "q62_tpch_q11_value_concentration",
+    "q63_tpch_q22_dormant_customers",
+    "q69_tpch_q7_nation_volume",
+    "q70_tpch_q9_product_profit",
+    "q71_tpch_q13_order_distribution",
+    "q72_tpch_q17_small_quantity",
+    "q73_tpch_q21_waiting_suppliers",
+    "q88_pagerank",
+    "q89_bm25_topk",
+    "q100_language_mix_report",
+    "q101_cross_source_duplication",
+    "q102_vocab_growth",
+    "q103_lm_doc_fluency",
+    "q106_gapfill_locf",
+    "q107_sq8_ann_topk",
+    "q108_heavy_hitters",
+    "q109_source_capped_sample",
+    "q115_document_chunks",
+    "q116_equidepth_histogram",
+    # (2) round-7 code-change anchors:
+    "q126_zscore_anomaly",
+    "q127_centroid_similarity",
+    "q99_curation_decisions",
+    "q110_incremental_dedup",
+    # (3) new this round:
+    "q129_phash_near_dup",
+    # (4) round-6-addition continuity:
+    "q124_quality_percentile_gate",
+    "q125_source_drift_kl",
+    "q128_cross_source_near_dup",
+    # (5) headline-bench continuity:
+    "q01_envelope_filter_project",
+    "q02_classify_count",
+    "q07_cdc_apply_join",
+    "q10_hourly_window",
+    "q13_tpch_q1",
+    "q19_exact_dedup",
+    "q24_ngram_jaccard_pairs",
+    "q27_minhash_lsh_pairs",
+    "q31_sessionization",
+    "q48_cdc_merge_apply",
+    "q51_asof_join",
+    "q66_winnow_fingerprints",
+]
+
+assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R6. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R7. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R6)
+_window = set(_DRIVER_WINDOW_R7)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R6},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R7},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

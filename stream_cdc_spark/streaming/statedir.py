@@ -19,14 +19,48 @@ Compaction folds the committed prefix into a snapshot dir:
 
     <root>/compact=<W>/       union of all state visible to batch W
                               (i.e. every batch id < W)
+    <root>/compact=<W>.commit the MANIFEST: the commit point
 
-published ATOMICALLY: Spark writes to a dot-hidden temp dir (with its
-_SUCCESS marker), then one os.rename() — POSIX/HDFS-atomic — moves it to
-``compact=<W>``. A compact dir without _SUCCESS is ignored by readers and
-deleted by the next compaction attempt, so a torn publish can never be
-read. After publishing, the folded batch dirs and any older compact dirs
-are deleted (crash between publish and delete is safe: the read rule
-below already excludes them).
+The commit protocol is OBJECT-STORE SAFE — it never renames a directory
+(S3/GCS "rename" is copy-then-delete: non-atomic, a torn copy can expose
+a partial dir complete with its _SUCCESS marker). Instead:
+
+  1. Spark writes the snapshot data at its FINAL path ``compact=<W>/``
+     (partial writes are unreadable by rule — see below);
+  2. the writer ensures the dir carries ``_SUCCESS`` (creating it if the
+     committer was configured not to — a publish must never depend on
+     ``mapreduce.fileoutputcommitter.marksuccessfuljobs``);
+  3. the writer PUTs a sibling manifest object ``compact=<W>.commit``
+     listing the snapshot's data files. A single-object put is atomic on
+     every backend (S3 PUT, GCS, HDFS create, POSIX rename of one file)
+     — the reference's conditional-write checkpoint item gives the same
+     single-object atomicity point (stream_cdc/state/dynamodb.py:76-91).
+
+A compact/delta dir is VALID iff its manifest exists (legacy tier: dirs
+published by the pre-r7 rename protocol carry ``_SUCCESS`` and no
+manifest; they are accepted and healed — given a manifest — by the next
+compaction pass. The legacy rule is sound for them because they were
+only ever produced where dir rename IS atomic). Readers of a manifested
+dir read EXACTLY the files the manifest names, so stray objects from a
+torn earlier overwrite attempt can never leak into a read. A dir with
+neither marker is a torn publish: never read, deleted by the next
+compaction attempt.
+
+Deletion of a published dir removes the manifest FIRST, then _SUCCESS,
+then the files — a crash mid-delete therefore leaves either a still-
+valid dir (manifest intact), or markerless garbage (torn by rule), never
+a manifest naming missing files. Folded/stale dirs are deleted only
+after the covering snapshot's manifest is durable, and only dirs
+strictly below a valid cover are ever deleted, so an interrupted delete
+can at worst resurrect a dir the read rule already ignores.
+
+All protocol metadata I/O (listing, marker/manifest puts, deletes) goes
+through an injectable ``StateFS``; ``LocalFS`` is the default. A real
+object-store deployment subclasses it with client calls — ``put_text``
+must be an atomic single-object put, nothing else needs atomicity. The
+model test (tests/test_statedir_model.py) injects an S3-semantics fake
+(rename forbidden, crash injection between any two metadata mutations)
+and checks the read-set invariant at every crash point.
 
 Read rule for batch B (``state_paths``): take the LARGEST valid compact
 watermark W <= B (0 if none), then read ``compact=W`` plus every
@@ -43,8 +77,10 @@ watermark W <= B (0 if none), then read ``compact=W`` plus every
     interrupted — no double counting.
 
 Compaction itself is replay-idempotent: re-running ``compact(root, B)``
-when ``compact=B`` already exists folds {compact=B} + [B, B) = itself and
-is skipped as a no-op (only the stale-dir cleanup reruns).
+when ``compact=B`` is already valid folds {compact=B} + [B, B) = itself
+and is skipped as a no-op (only the stale-dir cleanup reruns); if the
+previous attempt crashed between the data write and the manifest put,
+the heal step completes the publish instead of re-reading the sources.
 
 Scale notes: the fold is a single union-scan -> overwrite (optionally
 bucketed — see ``bucket_cols`` — so the compacted snapshot doubles as the
@@ -54,9 +90,8 @@ that dwarfs a batch (the 100 TB admitted corpus) the LEVELED tier caps
 the common fold at O(recent) instead:
 
     <root>/delta=<lo>-<hi>/   union of all batch ids in [lo, hi) —
-                              an L1 fold, published atomically exactly
-                              like compact= (temp dir + _SUCCESS +
-                              os.rename)
+                              an L1 fold, published with the same
+                              manifest commit as compact=
 
 Enabled by ``maybe_compact(..., major_every=K)``: every ``every``
 batches the pending batch dirs fold into one delta (cost O(every
@@ -67,12 +102,13 @@ maximal contiguous delta chain lo==W0 -> hi1 -> hi2 ... ending at cover
 C, then batch=i with C <= i < B; anything below the cover (leftover
 batch dirs, off-chain deltas) is invisible, so torn publishes and
 interrupted deletes stay unreadable exactly as before. Dir listing is
-one os.listdir per state table per trigger, bounded by ``every`` +
+one fs.listdir per state table per trigger, bounded by ``every`` +
 ``major_every`` + 1 entries once compaction is running.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -83,7 +119,115 @@ from pyspark.sql import DataFrame, SparkSession
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 _COMPACT_RE = re.compile(r"^compact=(\d+)$")
 _DELTA_RE = re.compile(r"^delta=(\d+)-(\d+)$")
-_TMP_PREFIX = ".tmp-compact-"
+_TMP_PREFIX = ".tmp-compact-"  # legacy rename-protocol temp dirs
+_MANIFEST_SUFFIX = ".commit"
+_SUCCESS = "_SUCCESS"
+
+
+class LocalFS:
+    """Protocol-metadata filesystem: every list/exists/put/delete the
+    commit protocol performs goes through this interface so an object
+    store (or the model test's S3-semantics fake) can be injected. The
+    ONLY operation the protocol requires to be atomic is ``put_text``
+    (single-object put — atomic on S3/GCS/HDFS/POSIX alike); there is
+    deliberately no directory-rename operation. Spark's own data writes
+    do not pass through here — they are guarded by the manifest, not by
+    any filesystem property."""
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_files(self, path: str) -> list[str]:
+        """Names of regular files directly inside ``path``."""
+        return sorted(
+            n
+            for n in self.listdir(path)
+            if os.path.isfile(os.path.join(path, n))
+        )
+
+    def put_text(self, path: str, text: str) -> None:
+        """ATOMIC single-object put — the commit primitive."""
+        tmp = f"{path}.inprogress"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # single-FILE replace: POSIX-atomic
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def touch(self, path: str) -> None:
+        self.put_text(path, "")
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_DEFAULT_FS = LocalFS()
+
+
+def _manifest_path(dir_path: str) -> str:
+    return dir_path + _MANIFEST_SUFFIX
+
+
+def _is_valid(fs: LocalFS, dir_path: str) -> bool:
+    """Manifest = committed; _SUCCESS-only = legacy rename-protocol
+    publish (pre-r7 layouts; healed by the next compaction pass)."""
+    return fs.exists(_manifest_path(dir_path)) or fs.exists(
+        os.path.join(dir_path, _SUCCESS)
+    )
+
+
+def _publish_manifest(fs: LocalFS, dest: str) -> None:
+    """Commit ``dest``: ensure _SUCCESS (never trust the committer config
+    to have written one), then atomically put the manifest naming the
+    data files. The manifest put is the commit point."""
+    if not fs.exists(os.path.join(dest, _SUCCESS)):
+        fs.touch(os.path.join(dest, _SUCCESS))
+    files = [
+        n
+        for n in fs.list_files(dest)
+        if not n.startswith(("_", "."))
+    ]
+    fs.put_text(
+        _manifest_path(dest),
+        json.dumps({"files": files, "n_files": len(files)}),
+    )
+
+
+def _data_paths(fs: LocalFS, dir_path: str) -> list[str]:
+    """What a reader actually reads for a valid compact/delta dir: the
+    EXACT files its manifest names (stray objects from torn overwrite
+    attempts never leak into a read); the dir itself for a legacy
+    _SUCCESS-only publish."""
+    mp = _manifest_path(dir_path)
+    if fs.exists(mp):
+        names = json.loads(fs.read_text(mp))["files"]
+        return [os.path.join(dir_path, n) for n in names]
+    return [dir_path]
+
+
+def _delete_published(fs: LocalFS, dir_path: str) -> None:
+    """Manifest first, then _SUCCESS, then the files: a crash mid-delete
+    leaves either a still-valid dir or markerless (torn-by-rule) garbage,
+    never a manifest naming missing files."""
+    fs.remove(_manifest_path(dir_path))
+    fs.remove(os.path.join(dir_path, _SUCCESS))
+    fs.rmtree(dir_path)
 
 
 def batch_dir(root: str, batch_id: int) -> str:
@@ -96,18 +240,18 @@ def batch_dir(root: str, batch_id: int) -> str:
 
 
 def _scan(
-    root: str,
+    root: str, fs: LocalFS | None = None
 ) -> tuple[dict[int, str], dict[int, str], dict[tuple[int, int], str]]:
     """(compacts, batches, deltas) as {id: path} / {(lo, hi): path}. Only
-    compact/delta dirs holding a _SUCCESS marker count — a markerless dir
-    is a torn publish on a filesystem without atomic rename and must
-    never be read."""
+    compact/delta dirs that pass ``_is_valid`` count — an unmanifested,
+    markerless dir is a torn publish and must never be read."""
+    fs = fs or _DEFAULT_FS
     compacts: dict[int, str] = {}
     batches: dict[int, str] = {}
     deltas: dict[tuple[int, int], str] = {}
-    if not os.path.isdir(root):
+    if not fs.isdir(root):
         return compacts, batches, deltas
-    for name in os.listdir(root):
+    for name in fs.listdir(root):
         path = os.path.join(root, name)
         m = _BATCH_RE.match(name)
         if m:
@@ -115,11 +259,11 @@ def _scan(
             continue
         m = _COMPACT_RE.match(name)
         if m:
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
+            if _is_valid(fs, path):
                 compacts[int(m.group(1))] = path
             continue
         m = _DELTA_RE.match(name)
-        if m and os.path.exists(os.path.join(path, "_SUCCESS")):
+        if m and _is_valid(fs, path):
             deltas[(int(m.group(1)), int(m.group(2)))] = path
     return compacts, batches, deltas
 
@@ -147,24 +291,35 @@ def _chain(
         cur = hi
 
 
-def watermark(root: str, batch_id: int) -> int:
+def watermark(root: str, batch_id: int, fs: LocalFS | None = None) -> int:
     """Largest valid compact watermark <= batch_id (0 if none)."""
-    compacts, _, _ = _scan(root)
+    compacts, _, _ = _scan(root, fs)
     eligible = [w for w in compacts if w <= batch_id]
     return max(eligible, default=0)
 
 
-def state_paths(root: str, batch_id: int) -> list[str]:
+def state_paths(
+    root: str, batch_id: int, fs: LocalFS | None = None
+) -> list[str]:
     """The read set for batch ``batch_id``: the best compacted snapshot,
-    its delta chain, then the batch dirs above the cover (module doc)."""
-    compacts, batches, deltas = _scan(root)
-    out, cover = _chain(compacts, deltas, batch_id)
+    its delta chain (each expanded to its manifest's exact file list),
+    then the batch dirs above the cover (module doc)."""
+    fs = fs or _DEFAULT_FS
+    compacts, batches, deltas = _scan(root, fs)
+    chain, cover = _chain(compacts, deltas, batch_id)
+    out: list[str] = []
+    for d in chain:
+        out.extend(_data_paths(fs, d))
     out.extend(p for i, p in sorted(batches.items()) if cover <= i < batch_id)
     return out
 
 
 def read_state(
-    spark: SparkSession, root: str, schema: str, batch_id: int
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_id: int,
+    fs: LocalFS | None = None,
 ) -> DataFrame:
     """State visible to ``batch_id``. Reads WITHOUT a forced schema when
     files exist so column metadata written by the sink (e.g. the LSH
@@ -172,7 +327,7 @@ def read_state(
     — forcing the schema strips metadata, which silently disarmed the
     index-mismatch guard on the restart path. ``schema`` is only the
     empty-state fallback."""
-    paths = state_paths(root, batch_id)
+    paths = state_paths(root, batch_id, fs)
     if not paths:
         return spark.createDataFrame([], schema)
     try:
@@ -192,6 +347,7 @@ def compact(
     bucket_cols: list[str] | None = None,
     num_buckets: int = 32,
     table_name: str | None = None,
+    fs: LocalFS | None = None,
 ) -> bool:
     """Fold the state visible to ``batch_id`` into ``compact=<batch_id>``
     and delete the folded dirs. Returns True if a fold was published.
@@ -204,10 +360,12 @@ def compact(
     external saveAsTable at the compact path, registered as
     ``table_name``) so downstream joins on those columns read it without
     a snapshot-side Exchange (tests/test_bucketing.py). The bucketed
-    publish is guarded by the same _SUCCESS-marker rule instead of the
-    rename (saveAsTable fixes the table location at write time)."""
-    _clean_torn(root, batch_id)
-    compacts, batches, deltas = _scan(root)
+    publish commits through the same manifest protocol (saveAsTable
+    writes the final location directly; the manifest put makes it
+    visible)."""
+    fs = fs or _DEFAULT_FS
+    _reconcile(root, fs)
+    compacts, batches, deltas = _scan(root, fs)
     chain, cover = _chain(compacts, deltas, batch_id)
     eligible = [w for w in compacts if w <= batch_id]
     w = max(eligible, default=0)
@@ -223,14 +381,14 @@ def compact(
     # empty, and the folded dirs fall into the stale cleanup below.
     published = False
     if fold_batches or fold_deltas:
-        df = read_state(spark, root, schema, batch_id)
+        df = read_state(spark, root, schema, batch_id, fs)
         if transform is not None:
             df = transform(df)
         dest = os.path.join(root, f"compact={batch_id:09d}")
         if bucket_cols:
             name = table_name or _default_table_name(root)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(dest, ignore_errors=True)
+            fs.rmtree(dest)
             (
                 df.write.mode("overwrite")
                 .format("parquet")
@@ -240,16 +398,18 @@ def compact(
                 .saveAsTable(name)
             )
         else:
-            tmp = os.path.join(root, f"{_TMP_PREFIX}{batch_id:09d}")
-            shutil.rmtree(tmp, ignore_errors=True)
-            df.write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, dest)
+            # data lands at its FINAL path; unreadable until the
+            # manifest commits it (never a dir rename — module doc)
+            df.write.mode("overwrite").parquet(dest)
+        _publish_manifest(fs, dest)
         published = True
         stale_batches = [p for i, p in batches.items() if i < batch_id]
         stale_deltas = [p for (lo, hi), p in deltas.items() if hi <= batch_id]
         stale_compacts = [compacts[i] for i in compacts if i < batch_id]
-    for p in stale_batches + stale_deltas + stale_compacts:
-        shutil.rmtree(p, ignore_errors=True)
+    for p in stale_batches:
+        fs.rmtree(p)
+    for p in stale_deltas + stale_compacts:
+        _delete_published(fs, p)
     return published
 
 
@@ -259,16 +419,18 @@ def compact_minor(
     schema: str,
     batch_id: int,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    fs: LocalFS | None = None,
 ) -> bool:
     """L1 fold: publish ``delta=<cover>-<batch_id>`` holding exactly the
     batch dirs in [cover, batch_id), then delete them. Cost is O(those
     batches), never O(total state) — the compacted snapshot and earlier
-    deltas are not re-read. Same atomic publish and read-exclusion rules
+    deltas are not re-read. Same manifest commit and read-exclusion rules
     as ``compact``; ``transform`` must be the same read-equivalent
     reduction (a delta holding partially-reduced increments still reads
     correctly because readers aggregate)."""
-    _clean_torn(root, batch_id)
-    compacts, batches, deltas = _scan(root)
+    fs = fs or _DEFAULT_FS
+    _reconcile(root, fs)
+    compacts, batches, deltas = _scan(root, fs)
     _, cover = _chain(compacts, deltas, batch_id)
     if cover >= batch_id:
         return False  # replay after a completed publish: chain already ends here
@@ -283,26 +445,37 @@ def compact_minor(
     if transform is not None:
         df = transform(df)
     dest = os.path.join(root, f"delta={cover:09d}-{batch_id:09d}")
-    tmp = os.path.join(root, f"{_TMP_PREFIX}d{batch_id:09d}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, dest)
+    df.write.mode("overwrite").parquet(dest)
+    _publish_manifest(fs, dest)
     for _, p in fold:
-        shutil.rmtree(p, ignore_errors=True)
+        fs.rmtree(p)
     return True
 
 
-def _clean_torn(root: str, batch_id: int) -> None:
-    """Remove leftover temp dirs and markerless (torn) compact/delta
-    publishes — they are unreadable by rule, and a markerless dir at this
-    batch's target name would collide with the rename."""
-    for n in os.listdir(root) if os.path.isdir(root) else []:
+def _reconcile(root: str, fs: LocalFS) -> None:
+    """Pre-fold housekeeping (writer-only — readers never mutate):
+
+    * HEAL: a compact/delta dir with _SUCCESS but no manifest is a
+      complete publish that crashed before its manifest put (or a legacy
+      rename-protocol dir) — finish the commit by writing the manifest.
+      Sound because under the manifest protocol no dir copy ever occurs,
+      so _SUCCESS can only be present on a dir our own writer completed.
+    * CLEAN: legacy temp dirs and dirs with neither marker are torn
+      publishes — unreadable by rule, deleted here."""
+    for n in fs.listdir(root) if fs.isdir(root) else []:
         path = os.path.join(root, n)
-        if n.startswith(_TMP_PREFIX) or (
-            (_COMPACT_RE.match(n) or _DELTA_RE.match(n))
-            and not os.path.exists(os.path.join(path, "_SUCCESS"))
-        ):
-            shutil.rmtree(path, ignore_errors=True)
+        if n.endswith(_MANIFEST_SUFFIX) or n.endswith(".inprogress"):
+            continue
+        if n.startswith(_TMP_PREFIX):
+            fs.rmtree(path)
+            continue
+        if _COMPACT_RE.match(n) or _DELTA_RE.match(n):
+            if fs.exists(_manifest_path(path)):
+                continue
+            if fs.exists(os.path.join(path, _SUCCESS)):
+                _publish_manifest(fs, path)
+            else:
+                fs.rmtree(path)
 
 
 def maybe_compact(
@@ -312,6 +485,7 @@ def maybe_compact(
     batch_id: int,
     every: int,
     major_every: int = 0,
+    fs: LocalFS | None = None,
     **kwargs,
 ) -> bool:
     """Per-trigger entry point (called at the START of foreach_batch,
@@ -325,19 +499,19 @@ def maybe_compact(
     fresh snapshot (O(total state), paid 1/K as often)."""
     if every <= 0:
         return False
-    compacts, batches, deltas = _scan(root)
+    compacts, batches, deltas = _scan(root, fs)
     chain, cover = _chain(compacts, deltas, batch_id)
     pending = sum(1 for i in batches if cover <= i < batch_id)
     if pending < every:
         return False
     if major_every <= 0:
-        return compact(spark, root, schema, batch_id, **kwargs)
+        return compact(spark, root, schema, batch_id, fs=fs, **kwargs)
     n_deltas = len(chain) - (1 if any(w <= batch_id for w in compacts) else 0)
     if n_deltas + 1 >= major_every:
         # this fold would make the chain major_every long — fold it all
-        return compact(spark, root, schema, batch_id, **kwargs)
+        return compact(spark, root, schema, batch_id, fs=fs, **kwargs)
     return compact_minor(
-        spark, root, schema, batch_id, transform=kwargs.get("transform")
+        spark, root, schema, batch_id, transform=kwargs.get("transform"), fs=fs
     )
 
 
@@ -348,6 +522,7 @@ def bucketed_relation(
     bucket_cols: list[str],
     num_buckets: int = 32,
     table_name: str | None = None,
+    fs: LocalFS | None = None,
 ) -> DataFrame | None:
     """The compacted snapshot as its catalog-registered bucketed table,
     re-registering after a session restart (the in-memory catalog does
@@ -355,7 +530,7 @@ def bucketed_relation(
     ids Spark maps at scan time — do). Returns None when no bucketed
     snapshot exists. ``schema`` / ``bucket_cols`` / ``num_buckets`` must
     match what ``compact`` wrote (they are the sink's own constants)."""
-    compacts, _, _ = _scan(root)
+    compacts, _, _ = _scan(root, fs)
     if not compacts:
         return None
     latest = compacts[max(compacts)]
@@ -384,14 +559,14 @@ def _default_table_name(root: str) -> str:
     return "statedir_" + re.sub(r"[^A-Za-z0-9_]", "_", root.strip("/"))
 
 
-def dir_counts(root: str) -> dict[str, int]:
+def dir_counts(root: str, fs: LocalFS | None = None) -> dict[str, int]:
     """Metadata-size observability: {'compact': n, 'delta': n, 'batch':
     n, 'files': n} — the quantities compaction bounds (asserted flat in
     the long-horizon bench)."""
-    compacts, batches, deltas = _scan(root)
+    compacts, batches, deltas = _scan(root, fs)
     files = 0
-    for _, _, fs in os.walk(root):
-        files += len(fs)
+    for _, _, fsn in os.walk(root):
+        files += len(fsn)
     return {
         "compact": len(compacts),
         "delta": len(deltas),

@@ -170,3 +170,70 @@ def test_decode_raises_naming_missing_dependency():
         multimodal.decode_image(b"x")
     with pytest.raises(NotImplementedError, match="soundfile"):
         multimodal.decode_audio(b"x")
+
+
+# -- perceptual-hash near-dup (round 7) -------------------------------------
+
+
+def _raster(seed: int, n: int = 72) -> bytes:
+    # deterministic pseudo-random 9x8 grayscale raster
+    out = bytearray()
+    x = seed * 2654435761 % (1 << 32)
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def _thumbs(spark, rows):
+    return spark.createDataFrame(rows, "media_id bigint, blob binary")
+
+
+def test_dhash_recall_on_planted_perturbed_copies(spark):
+    """Planted near-dups (a few pixels nudged) MUST all surface — recall
+    is the pigeonhole theorem, so a miss is a protocol bug, not tuning.
+    Unrelated rasters must not pair up."""
+    base = _raster(1)
+    pert = bytearray(base)
+    pert[5] += 40        # flips at most 2 dHash bits
+    pert[40] = 0         # at most 2 more
+    rows = [(1, base), (2, bytes(pert))]
+    rows += [(10 + i, _raster(100 + i)) for i in range(20)]
+    out = multimodal.dhash_near_duplicates(_thumbs(spark, rows)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert ham[(1, 2)] <= 4
+    # no unrelated pair sneaks in (64 random bits at hamming<=4 ~ 1e-13)
+    assert all(p == (1, 2) for p in got)
+
+
+def test_dhash_identical_rasters_hamming_zero(spark):
+    rows = [(1, _raster(7)), (2, _raster(7)), (3, _raster(8))]
+    out = multimodal.dhash_near_duplicates(_thumbs(spark, rows)).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_dhash_null_and_short_blobs_do_not_crash(spark):
+    rows = [(1, None), (2, b"\x01\x02"), (3, _raster(3))]
+    out = multimodal.dhash_near_duplicates(_thumbs(spark, rows)).collect()
+    # null and zero-padded-short blobs hash deterministically; nothing throws
+    assert all(r["hamming"] >= 0 for r in out)
+
+
+def test_dhash_recall_guarantee_guard():
+    with pytest.raises(ValueError, match="recall guarantee"):
+        multimodal.dhash_near_duplicates(None, max_hamming=8, n_bands=8)
+
+
+def test_dhash_plan_bands_join_never_all_pairs(spark):
+    """The executed plan must be the banded candidate join + id verify —
+    no cartesian/broadcast-nested-loop all-pairs anywhere."""
+    rows = [(i, _raster(i)) for i in range(50)]
+    df = multimodal.dhash_near_duplicates(_thumbs(spark, rows))
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -79,47 +79,60 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round6_rotation():
+def test_driver_window_matches_round7_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-6 policy: the 25 queries whose latest driver-green row dates to
-    r3 lead, then the continuity anchors for this round's code changes
-    (q122 survivorship rewrite, q110 index-stamp read path), then the
-    r4-green headline bench queries, then oldest-green (r4) family
-    representatives (rationale above _DRIVER_WINDOW_R6 in
-    plans/queries.py). Everything outside the window has an r4/r5 green
-    driver row and stays value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R6
+    Round-7 policy: the 30 queries whose latest driver-green row dates to
+    r4 lead (the round-6 verdict's task-2 list), then this round's
+    code-change anchors (q126/q127 ANSI guards, q99/q110 on the rewritten
+    manifest-commit statedir), the new q129, the r6-addition continuity
+    trio, and the 12 headline-bench continuity anchors (rationale above
+    _DRIVER_WINDOW_R7 in plans/queries.py). Everything outside the window
+    has an r5/r6 green driver row and stays value-checked by the repo
+    oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R7
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R6) == 50
-    assert len(set(_DRIVER_WINDOW_R6)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R6
-    # the 25 stale r3-green queries all rotated in:
-    stale = (
-        ["q47_cube_counts", "q67_approx_distinct_bounded",
-         "q68_approx_percentile_bounded"]
-        + [n for n in names
-           if n.split("_")[0][1:].isdigit()
-           and (74 <= int(n.split("_")[0][1:]) <= 78
-                or 81 <= int(n.split("_")[0][1:]) <= 87
-                or 90 <= int(n.split("_")[0][1:]) <= 99)]
+    assert len(_DRIVER_WINDOW_R7) == 50
+    assert len(set(_DRIVER_WINDOW_R7)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R7
+    # the 30 stale r4-green queries all rotated in:
+    stale_ids = (
+        [18, 43, 49, 53, 54, 55] + list(range(57, 64)) + list(range(69, 74))
+        + [88, 89] + list(range(100, 104)) + list(range(106, 110))
+        + [115, 116]
     )
-    assert len(stale) == 25
-    assert set(stale) <= set(_DRIVER_WINDOW_R6)
+    stale = [
+        n for n in names
+        if n.split("_")[0][1:].isdigit()
+        and int(n.split("_")[0][1:]) in stale_ids
+    ]
+    assert len(stale) == 30
+    assert set(stale) <= set(_DRIVER_WINDOW_R7)
     # this round's code-change anchors are inside the window:
-    assert {"q122_dedup_survivorship", "q110_incremental_dedup"} <= set(
-        _DRIVER_WINDOW_R6
-    )
-    # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 128
-    # round-6 additions are in-window (never driver-green before r6):
     assert {
-        "q124_quality_percentile_gate",
-        "q125_source_drift_kl",
         "q126_zscore_anomaly",
         "q127_centroid_similarity",
-        "q128_cross_source_near_dup",
-    } <= set(_DRIVER_WINDOW_R6)
+        "q99_curation_decisions",
+        "q110_incremental_dedup",
+    } <= set(_DRIVER_WINDOW_R7)
+    # the round-7 addition is in-window (never driver-green before r7):
+    assert "q129_phash_near_dup" in _DRIVER_WINDOW_R7
+    # every headline bench query is value-verified in the round it's timed:
+    from stream_cdc_spark.plans.queries import QUERIES as Q
+
+    headline = {n for n, s in Q.items() if s.headline}
+    missing = headline - set(_DRIVER_WINDOW_R7)
+    # q14/q15/q25/q34 went green in r6 (window hygiene: nothing older
+    # than two rounds) — the rest must be in-window this round
+    assert missing <= {
+        "q03_log_compaction",
+        "q14_tpch_q3",
+        "q15_star_join_revenue",
+        "q25_ann_bruteforce_topk",
+        "q34_tpch_q6",
+    }, missing
+    # nothing was lost in the reorder: same registry, same specs
+    assert len(names) == len(set(names)) == 129
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -203,3 +203,79 @@ def test_curation_leveled_mode_matches_plain(spark, tmp_path):
     a = sorted(map(tuple, plain.decisions(spark).collect()))
     b2 = sorted(map(tuple, leveled.decisions(spark).collect()))
     assert a == b2
+
+
+def test_bucketed_and_leveled_compose_probe_shuffle_free_after_minor_fold(
+    spark, tmp_path
+):
+    """The 100 TB configuration runs BOTH tiers at once: major folds
+    publish the (band, key)-bucketed snapshot, minor folds cheaply absorb
+    the batch tail into plain deltas. A minor fold must not disturb the
+    snapshot tier — immediately after one, the probe against the bucketed
+    index still plans with a bucketed scan and NO index-side Exchange,
+    and reads through the mixed chain stay identical to a plain sink."""
+    batches = _slices(spark, 8)
+    plain = LshDedupSnapshot(str(tmp_path / "plain"), compact_every=0)
+    lvl = LshDedupSnapshot(
+        str(tmp_path / "lb"),
+        compact_every=2,
+        major_every=2,
+        bucketed=True,
+        num_buckets=4,
+    )
+    for i, b in enumerate(batches):
+        plain.foreach_batch(b, i)
+        lvl.foreach_batch(b, i)
+    assert _pairs(lvl, spark) == _pairs(plain, spark)
+    # force the state into a snapshot + fresh L1 delta shape, then check
+    # the probe plan against the untouched snapshot tier
+    idx_root = os.path.join(str(tmp_path / "lb"), "index")
+    did_minor = statedir.compact_minor(
+        spark, idx_root, "doc_id bigint, band int, key bigint", len(batches)
+    )
+    c = statedir.dir_counts(idx_root)
+    assert c["compact"] >= 1, c
+    assert did_minor or c["delta"] >= 1 or c["batch"] == 0
+    rel = lvl.bucketed_index(spark)
+    assert rel is not None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # co-located probe: a relation bucketed the same way (here the
+        # index itself) joins with ZERO exchanges in the executed plan —
+        # the minor fold touched only the tail, never the bucket files
+        probe = rel.select("band", "key", F.col("doc_id").alias("probe_id"))
+        joined = rel.join(probe.hint("shuffle_merge"), ["band", "key"])
+        joined.collect()
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree, tree
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    # the mixed chain (bucketed snapshot + plain delta + batch dirs)
+    # still reads to the same corpus as the plain sink
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(
+                spark, idx_root, "doc_id bigint, band int, key bigint", 1 << 62
+            ).select("doc_id").distinct().collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            statedir.read_state(
+                spark,
+                os.path.join(str(tmp_path / "plain"), "index"),
+                "doc_id bigint, band int, key bigint",
+                1 << 62,
+            ).select("doc_id").distinct().collect(),
+        )
+    )
+    assert got == want

@@ -92,17 +92,197 @@ def test_random_interleavings_preserve_reads(spark, sd_root, ops):
                 with open(os.path.join(torn, "part-0.parquet"), "wb") as f:
                     f.write(b"\x00torn")
         elif op == "interrupted_delete":
-            # hand-publish a valid snapshot at the head but skip deletes
-            paths = statedir.state_paths(root, head)
-            if paths:
+            # hand-publish a valid snapshot at the head with the manifest
+            # protocol but skip the deletes — the writer crashed between
+            # the manifest put and the cleanup. Skipped when a publish at
+            # this watermark is already valid (the protocol is
+            # single-writer: a re-publish of a committed watermark is the
+            # replay no-op, never a blind overwrite of a live manifest).
+            dest = os.path.join(root, f"compact={head:09d}")
+            fsd = statedir._DEFAULT_FS
+            if statedir.state_paths(root, head) and not statedir._is_valid(
+                fsd, dest
+            ):
                 df = statedir.read_state(spark, root, SCHEMA, head)
-                tmp = os.path.join(root, f".tmp-compact-{head:09d}")
-                shutil.rmtree(tmp, ignore_errors=True)
-                df.write.mode("overwrite").parquet(tmp)
-                dest = os.path.join(root, f"compact={head:09d}")
-                shutil.rmtree(dest, ignore_errors=True)
-                os.rename(tmp, dest)
+                df.write.mode("overwrite").parquet(dest)
+                statedir._publish_manifest(fsd, dest)
         # the two reads every consumer performs: the executing batch
         # (exactly-once replay view) and the accessor horizon
         assert observed(head) == expected(head), (op, head)
         assert observed(1 << 62) == expected(1 << 62), (op, head)
+
+
+# -- object-store (S3-semantics) model -------------------------------------
+
+
+class InjectedCrash(Exception):
+    pass
+
+
+class ObjectStoreFS(statedir.LocalFS):
+    """S3-semantics fake for the round-7 manifest protocol:
+
+    * directory rename DOES NOT EXIST (on S3 it is copy-then-delete and
+      can expose a partially-copied dir complete with _SUCCESS — the
+      exact hazard the manifest commit removes). The protocol must never
+      ask for one; there is no rename to override because LocalFS
+      deliberately has none, and the source pin below keeps os.rename
+      out of the module.
+    * every metadata MUTATION (single-object put / delete; recursive
+      deletes decompose into per-object deletes exactly as on S3) is a
+      crash point: after ``crash_after`` surviving mutations the fake
+      raises, leaving whatever partial prefix of object ops completed.
+    * reads (list/exists) never crash — they model GET/LIST calls whose
+      failure would just retry.
+    """
+
+    def __init__(self):
+        self.ops = 0
+        self.crash_after: int | None = None
+
+    def _tick(self):
+        if self.crash_after is not None:
+            if self.ops >= self.crash_after:
+                raise InjectedCrash()
+            self.ops += 1
+
+    def put_text(self, path, text):
+        self._tick()
+        with open(path, "w") as f:  # atomic whole-object PUT
+            f.write(text)
+
+    def remove(self, path):
+        self._tick()
+        super().remove(path)
+
+    def rmtree(self, path):
+        # per-object deletes, a crash point between each — a torn
+        # recursive delete leaves an arbitrary subset of the dir
+        for dirpath, _dirnames, filenames in os.walk(path, topdown=False):
+            for fn in filenames:
+                self._tick()
+                os.remove(os.path.join(dirpath, fn))
+        shutil.rmtree(path, ignore_errors=True)  # empty husks: free on S3
+
+
+def test_manifest_protocol_never_renames_directories():
+    """The commit point must be a single-object put; any dir rename
+    reintroduces the S3 torn-copy hazard the manifest protocol exists to
+    remove."""
+    import inspect
+
+    src = inspect.getsource(statedir)
+    assert "os.rename(" not in src
+    assert "os.renames(" not in src
+    # the one os.replace is the single-FILE manifest put inside LocalFS
+    assert src.count("os.replace(") == 1
+
+
+def test_object_store_crash_sweep(spark, tmp_path):
+    """Drive the leveled protocol on the S3 fake, crashing every fold at
+    every metadata-mutation boundary (each crashed attempt leaves its
+    partial object writes in place — the next attempt starts from that
+    wreckage). After every crash AND after convergence, both consumer
+    reads must equal the model; folds must eventually complete."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "s3root")
+    os.makedirs(root)
+    model: dict[int, list[tuple[int, int]]] = {}
+    head = 0
+
+    def observed(batch_id):
+        return sorted(
+            map(
+                tuple,
+                statedir.read_state(
+                    spark, root, SCHEMA, batch_id, fs=fs
+                ).collect(),
+            )
+        )
+
+    def expected(batch_id):
+        return sorted(r for b, rows in model.items() if b < batch_id for r in rows)
+
+    def commit():
+        nonlocal head
+        rows = [(head * 10 + j, head) for j in range(2)]
+        spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, head)
+        )
+        model[head] = rows
+        head += 1
+
+    def crash_sweep(fn):
+        for k in range(200):
+            fs.ops = 0
+            fs.crash_after = k
+            try:
+                fn()
+                fs.crash_after = None
+                assert observed(head) == expected(head), ("done", k)
+                assert observed(1 << 62) == expected(1 << 62), ("done", k)
+                return k
+            except InjectedCrash:
+                fs.crash_after = None
+                assert observed(head) == expected(head), ("crash", k)
+                assert observed(1 << 62) == expected(1 << 62), ("crash", k)
+        raise AssertionError("fold never completed within 200 mutations")
+
+    for _ in range(3):
+        commit()
+    crash_sweep(lambda: statedir.compact(spark, root, SCHEMA, head, fs=fs))
+    for _ in range(2):
+        commit()
+    crash_sweep(
+        lambda: statedir.compact_minor(spark, root, SCHEMA, head, fs=fs)
+    )
+    for _ in range(2):
+        commit()
+    # major fold over snapshot + delta + pending batches
+    crash_sweep(lambda: statedir.compact(spark, root, SCHEMA, head, fs=fs))
+    # converged layout: exactly one snapshot expressing all state
+    c = statedir.dir_counts(root, fs=fs)
+    assert c["compact"] == 1 and c["delta"] == 0 and c["batch"] == 0
+    assert observed(1 << 62) == expected(1 << 62)
+
+
+def test_heal_completes_publish_without_refolding(spark, tmp_path):
+    """Crash exactly between the snapshot data write (+_SUCCESS) and the
+    manifest put: the dir is complete; the next attempt's heal step
+    commits it by writing the manifest instead of deleting it as torn."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "heal")
+    os.makedirs(root)
+    for b in range(3):
+        spark.createDataFrame(
+            [(b, b)], SCHEMA
+        ).write.mode("overwrite").parquet(statedir.batch_dir(root, b))
+    fs.ops = 0
+    fs.crash_after = 1  # survive touch(_SUCCESS-if-missing)? data write
+    # run until the manifest put is the op that crashes: find the crash
+    # point where the dest dir exists with _SUCCESS but no manifest
+    dest = os.path.join(root, "compact=000000003")
+    for k in range(50):
+        fs.ops = 0
+        fs.crash_after = k
+        try:
+            statedir.compact(spark, root, SCHEMA, 3, fs=fs)
+            break
+        except InjectedCrash:
+            pass
+        finally:
+            fs.crash_after = None
+        if os.path.exists(os.path.join(dest, "_SUCCESS")) and not os.path.exists(
+            dest + ".commit"
+        ):
+            # the torn-between state: heal must commit, not delete
+            statedir.compact(spark, root, SCHEMA, 3, fs=fs)
+            break
+    assert os.path.exists(dest + ".commit")
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 3, fs=fs).collect(),
+        )
+    )
+    assert got == [(0, 0), (1, 1), (2, 2)]

@@ -948,3 +948,68 @@ def quantile_stream(
         for p in percentiles
     ]
     return events.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def percentile_gate_stream(
+    docs: DataFrame,
+    top_p: float = 0.5,
+    by: str = "lang",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Continuously maintained per-group quality-score thresholds — the
+    streaming twin of q124's FineWeb-style top-p percentile gate
+    (operators/text.py quality_percentile_gate).
+
+    The batch gate ranks every document within its language and keeps the
+    top-``top_p`` fraction; the quantity a continuous curation pipeline
+    actually needs from the stream is the per-language SCORE THRESHOLD
+    that cut implies. That threshold is the (1 - top_p) quantile of the
+    scores seen so far, which is exactly what ``quantile_stream`` already
+    maintains: scoring is pure per-row expressions (no shuffle), then one
+    streaming groupBy keeps a bounded GK summary per language in the
+    state store — exactly-once across restarts, map-side partial
+    aggregation before the state shuffle, state size |languages| x
+    O(accuracy) regardless of corpus age.
+
+    Contract matches quantile_stream: GK summaries are merge-order
+    sensitive, so the streamed threshold equals the batch gate's cutoff
+    only within the 1/accuracy rank band (plus score-tie width) — the
+    rank-band test in tests/test_quantile_stream.py pins it against the
+    EXACT batch scores. Use outputMode("update"); compose with
+    ``apply_percentile_gate`` in foreachBatch for the gate itself.
+    """
+    from stream_cdc_spark.operators.text import quality_features, quality_score
+
+    scored = quality_score(quality_features(docs))
+    return quantile_stream(
+        scored,
+        keys=(by,),
+        value_col="quality_score",
+        percentiles=(1.0 - top_p,),
+        accuracy=accuracy,
+    ).withColumnRenamed(
+        f"p{int((1.0 - top_p) * 100):02d}", "score_threshold"
+    )
+
+
+def apply_percentile_gate(
+    batch_df: DataFrame,
+    thresholds: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate one micro-batch against the current streamed thresholds:
+    score the batch (pure expressions), broadcast-join the |languages|-row
+    threshold relation, keep score >= threshold. The corpus side never
+    shuffles — the only exchange anywhere in the continuous gate is the
+    threshold aggregation's own state shuffle."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.text import quality_features, quality_score
+
+    scored = quality_score(quality_features(batch_df))
+    return (
+        scored.join(F.broadcast(thresholds.select(by, "score_threshold")), by)
+        .filter(F.col("quality_score") >= F.col("score_threshold"))
+        .select(by, id_col, "quality_score")
+    )

@@ -5525,6 +5525,13 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     from stream_cdc_spark.operators import multimodal
 
     d = load(spark, sf, "documents")
+    return multimodal.dhash_near_duplicates(
+        _media_thumbs(d), max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
+def _media_thumbs(d: DataFrame) -> DataFrame:
+    """documents -> deterministic 9x8 raster thumbnails (q129 media tier)."""
     toks = F.split(F.col("text"), " ")
     hexes = F.transform(
         F.sequence(F.lit(0), F.lit(71)),
@@ -5532,12 +5539,72 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(F.coalesce(F.get(toks, i), F.lit(""))), 1, 2
         ),
     )
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.to_binary(F.concat_ws("", hexes), F.lit("hex")).alias("blob"),
     )
-    return multimodal.dhash_near_duplicates(media, max_hamming=4).orderBy(
-        "id_a", "id_b"
+
+
+@_register(
+    "q130_media_dup_clusters",
+    """
+    WITH RECURSIVE
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), i ->
+               substr(md5(coalesce(string_split(text, ' ')[i + 1], '')), 1, 2)
+             ) AS p
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               CASE WHEN p[(k // 8) * 9 + (k % 8) + 2]
+                         > p[(k // 8) * 9 + (k % 8) + 1]
+                    THEN 1 ELSE 0 END) AS b
+      FROM px
+    ),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(range(1, 65), k ->
+            CASE WHEN a.b[k] <> b.b[k] THEN 1 ELSE 0 END)) <= 4
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT u FROM und),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+    ),
+    comp AS (SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_media
+    FROM comp GROUP BY component ORDER BY component
+    """,
+    doc="Multimodal dedup cluster rollup: q129's perceptual near-dup "
+    "pairs assembled into connected components (dedup.connected_"
+    "components — Pregel-style min-label propagation, O(diameter) "
+    "shuffle rounds) and rolled up to (canonical representative = min "
+    "media id, cluster size) — the keep-one-per-cluster survivorship "
+    "input for media corpora, completing the q19->q64 exact->cluster "
+    "arc for the multimodal family. Oracle recomputes the same fixpoint "
+    "with a recursive CTE over all-pairs exact Hamming. Scale shape: "
+    "edges are output-bounded (near-dup density), so the iterative part "
+    "runs on the pair graph, never the corpus.",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import multimodal
+
+    d = load(spark, sf, "documents")
+    edges = multimodal.dhash_near_duplicates(
+        _media_thumbs(d), max_hamming=4
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_media"))
+        .orderBy("component")
     )
 
 
@@ -5636,8 +5703,8 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 #      ANSI guard), q127 (zero-norm centroid guard), q99 + q110 (the
 #      statedir commit protocol these state layers ride was rewritten
 #      rename-free / manifest-based this round);
-#  (3) q129 — NEW this round (multimodal perceptual near-dup), never
-#      driver-green;
+#  (3) q129 + q130 — NEW this round (multimodal perceptual near-dup
+#      pairs + their dedup-cluster rollup), never driver-green;
 #  (4) r6-addition continuity: q124, q125, q128 (one green row each);
 #  (5) headline-bench continuity anchors (q01, q02, q07, q10, q13, q19,
 #      q24, q27, q31, q48, q51, q66) so every bench query stays
@@ -5683,13 +5750,14 @@ _DRIVER_WINDOW_R7 = [
     "q110_incremental_dedup",
     # (3) new this round:
     "q129_phash_near_dup",
+    "q130_media_dup_clusters",
     # (4) round-6-addition continuity:
     "q124_quality_percentile_gate",
     "q125_source_drift_kl",
     "q128_cross_source_near_dup",
-    # (5) headline-bench continuity:
+    # (5) headline-bench continuity (q02 yields its slot to q130: it is
+    # r6-green, and the envelope family stays covered by q01/q07):
     "q01_envelope_filter_project",
-    "q02_classify_count",
     "q07_cdc_apply_join",
     "q10_hourly_window",
     "q13_tpch_q1",

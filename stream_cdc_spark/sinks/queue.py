@@ -81,10 +81,11 @@ def make_oversize_reference(
         # write-before-reference: the payload must be durable before any
         # consumer can observe a uri pointing at it
         meta["uri"] = store.put_text(msg)
+    mid = deterministic_id(msg)
     ref = {
         "original_size_exceeded": True,
         "message_type": "reference",
-        "message_id": deterministic_id(msg),
+        "message_id": mid,
         "original_size": message_size(msg),
         "source": source,
         **meta,
@@ -95,7 +96,7 @@ def make_oversize_reference(
             {
                 "original_size_exceeded": True,
                 "message_type": "reference",
-                "message_id": deterministic_id(msg),
+                "message_id": mid,
             }
         )
         if message_size(out) > MAX_MESSAGE_SIZE_BYTES:
@@ -116,12 +117,13 @@ def prepare_message(
         if ref is None:
             return None
         body, oversized = ref, True
+    digest = deterministic_id(body)
     entry = {
-        "Id": deterministic_id(body)[:32],
+        "Id": digest[:32],
         "MessageBody": body,
         # full content hash travels as an attribute so consumer-side dedup
         # survives the per-request Id uniquification in pack_entries
-        "MessageAttributes": {"source": source, "content_sha256": deterministic_id(body)},
+        "MessageAttributes": {"source": source, "content_sha256": digest},
     }
     if oversized:
         entry["MessageAttributes"]["oversized"] = "true"

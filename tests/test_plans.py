@@ -115,8 +115,10 @@ def test_driver_window_matches_round7_rotation():
         "q99_curation_decisions",
         "q110_incremental_dedup",
     } <= set(_DRIVER_WINDOW_R7)
-    # the round-7 addition is in-window (never driver-green before r7):
-    assert "q129_phash_near_dup" in _DRIVER_WINDOW_R7
+    # the round-7 additions are in-window (never driver-green before r7):
+    assert {"q129_phash_near_dup", "q130_media_dup_clusters"} <= set(
+        _DRIVER_WINDOW_R7
+    )
     # every headline bench query is value-verified in the round it's timed:
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
@@ -125,6 +127,7 @@ def test_driver_window_matches_round7_rotation():
     # q14/q15/q25/q34 went green in r6 (window hygiene: nothing older
     # than two rounds) — the rest must be in-window this round
     assert missing <= {
+        "q02_classify_count",
         "q03_log_compaction",
         "q14_tpch_q3",
         "q15_star_join_revenue",
@@ -132,7 +135,7 @@ def test_driver_window_matches_round7_rotation():
         "q34_tpch_q6",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 129
+    assert len(names) == len(set(names)) == 130
 
 
 def test_q69_q70_dims_broadcast(spark):

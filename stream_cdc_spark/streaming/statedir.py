@@ -464,7 +464,12 @@ def _reconcile(root: str, fs: LocalFS) -> None:
       publishes — unreadable by rule, deleted here."""
     for n in fs.listdir(root) if fs.isdir(root) else []:
         path = os.path.join(root, n)
-        if n.endswith(_MANIFEST_SUFFIX) or n.endswith(".inprogress"):
+        if n.endswith(".inprogress"):
+            # LocalFS put_text temp that never reached its os.replace —
+            # by definition uncommitted; remove so it cannot accumulate
+            fs.remove(path)
+            continue
+        if n.endswith(_MANIFEST_SUFFIX):
             continue
         if n.startswith(_TMP_PREFIX):
             fs.rmtree(path)

@@ -90,8 +90,13 @@ class CurationPipeline:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
+        # protocol-metadata filesystem for the statedir commit protocol
+        # (None = local/HDFS default; inject an object-store client for
+        # S3/GCS state roots — statedir module doc)
+        self.fs = fs
         self.decisions_dir = os.path.join(state_dir, "decisions")
         self.kept_dir = os.path.join(state_dir, "kept")
         self.index_dir = os.path.join(state_dir, "index")
@@ -125,16 +130,14 @@ class CurationPipeline:
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
-        return statedir.read_state(spark, root, schema, batch_id)
+        return statedir.read_state(spark, root, schema, batch_id, fs=self.fs)
 
     def corpus(self, spark) -> DataFrame:
         """The curated corpus accumulated so far (all committed batches)."""
-        return statedir.read_state(spark, self.kept_dir, KEPT_SCHEMA, 1 << 62)
+        return self._read(spark, self.kept_dir, KEPT_SCHEMA, 1 << 62)
 
     def decisions(self, spark) -> DataFrame:
-        return statedir.read_state(
-            spark, self.decisions_dir, DECISIONS_SCHEMA, 1 << 62
-        )
+        return self._read(spark, self.decisions_dir, DECISIONS_SCHEMA, 1 << 62)
 
     def _compact(self, spark, batch_id: int) -> None:
         for root, schema in (
@@ -144,7 +147,7 @@ class CurationPipeline:
         ):
             statedir.maybe_compact(
                 spark, root, schema, batch_id, every=self.compact_every,
-                major_every=self.major_every,
+                major_every=self.major_every, fs=self.fs,
             )
 
     # -- the sink ---------------------------------------------------------
@@ -172,12 +175,12 @@ class CurationPipeline:
         qual_ok = docs.filter(self.quality_predicate)
         qual_bad = docs.join(qual_ok, "doc_id", "left_anti")
 
-        corpus = statedir.read_state(spark, self.kept_dir, KEPT_SCHEMA, batch_id)
+        corpus = self._read(spark, self.kept_dir, KEPT_SCHEMA, batch_id)
         # NOTE: no forced schema on the index read — the LSH parameter
         # stamp rides column metadata, and forcing INDEX_SCHEMA stripped
         # it, disarming the mismatch guard exactly on the restart path
         # where parameter drift happens (round-5 advice).
-        index = statedir.read_state(spark, self.index_dir, INDEX_SCHEMA, batch_id)
+        index = self._read(spark, self.index_dir, INDEX_SCHEMA, batch_id)
         # Pin the admission verdicts too: one row per batch doc, consumed
         # by the decisions write AND the admitted semi-join — unpinned, the
         # second consumer replays the whole candidate+verify join tree.

@@ -97,8 +97,13 @@ class LshDedupSnapshot:
         bucketed: bool = False,
         num_buckets: int = 32,
         commit_files: int = 1,
+        fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
+        # protocol-metadata filesystem for the statedir commit protocol
+        # (None = local/HDFS default; inject an object-store client for
+        # S3/GCS state roots — statedir module doc)
+        self.fs = fs
         self.sigs_dir = os.path.join(state_dir, "sigs")
         self.index_dir = os.path.join(state_dir, "index")
         self.counts_dir = os.path.join(state_dir, "counts")
@@ -126,7 +131,7 @@ class LshDedupSnapshot:
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
-        return statedir.read_state(spark, root, schema, batch_id)
+        return statedir.read_state(spark, root, schema, batch_id, fs=self.fs)
 
     def matches(self, spark) -> DataFrame:
         """All matches emitted by committed batches."""
@@ -143,7 +148,7 @@ class LshDedupSnapshot:
             return None
         return statedir.bucketed_relation(
             spark, self.index_dir, INDEX_SCHEMA, ["band", "key"],
-            self.num_buckets,
+            self.num_buckets, fs=self.fs,
         )
 
     def _compact(self, spark, batch_id: int) -> None:
@@ -164,6 +169,7 @@ class LshDedupSnapshot:
                 transform=transform,
                 bucket_cols=bucket_cols if self.bucketed else None,
                 num_buckets=self.num_buckets,
+                fs=self.fs,
             )
 
     # -- the sink ---------------------------------------------------------

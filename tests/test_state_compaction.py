@@ -279,3 +279,27 @@ def test_bucketed_and_leveled_compose_probe_shuffle_free_after_minor_fold(
         )
     )
     assert got == want
+
+
+def test_sinks_accept_injected_object_store_fs(spark, tmp_path):
+    """Both foreachBatch sinks thread an injected StateFS through every
+    statedir call: running the LSH snapshot sink entirely on the
+    S3-semantics fake (no dir rename exists; per-object deletes) with
+    folds occurring mid-run must produce matches identical to the
+    default-FS sink."""
+    from tests.test_statedir_model import ObjectStoreFS
+
+    batches = _slices(spark, 6)
+    plain = LshDedupSnapshot(str(tmp_path / "plain"), compact_every=0)
+    s3 = LshDedupSnapshot(
+        str(tmp_path / "s3"), compact_every=2, major_every=2,
+        fs=ObjectStoreFS(),
+    )
+    for i, b in enumerate(batches):
+        plain.foreach_batch(b, i)
+        s3.foreach_batch(b, i)
+    assert _pairs(s3, spark) == _pairs(plain, spark)
+    # folds actually ran on the fake (manifests exist at the state root)
+    import glob
+
+    assert glob.glob(os.path.join(str(tmp_path / "s3"), "*", "*.commit"))

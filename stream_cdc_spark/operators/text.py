@@ -620,6 +620,18 @@ def token_distribution_drift(
         .groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return drift_from_token_counts(counts, group_col=group_col)
+
+
+def drift_from_token_counts(
+    counts: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The divergence math of ``token_distribution_drift`` over an
+    already-collapsed exact count relation (grp, tok, c) — shared by the
+    batch operator and the streaming twin (streaming/stateful.py
+    token_count_stream maintains the identical counts in the state
+    store; because they are EXACT integers, drift over the drained
+    stream is bit-equal to batch, unlike the rank-band sketches)."""
     grand = counts.agg(F.sum("c").cast("double").alias("n_all"))
     enriched = (
         counts.withColumn("t_grp", F.sum("c").over(Window.partitionBy("grp")))

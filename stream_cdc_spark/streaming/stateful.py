@@ -1013,3 +1013,35 @@ def apply_percentile_gate(
         .filter(F.col("quality_score") >= F.col("score_threshold"))
         .select(by, id_col, "quality_score")
     )
+
+
+def token_count_stream(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Continuously maintained exact (group, token) counts — the state
+    side of q125's source-distribution drift monitor.
+
+    Counting is what streaming aggregation already is: explode the token
+    stream (narrow), then one streaming groupBy keeps an exact bigint
+    per (group, token) in the state store — exactly-once across
+    restarts, map-side partial aggregation before the state shuffle,
+    state size |groups| x |vocab| regardless of corpus age (vocabulary,
+    not corpus, bounds it — the same collapse the batch operator's plan
+    relies on).
+
+    Because the maintained quantity is an EXACT integer (not a sketch),
+    composing the drained counts with text.drift_from_token_counts gives
+    drift BIT-EQUAL to the batch q125 result — asserted across a
+    checkpoint restart in tests/test_drift_stream.py. Use
+    outputMode("update")/"complete".
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -286,3 +286,71 @@ def test_heal_completes_publish_without_refolding(spark, tmp_path):
         )
     )
     assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+OPS_S3 = st.lists(
+    st.one_of(
+        st.just(("commit", None)),
+        st.tuples(st.just("compact"), st.one_of(st.none(), st.integers(0, 12))),
+        st.tuples(st.just("minor"), st.one_of(st.none(), st.integers(0, 12))),
+    ),
+    min_size=4,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS_S3)
+def test_random_interleavings_on_object_store_fake(spark, sd_root, ops):
+    """The hypothesis twin of the systematic crash sweep: RANDOM
+    schedules of commits and (possibly crashing, at a random metadata
+    mutation) major/minor folds on the S3-semantics fake — every crashed
+    attempt's partial object writes stay as the next op's starting state,
+    and both consumer reads must equal the model after every op."""
+    fs = ObjectStoreFS()
+    tag = "-".join(f"{o[0][:2]}{'' if o[1] is None else o[1]}" for o in ops)
+    root = os.path.join(sd_root, "s3rand-" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    model: dict[int, list[tuple[int, int]]] = {}
+    head = 0
+
+    def observed(batch_id):
+        return sorted(
+            map(
+                tuple,
+                statedir.read_state(
+                    spark, root, SCHEMA, batch_id, fs=fs
+                ).collect(),
+            )
+        )
+
+    def expected(batch_id):
+        return sorted(r for b, rows in model.items() if b < batch_id for r in rows)
+
+    for op, crash_after in ops:
+        if op == "commit":
+            rows = [(head * 10 + j, head) for j in range(2)]
+            spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+                statedir.batch_dir(root, head)
+            )
+            model[head] = rows
+            head += 1
+        else:
+            fs.ops = 0
+            fs.crash_after = crash_after
+            try:
+                if op == "compact":
+                    statedir.compact(spark, root, SCHEMA, head, fs=fs)
+                else:
+                    statedir.compact_minor(spark, root, SCHEMA, head, fs=fs)
+            except InjectedCrash:
+                pass
+            finally:
+                fs.crash_after = None
+        assert observed(head) == expected(head), (op, crash_after, head)
+        assert observed(1 << 62) == expected(1 << 62), (op, crash_after, head)

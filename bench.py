@@ -42,9 +42,11 @@ def _load_prev_round() -> dict | None:
     here = os.path.dirname(os.path.abspath(__file__))
     # sort NUMERICALLY on the round id: lexicographic order picks
     # BENCH_r9 over BENCH_r10 once widths mix, silently comparing
-    # against a stale round
+    # against a stale round (non-numeric BENCH_r*.json strays are
+    # skipped rather than crashing the key function)
     files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if re.search(r"BENCH_r(\d+)", p)),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
     if not files:

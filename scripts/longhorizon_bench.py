@@ -4,9 +4,13 @@ batch-versioned sinks for HUNDREDS-to-THOUSANDS of micro-batches and
 record per-batch latency + on-disk metadata growth, proving compaction
 keeps both flat where the round-5 layout grew linearly with stream age.
 
-Two sections:
+Three sections:
   lsh_drain   — LshDedupSnapshot over >= 1000 micro-batches
   curation    — CurationPipeline over >= 200 micro-batches (10x corpus)
+  media       — MediaDedupSnapshot over >= 300 micro-batches of raster
+                thumbnails (round-7 verdict task 3), with an end-of-run
+                bit-equality check against the batch operator
+                (multimodal.dhash_near_duplicates) over the same corpus
 
 Micro-batches are dispatched by calling the sinks' foreach_batch
 directly (the exact state/commit/compaction code path a writeStream
@@ -88,6 +92,16 @@ def run(
             state, compact_every=compact_every, major_every=major_every
         )
         subs = ("sigs", "index", "counts", "matches")
+    elif section == "media":
+        from stream_cdc_spark.streaming.media_dedup import MediaDedupSnapshot
+
+        docs_path = os.environ.get(
+            "LONGHORIZON_DOCS", "/root/testdata/sf0.1/documents.parquet"
+        )
+        sink = MediaDedupSnapshot(
+            state, compact_every=compact_every, major_every=major_every
+        )
+        subs = ("sigs", "index", "matches")
     else:
         from stream_cdc_spark.streaming.curation import CurationPipeline
 
@@ -100,11 +114,29 @@ def run(
         )
         subs = ("decisions", "kept", "index")
 
-    d = (
-        spark.read.parquet(docs_path)
-        .select("doc_id", "text")
-        .withColumn("__b", (F.col("doc_id") % n_batches).cast("int"))
-    )
+    if section == "media":
+        # deterministic 9x8 raster thumbnails from the documents table —
+        # the q129/q130 media tier (md5 hex pair per word)
+        toks = F.split(F.col("text"), " ")
+        hexes = F.transform(
+            F.sequence(F.lit(0), F.lit(71)),
+            lambda i: F.substring(
+                F.md5(F.coalesce(F.get(toks, i), F.lit(""))), 1, 2
+            ),
+        )
+        d = spark.read.parquet(docs_path).select(
+            F.col("doc_id").alias("media_id"),
+            F.to_binary(F.concat_ws("", hexes), F.lit("hex")).alias("blob"),
+        )
+        feed_cols = ["media_id", "blob"]
+        d = d.withColumn("__b", (F.col("media_id") % n_batches).cast("int"))
+    else:
+        feed_cols = ["doc_id", "text"]
+        d = (
+            spark.read.parquet(docs_path)
+            .select("doc_id", "text")
+            .withColumn("__b", (F.col("doc_id") % n_batches).cast("int"))
+        )
     n_docs = d.count()
     # materialize the per-batch slices once, partitioned by batch id, so
     # per-trigger input construction is one pruned-partition read (the
@@ -117,7 +149,7 @@ def run(
     t_all = time.time()
     for b in range(n_batches):
         batch_df = spark.read.parquet(os.path.join(feed, f"__b={b}")).select(
-            "doc_id", "text"
+            *feed_cols
         )
         t0 = time.time()
         sink.foreach_batch(batch_df, b)
@@ -142,6 +174,28 @@ def run(
     if section == "lsh_drain":
         out["distinct_pairs"] = (
             sink.matches(spark).select("doc_id", "dup_of").distinct().count()
+        )
+        out["processed"] = sink.processed(spark).count()
+    elif section == "media":
+        from stream_cdc_spark.operators.multimodal import dhash_near_duplicates
+
+        got = (
+            sink.matches(spark)
+            .select(
+                F.col("media_id").alias("hi"), F.col("dup_of").alias("lo")
+            )
+            .distinct()
+        )
+        want = (
+            dhash_near_duplicates(d.select("media_id", "blob"))
+            .select(F.col("id_b").alias("hi"), F.col("id_a").alias("lo"))
+            .distinct()
+        )
+        out["distinct_pairs"] = got.count()
+        out["batch_pairs"] = want.count()
+        out["batch_equal"] = (
+            got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0
         )
         out["processed"] = sink.processed(spark).count()
     else:

@@ -90,6 +90,74 @@ def curation_decisions(
     )
 
 
+def multimodal_curation_decisions(
+    docs: DataFrame,
+    media: DataFrame,
+    allowed_langs: Sequence[str] = ("en", "de", "es"),
+    eval_set: DataFrame | None = None,
+    quality_min: float = 1.0,
+    dup_word_permille_max: int = 599,
+    contamination_k: int = 4,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    grid_w: int = 9,
+    grid_h: int = 8,
+    max_hamming: int = 4,
+    n_bands: int = 8,
+) -> DataFrame:
+    """`curation_decisions` for a multimodal corpus: one more reason,
+    ``media_dup`` — the document's thumbnail is a perceptual near-dup
+    (dHash Hamming <= ``max_hamming``, multimodal.dhash_near_duplicates)
+    of an EARLIER-id document's. Min-id-representative
+    canonicalization, exactly like the ``exact_dup`` fingerprint window,
+    so the decision table stays batch-deterministic and SQL-replayable
+    (q132). ``media`` is (id_col, blob_col); documents absent from it
+    (text-only rows) can never fire media_dup.
+
+    Plan shape: the media signal adds one pandas-UDF signature pass and
+    the banded pair join of q129 (pixel bytes never shuffle, no
+    all-pairs), then one doc_id-keyed left join onto the text decision
+    table — AQE co-partitions it with the existing doc_id joins."""
+    from stream_cdc_spark.operators import multimodal
+
+    base = curation_decisions(
+        docs,
+        allowed_langs=allowed_langs,
+        eval_set=eval_set,
+        quality_min=quality_min,
+        dup_word_permille_max=dup_word_permille_max,
+        contamination_k=contamination_k,
+        id_col=id_col,
+    )
+    pairs = multimodal.dhash_near_duplicates(
+        media,
+        id_col=id_col,
+        blob_col=blob_col,
+        grid_w=grid_w,
+        grid_h=grid_h,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+    # id_b is always the LATER id (dhash_near_duplicates normalizes
+    # id_a < id_b), so the dup side of any pair is media_dup
+    mdup = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_mdup", F.lit(True))
+    )
+    out = base.join(mdup, id_col, "left")
+    reasons = F.concat_ws(
+        ",",
+        F.nullif(F.col("reasons"), F.lit("")),
+        F.when(F.coalesce(F.col("_mdup"), F.lit(False)), F.lit("media_dup")),
+    )
+    return out.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def apply_curation(docs: DataFrame, decisions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Materialize the kept corpus: semi-join against keep decisions (the
     decisions side carries only ids, so this is a plain co-keyed join)."""

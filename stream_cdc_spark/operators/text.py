@@ -30,7 +30,15 @@ def tokens_regex(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
 
 
-def token_count(text: Column) -> Column:
+def token_count(text: Column, tokenizer: str = "whitespace") -> Column:
+    """Token count of ``text``. ``tokenizer='whitespace'`` (default) is
+    the split-on-space count every existing oracle pins; ``'bpe'``
+    counts exact subword tokens under operators/bpe.py's merge table —
+    the unit a training-data pipeline budgets in."""
+    if tokenizer == "bpe":
+        from stream_cdc_spark.operators.bpe import bpe_token_count
+
+        return bpe_token_count(text)
     return F.size(tokens(text))
 
 
@@ -459,6 +467,7 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Context-window chunking: split each document into token windows of
     ``chunk_tokens`` with ``overlap`` tokens carried between consecutive
@@ -472,12 +481,24 @@ def chunk_documents(
     deterministic function of the token count, so a SQL oracle reproduces
     the chunking exactly.
 
+    ``tokenizer='bpe'`` windows over exact subword tokens
+    (operators/bpe.py) instead of whitespace words, so ``n_tok`` is the
+    unit the training budget is denominated in; ``chunk_text`` is then
+    the window's subword tokens space-joined (the token sequence, not a
+    substring of the original text). Same plan shape — the merge chain
+    is more string expressions riding the scan.
+
     Returns (id_col, chunk_idx, n_tok, chunk_text).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    if tokenizer == "bpe":
+        from stream_cdc_spark.operators.bpe import bpe_tokens
+
+        toks = bpe_tokens(F.col(text_col))
+    else:
+        toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     starts = F.sequence(
         F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)

@@ -5608,6 +5608,176 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q131_bpe_token_stats",
+    """
+    WITH RECURSIVE
+    merges(rank, pat, rep) AS (VALUES __BPE_MERGES__),
+    d AS (
+      SELECT lang,
+             regexp_replace(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+               '([a-z])', '_\\1_', 'g') AS s
+      FROM documents
+    ),
+    enc AS (
+      SELECT lang, s, 0 AS k FROM d
+      UNION ALL
+      SELECT e.lang, replace(e.s, m.pat, m.rep), e.k + 1
+      FROM enc e JOIN merges m ON m.rank = e.k
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum((length(s) - length(replace(s, '_', ''))) / 2) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(max((length(s) - length(replace(s, '_', ''))) / 2) AS BIGINT)
+             AS max_bpe_tokens
+    FROM enc WHERE k = (SELECT count(*) FROM merges)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Subword (BPE) tokenizer application: apply a learned merge "
+    "table and report exact per-language subword token totals — the "
+    "budgeting unit packing.pack_sequences consumes. Spark side is a "
+    "chain of codegen'd string replaces (operators/bpe.py delimiter "
+    "trick: merge (l,r) = one anchored substring replace), zero Python, "
+    "zero shuffle before the final aggregate; the oracle replays the "
+    "IDENTICAL merge table with a recursive CTE over merge ranks, so "
+    "the match is exact, not statistical. The reference has no text "
+    "operators; this extends the LLM-pipeline surface (VERDICT r7 "
+    "north-star gap #3).",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import bpe
+
+    return bpe.bpe_token_stats(load(spark, sf, "documents")).orderBy("lang")
+
+
+@_register(
+    "q132_multimodal_curation_decisions",
+    f"""
+    WITH RECURSIVE
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    fp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ) AS keep_id
+      FROM corpus),
+    f AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS DOUBLE) AS n_tok,
+             CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS no_space,
+             CAST(len(list_filter({_TOK}, t -> t IN ({_STOP_IN}))) AS DOUBLE) AS n_stop
+      FROM corpus),
+    qual AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END
+             + CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN no_space / n_tok >= 2.0 AND no_space / n_tok <= 12.0
+                    THEN 0.25 ELSE 0.0 END AS quality_score
+      FROM f),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(FLOOR(1000.0 * (SUM(c) - COUNT(*)) / GREATEST(SUM(c), 1))
+                  AS BIGINT) AS dup_word_permille
+      FROM wc GROUP BY doc_id),
+    csh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))
+               AS shingle
+      FROM corpus),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))
+               AS shingle
+      FROM bench),
+    contam AS (SELECT DISTINCT id FROM csh JOIN bsh USING (shingle)),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), i ->
+               substr(md5(coalesce(string_split(text, ' ')[i + 1], '')), 1, 2)
+             ) AS p
+      FROM corpus
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               CASE WHEN p[(k // 8) * 9 + (k % 8) + 2]
+                         > p[(k // 8) * 9 + (k % 8) + 1]
+                    THEN 1 ELSE 0 END) AS b
+      FROM px
+    ),
+    mdup AS (
+      SELECT DISTINCT b.doc_id
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(range(1, 65), k ->
+            CASE WHEN a.b[k] <> b.b[k] THEN 1 ELSE 0 END)) <= 4
+    )
+    SELECT fp.doc_id,
+           reasons = '' AS keep, reasons
+    FROM (
+      SELECT fp.doc_id, COALESCE(array_to_string(list_filter([
+               CASE WHEN fp.doc_id <> fp.keep_id THEN 'exact_dup' END,
+               CASE WHEN qual.lang NOT IN ('en', 'de', 'es') THEN 'lang' END,
+               CASE WHEN qual.quality_score < 1.0 THEN 'quality' END,
+               CASE WHEN rep.dup_word_permille > 599 THEN 'repetition' END,
+               CASE WHEN contam.id IS NOT NULL THEN 'contamination' END,
+               CASE WHEN mdup.doc_id IS NOT NULL THEN 'media_dup' END
+             ], x -> x IS NOT NULL), ','), '') AS reasons
+      FROM fp
+      JOIN qual ON fp.doc_id = qual.doc_id
+      JOIN rep ON fp.doc_id = rep.doc_id
+      LEFT JOIN contam ON fp.doc_id = contam.id
+      LEFT JOIN mdup ON fp.doc_id = mdup.doc_id
+    ) fp ORDER BY doc_id
+    """,
+    doc="Multimodal curation capstone (curation.multimodal_curation_"
+    "decisions): q99's decision table for a corpus where every document "
+    "also carries a thumbnail — one more reason, media_dup, when the "
+    "thumbnail is a perceptual near-dup (q129's pigeonhole-exact dHash "
+    "band join, Hamming <= 4) of an earlier document's. One decisions "
+    "table for the whole multimodal gate, the batch twin of the "
+    "CurationPipeline media stage (streaming/curation.py). Oracle "
+    "replays text signals + all-pairs exact Hamming; the Spark side is "
+    "banded — a hash match proves the banded candidate set complete.",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.operators import curation
+
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    media = _media_thumbs(corpus).withColumnRenamed("media_id", "doc_id")
+    return curation.multimodal_curation_decisions(
+        corpus, media, eval_set=bench, contamination_k=4
+    ).orderBy("doc_id")
+
+
+def _patch_bpe_oracle() -> None:
+    """Splice the canonical merge table into q131's oracle SQL so the
+    Spark operator and the DuckDB replay can never drift apart — one
+    source of truth (operators/bpe.py DEFAULT_MERGES)."""
+    from stream_cdc_spark.operators import bpe
+
+    spec = QUERIES["q131_bpe_token_stats"]
+    QUERIES["q131_bpe_token_stats"] = QuerySpec(
+        spec.name,
+        spec.builder,
+        spec.oracle.replace("__BPE_MERGES__", bpe.oracle_merge_values()),
+        spec.headline,
+        spec.doc,
+    )
+
+
+_patch_bpe_oracle()
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -5772,12 +5942,94 @@ _DRIVER_WINDOW_R7 = [
 
 assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
 
+# Driver verification window, round 8 — rotation policy unchanged (no
+# query's most-recent driver-green row older than two rounds):
+#  (1) the 37 queries whose latest driver-green dates to r5 (the round-7
+#      verdict's task-1 list: q02-q05, q08, q09, q11, q12, q16, q17,
+#      q23, q28-q30, q32, q33, q35-q42, q44-q46, q50, q52, q56, q64,
+#      q111, q118-q121, q123) lead the window — several sit on code
+#      touched since (dedup.py, similarity.py, text.py);
+#  (2) NEW this round: q131 (BPE tokenizer application, operators/
+#      bpe.py) and q132 (multimodal curation decisions — the media_dup
+#      reason), never driver-green;
+#  (3) anchors for code changed THIS round: q110 + q99 (their statedir
+#      state layer gained bucketed L1 deltas / per-bucket major folds
+#      and the strict manifest mode), q124 (the streaming percentile
+#      gate's unseen-group policy changed), q129 (dhash_bands now also
+#      feeds the CurationPipeline media stage);
+#  (4) headline-bench continuity anchors, prioritizing the four whose
+#      latest green is r6 (q14, q15, q25, q34) plus the heaviest r7
+#      plans (q13, q24, q27) so every perf-critical bench query is
+#      value-verified at most one round from when it is timed; the
+#      remaining headliners (q01, q03, q07, q10, q19, q31, q48, q51,
+#      q66) are r7-green — one round old — and rotate back in r9.
+#  Displaced r6/r7-green families remain value-checked every session by
+#  tests/test_queries_oracle.py.
+_DRIVER_WINDOW_R8 = [
+    # (1) 37 stale r5-green queries:
+    "q02_classify_count",
+    "q03_log_compaction",
+    "q04_last_position",
+    "q05_batch_assembly",
+    "q08_delete_anti_join",
+    "q09_changed_keys_semi_join",
+    "q11_scalar_pipeline",
+    "q12_consumer_dedup",
+    "q16_top_k_orders",
+    "q17_set_intersect",
+    "q23_doc_fingerprint",
+    "q28_simhash_near_pairs",
+    "q29_ann_lsh_topk",
+    "q30_embedding_near_dup",
+    "q32_running_total",
+    "q33_lag_delta",
+    "q35_having_filter",
+    "q36_set_except",
+    "q37_pivot_counts",
+    "q38_discrete_percentiles",
+    "q39_near_dedup_filter",
+    "q40_token_frequencies",
+    "q41_regex_tokens",
+    "q42_vector_stats",
+    "q44_ivf_ann_topk",
+    "q45_date_rollup",
+    "q46_above_customer_avg",
+    "q50_string_pipeline",
+    "q52_range_join",
+    "q56_scd2_history",
+    "q64_dedup_components",
+    "q111_containment_pairs",
+    "q118_snapshot_as_of",
+    "q119_vocab_coverage",
+    "q120_quality_report",
+    "q121_snapshot_delta",
+    "q123_mixture_weights",
+    # (2) new this round:
+    "q131_bpe_token_stats",
+    "q132_multimodal_curation_decisions",
+    # (3) round-8 code-change anchors:
+    "q110_incremental_dedup",
+    "q99_curation_decisions",
+    "q124_quality_percentile_gate",
+    "q129_phash_near_dup",
+    # (4) headline-bench continuity:
+    "q13_tpch_q1",
+    "q14_tpch_q3",
+    "q15_star_join_revenue",
+    "q24_ngram_jaccard_pairs",
+    "q25_ann_bruteforce_topk",
+    "q27_minhash_lsh_pairs",
+    "q34_tpch_q6",
+]
+
+assert len(_DRIVER_WINDOW_R8) == 50, len(_DRIVER_WINDOW_R8)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R7. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R8. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R7)
+_window = set(_DRIVER_WINDOW_R8)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R7},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R8},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

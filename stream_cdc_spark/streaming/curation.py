@@ -13,7 +13,20 @@ compaction — streaming/statedir.py):
     decisions/batch=<id>/   (doc_id, keep, reason, dup_of)
     kept/batch=<id>/        admitted documents (the curated corpus)
     index/batch=<id>/       (id, band, key) band-key increments
+    media_sigs/batch=<id>/  (doc_id, bands) dHash sigs of ADMITTED docs
+    media_index/batch=<id>/ (doc_id, band_idx, band_val) their band index
     */compact=<w>/          compacted snapshot of all batches < w
+
+The media_* tables exist only in multimodal mode (``media_blob_col``
+set): each micro-batch's quality survivors are then ALSO gated against
+the admitted corpus' perceptual dHash index (the q129/q132 signal,
+pigeonhole-exact recall) before text dedup — one foreachBatch pass, one
+decisions table, with ``media_dup`` as the reason and the matched
+earlier id as dup_of. In-batch peers compare min-id-representative
+(earlier-id quality survivors), cross-batch against admitted docs only
+— the same chained-greedy/min-id hybrid as the text admission, so the
+whole multimodal gate has a deterministic batch twin
+(tests/test_curation_stream.py restart-equality).
 
 Exactly-once without sink transactions: every write is an OVERWRITE of
 the current batch's own subdirectory, and state reads exclude subdirs
@@ -53,6 +66,8 @@ from stream_cdc_spark.streaming import statedir
 KEPT_SCHEMA = "doc_id bigint, text string"
 INDEX_SCHEMA = "id bigint, band int, key bigint"
 DECISIONS_SCHEMA = "doc_id bigint, keep boolean, reason string, dup_of bigint"
+MEDIA_SIGS_SCHEMA = "doc_id bigint, bands array<int>"
+MEDIA_INDEX_SCHEMA = "doc_id bigint, band_idx int, band_val int"
 
 
 def _subdirs_before(root: str, batch_id: int) -> list[str]:
@@ -90,8 +105,18 @@ class CurationPipeline:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        media_blob_col: str | None = None,
+        media_grid_w: int = 9,
+        media_grid_h: int = 8,
+        media_max_hamming: int = 4,
+        media_n_bands: int = 8,
         fs: statedir.LocalFS | None = None,
     ):
+        if media_blob_col is not None and media_n_bands <= media_max_hamming:
+            raise ValueError(
+                f"recall guarantee needs media_n_bands > media_max_hamming "
+                f"(got {media_n_bands} bands, threshold {media_max_hamming})"
+            )
         self.state_dir = state_dir
         # protocol-metadata filesystem for the statedir commit protocol
         # (None = local/HDFS default; inject an object-store client for
@@ -100,6 +125,16 @@ class CurationPipeline:
         self.decisions_dir = os.path.join(state_dir, "decisions")
         self.kept_dir = os.path.join(state_dir, "kept")
         self.index_dir = os.path.join(state_dir, "index")
+        # multimodal mode (module doc): perceptual dHash admission
+        # between the quality gate and text dedup, state shared under
+        # the same root / commit protocol
+        self.media_blob_col = media_blob_col
+        self.media_grid_w = media_grid_w
+        self.media_grid_h = media_grid_h
+        self.media_max_hamming = media_max_hamming
+        self.media_n_bands = media_n_bands
+        self.media_sigs_dir = os.path.join(state_dir, "media_sigs")
+        self.media_index_dir = os.path.join(state_dir, "media_index")
         self.id_col = id_col
         self.text_col = text_col
         self.threshold_ppm = threshold_ppm
@@ -140,15 +175,93 @@ class CurationPipeline:
         return self._read(spark, self.decisions_dir, DECISIONS_SCHEMA, 1 << 62)
 
     def _compact(self, spark, batch_id: int) -> None:
-        for root, schema in (
+        plans = [
             (self.decisions_dir, DECISIONS_SCHEMA),
             (self.kept_dir, KEPT_SCHEMA),
             (self.index_dir, INDEX_SCHEMA),
-        ):
+        ]
+        if self.media_blob_col is not None:
+            plans += [
+                (self.media_sigs_dir, MEDIA_SIGS_SCHEMA),
+                (self.media_index_dir, MEDIA_INDEX_SCHEMA),
+            ]
+        for root, schema in plans:
             statedir.maybe_compact(
                 spark, root, schema, batch_id, every=self.compact_every,
                 major_every=self.major_every, fs=self.fs,
             )
+
+    def _media_gate(self, spark, qual_ok: DataFrame, batch_id: int):
+        """The perceptual admission stage (multimodal mode): returns
+        (sigs_new, media_rejected) — the batch's pinned signatures and
+        the (doc_id, dup_of) rows it rejects — or None when no quality
+        survivor carries a blob. Plan shape mirrors
+        MediaDedupSnapshot._build: batch side broadcasts everywhere, the
+        corpus-side index is read in place, pixel bytes never leave the
+        signature UDF."""
+        from stream_cdc_spark.operators.multimodal import dhash_bands
+
+        mcol = self.media_blob_col
+        m = qual_ok.filter(F.col(mcol).isNotNull()).select("doc_id", mcol)
+        sigs_new = dhash_bands(
+            m, "doc_id", mcol,
+            self.media_grid_w, self.media_grid_h, self.media_n_bands,
+        ).withColumnRenamed("id", "doc_id")
+        if not sigs_new.take(1):
+            return None
+        # pinned: feeds the band explode, the verify join, and the commit
+        sigs_new = sigs_new.localCheckpoint(eager=True)
+        index_new = sigs_new.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+        )
+        state_sigs = self._read(
+            spark, self.media_sigs_dir, MEDIA_SIGS_SCHEMA, batch_id
+        )
+        state_index = self._read(
+            spark, self.media_index_dir, MEDIA_INDEX_SCHEMA, batch_id
+        )
+        # candidates: vs the ADMITTED corpus, and vs earlier-id quality
+        # survivors of this batch (min-id representative — module doc)
+        cand_corpus = (
+            state_index.withColumnRenamed("doc_id", "other_id")
+            .join(F.broadcast(index_new), ["band_idx", "band_val"])
+            .select("doc_id", "other_id")
+        )
+        cand_batch = (
+            index_new.withColumnRenamed("doc_id", "other_id")
+            .join(F.broadcast(index_new), ["band_idx", "band_val"])
+            .filter(F.col("other_id") < F.col("doc_id"))
+            .select("doc_id", "other_id")
+        )
+        cand = (
+            cand_corpus.unionByName(cand_batch)
+            .dropDuplicates(["doc_id", "other_id"])
+        )
+        sigs_all = state_sigs.unionByName(sigs_new)
+        half = F.broadcast(cand).join(
+            sigs_all.select("doc_id", F.col("bands").alias("ba")), "doc_id"
+        )
+        pairs = F.broadcast(half).join(
+            sigs_all.select(
+                F.col("doc_id").alias("other_id"), F.col("bands").alias("bb")
+            ),
+            "other_id",
+        )
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col("ba"), F.col("bb"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        media_rejected = (
+            pairs.filter(hamming <= F.lit(int(self.media_max_hamming)))
+            .groupBy("doc_id")
+            .agg(F.min("other_id").cast("bigint").alias("dup_of"))
+            .localCheckpoint(eager=True)
+        )
+        return sigs_new, media_rejected
 
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -162,11 +275,14 @@ class CurationPipeline:
         # the eager localCheckpoint each action re-reads the source and
         # re-computes the projection (measured 18 source re-reads per
         # micro-batch via StreamingMetricsListener, ~5x the sink wall).
+        cols = [
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        ]
+        if self.media_blob_col is not None:
+            cols.append(F.col(self.media_blob_col))
         docs = (
-            batch_df.select(
-                F.col(self.id_col).cast("long").alias("doc_id"),
-                F.col(self.text_col).alias("text"),
-            )
+            batch_df.select(*cols)
             .dropDuplicates(["doc_id"])
             .localCheckpoint(eager=True)
         )
@@ -174,6 +290,23 @@ class CurationPipeline:
             return
         qual_ok = docs.filter(self.quality_predicate)
         qual_bad = docs.join(qual_ok, "doc_id", "left_anti")
+
+        # multimodal mode: perceptual admission between the quality gate
+        # and text dedup (module doc); docs without a blob pass through
+        media_built = (
+            self._media_gate(spark, qual_ok, batch_id)
+            if self.media_blob_col is not None
+            else None
+        )
+        if media_built is not None:
+            media_sigs_new, media_rejected = media_built
+            qual_ok = qual_ok.join(
+                media_rejected.select("doc_id"), "doc_id", "left_anti"
+            )
+        else:
+            media_sigs_new, media_rejected = None, None
+        # downstream (text dedup, kept/) is text-shaped regardless of mode
+        qual_ok = qual_ok.select("doc_id", "text")
 
         corpus = self._read(spark, self.kept_dir, KEPT_SCHEMA, batch_id)
         # NOTE: no forced schema on the index read — the LSH parameter
@@ -203,6 +336,15 @@ class CurationPipeline:
                 "dup_of",
             )
         )
+        if media_rejected is not None:
+            decisions = decisions.unionByName(
+                media_rejected.select(
+                    "doc_id",
+                    F.lit(False).alias("keep"),
+                    F.lit("media_dup").alias("reason"),
+                    "dup_of",
+                )
+            )
         decisions.coalesce(self.commit_files).write.mode("overwrite").parquet(
             statedir.batch_dir(self.decisions_dir, batch_id)
         )
@@ -217,6 +359,30 @@ class CurationPipeline:
         ).coalesce(self.commit_files).write.mode("overwrite").parquet(
             statedir.batch_dir(self.index_dir, batch_id)
         )
+        if self.media_blob_col is not None:
+            # media state holds ADMITTED docs only (cross-batch media
+            # comparisons are chained-greedy against the kept corpus)
+            adm_sigs = (
+                media_sigs_new.join(
+                    admitted.select("doc_id"), "doc_id", "left_semi"
+                )
+                if media_sigs_new is not None
+                else spark.createDataFrame([], MEDIA_SIGS_SCHEMA)
+            )
+
+            def commit(df: DataFrame, root: str) -> None:
+                df.coalesce(self.commit_files).write.mode(
+                    "overwrite"
+                ).parquet(statedir.batch_dir(root, batch_id))
+
+            commit(adm_sigs, self.media_sigs_dir)
+            commit(
+                adm_sigs.select(
+                    "doc_id",
+                    F.posexplode("bands").alias("band_idx", "band_val"),
+                ),
+                self.media_index_dir,
+            )
 
     def sink(self):
         """The foreachBatch callable for writeStream."""

@@ -33,18 +33,28 @@ a partial dir complete with its _SUCCESS marker). Instead:
   3. the writer PUTs a sibling manifest object ``compact=<W>.commit``
      listing the snapshot's data files. A single-object put is atomic on
      every backend (S3 PUT, GCS, HDFS create, POSIX rename of one file)
-     — the reference's conditional-write checkpoint item gives the same
+     — the reference's single-item checkpoint put gives the same
      single-object atomicity point (stream_cdc/state/dynamodb.py:76-91).
 
 A compact/delta dir is VALID iff its manifest exists (legacy tier: dirs
 published by the pre-r7 rename protocol carry ``_SUCCESS`` and no
 manifest; they are accepted and healed — given a manifest — by the next
 compaction pass. The legacy rule is sound for them because they were
-only ever produced where dir rename IS atomic). Readers of a manifested
-dir read EXACTLY the files the manifest names, so stray objects from a
-torn earlier overwrite attempt can never leak into a read. A dir with
-neither marker is a torn publish: never read, deleted by the next
-compaction attempt.
+only ever produced where dir rename IS atomic. One documented legacy
+window remains: an INTERRUPTED pre-r7 ``shutil.rmtree`` of a published
+dir deletes files in arbitrary order, so ``_SUCCESS`` can outlive some
+data files — such a dir sits strictly below a valid cover and is never
+read, and the heal step refuses to stamp a manifest on one that lost
+ALL its data files; a partially-emptied one can still be healed but
+stays cover-excluded forever, so no read is affected either way. A
+deployment that asserts object-store semantics from day one sets
+``strict=True`` on its ``StateFS`` and the legacy tier is refused
+outright: ``_SUCCESS``-only dirs are treated as torn — never read,
+never healed, deleted by the next compaction pass). Readers of a
+manifested dir read EXACTLY the files the manifest names, so stray
+objects from a torn earlier overwrite attempt can never leak into a
+read. A dir with neither marker is a torn publish: never read, deleted
+by the next compaction attempt.
 
 Deletion of a published dir removes the manifest FIRST, then _SUCCESS,
 then the files — a crash mid-delete therefore leaves either a still-
@@ -132,7 +142,14 @@ class LocalFS:
     (single-object put — atomic on S3/GCS/HDFS/POSIX alike); there is
     deliberately no directory-rename operation. Spark's own data writes
     do not pass through here — they are guarded by the manifest, not by
-    any filesystem property."""
+    any filesystem property.
+
+    ``strict`` asserts the deployment never ran the pre-r7 rename
+    protocol (e.g. a from-scratch object-store state root): the legacy
+    ``_SUCCESS``-only acceptance tier is disabled — manifestless dirs
+    are torn, full stop (module doc)."""
+
+    strict = False
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path) if os.path.isdir(path) else []
@@ -186,16 +203,25 @@ def _manifest_path(dir_path: str) -> str:
 
 def _is_valid(fs: LocalFS, dir_path: str) -> bool:
     """Manifest = committed; _SUCCESS-only = legacy rename-protocol
-    publish (pre-r7 layouts; healed by the next compaction pass)."""
-    return fs.exists(_manifest_path(dir_path)) or fs.exists(
-        os.path.join(dir_path, _SUCCESS)
-    )
+    publish (pre-r7 layouts; healed by the next compaction pass) —
+    refused entirely when the fs asserts ``strict`` (no legacy history
+    exists, so a manifestless dir can only be torn)."""
+    if fs.exists(_manifest_path(dir_path)):
+        return True
+    if getattr(fs, "strict", False):
+        return False
+    return fs.exists(os.path.join(dir_path, _SUCCESS))
 
 
-def _publish_manifest(fs: LocalFS, dest: str) -> None:
+def _publish_manifest(
+    fs: LocalFS, dest: str, bucket_spec: dict | None = None
+) -> None:
     """Commit ``dest``: ensure _SUCCESS (never trust the committer config
     to have written one), then atomically put the manifest naming the
-    data files. The manifest put is the commit point."""
+    data files. The manifest put is the commit point. ``bucket_spec``
+    ({'cols': [...], 'n': int}) records that the dir was written as a
+    Spark-bucketed layout, so the next major fold can read it one-
+    partition-per-bucket and merge without re-shuffling it."""
     if not fs.exists(os.path.join(dest, _SUCCESS)):
         fs.touch(os.path.join(dest, _SUCCESS))
     files = [
@@ -203,10 +229,17 @@ def _publish_manifest(fs: LocalFS, dest: str) -> None:
         for n in fs.list_files(dest)
         if not n.startswith(("_", "."))
     ]
-    fs.put_text(
-        _manifest_path(dest),
-        json.dumps({"files": files, "n_files": len(files)}),
-    )
+    payload: dict = {"files": files, "n_files": len(files)}
+    if bucket_spec:
+        payload["bucket"] = bucket_spec
+    fs.put_text(_manifest_path(dest), json.dumps(payload))
+
+
+def _manifest_info(fs: LocalFS, dir_path: str) -> dict | None:
+    mp = _manifest_path(dir_path)
+    if not fs.exists(mp):
+        return None
+    return json.loads(fs.read_text(mp))
 
 
 def _data_paths(fs: LocalFS, dir_path: str) -> list[str]:
@@ -362,7 +395,15 @@ def compact(
     a snapshot-side Exchange (tests/test_bucketing.py). The bucketed
     publish commits through the same manifest protocol (saveAsTable
     writes the final location directly; the manifest put makes it
-    visible)."""
+    visible). When the chain's snapshot and deltas were THEMSELVES
+    written bucketed with the same spec (compact_minor with bucket_cols
+    — their manifests record it), the fold reads each of them one-
+    partition-per-bucket and merges per bucket: no Exchange over total
+    state, output file count bounded by num_buckets * chain length
+    (plus the small unbucketed batch tail). Only the tail ever pays a
+    (tiny) bucket routing; total state is read and rewritten in place.
+    Size ``num_buckets`` to the target fold parallelism — the per-bucket
+    merge runs one task per bucket per chain dir."""
     fs = fs or _DEFAULT_FS
     _reconcile(root, fs)
     compacts, batches, deltas = _scan(root, fs)
@@ -381,27 +422,49 @@ def compact(
     # empty, and the folded dirs fall into the stale cleanup below.
     published = False
     if fold_batches or fold_deltas:
-        df = read_state(spark, root, schema, batch_id, fs)
-        if transform is not None:
-            df = transform(df)
         dest = os.path.join(root, f"compact={batch_id:09d}")
         if bucket_cols:
+            df, tmp_tables = _fold_input(
+                spark, root, schema, batch_id, fs,
+                list(bucket_cols), num_buckets,
+            )
+            if transform is not None:
+                df = transform(df)
             name = table_name or _default_table_name(root)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             fs.rmtree(dest)
-            (
-                df.write.mode("overwrite")
-                .format("parquet")
-                .bucketBy(num_buckets, *bucket_cols)
-                .sortBy(*bucket_cols)
-                .option("path", dest)
-                .saveAsTable(name)
+            auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            prev_auto = spark.conf.get(auto_key, "true")
+            # force one-partition-per-bucket scans of the chain for the
+            # duration of the fold job, so each write task holds exactly
+            # one bucket and emits exactly one file — the per-bucket
+            # merge (auto mode would fall back to size splits here
+            # because the write alone doesn't "benefit" from bucketing)
+            spark.conf.set(auto_key, "false")
+            try:
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(num_buckets, *bucket_cols)
+                    .sortBy(*bucket_cols)
+                    .option("path", dest)
+                    .saveAsTable(name)
+                )
+            finally:
+                spark.conf.set(auto_key, prev_auto)
+                for t in tmp_tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _publish_manifest(
+                fs, dest, {"cols": list(bucket_cols), "n": num_buckets}
             )
         else:
+            df = read_state(spark, root, schema, batch_id, fs)
+            if transform is not None:
+                df = transform(df)
             # data lands at its FINAL path; unreadable until the
             # manifest commits it (never a dir rename — module doc)
             df.write.mode("overwrite").parquet(dest)
-        _publish_manifest(fs, dest)
+            _publish_manifest(fs, dest)
         published = True
         stale_batches = [p for i, p in batches.items() if i < batch_id]
         stale_deltas = [p for (lo, hi), p in deltas.items() if hi <= batch_id]
@@ -419,6 +482,9 @@ def compact_minor(
     schema: str,
     batch_id: int,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    bucket_cols: list[str] | None = None,
+    num_buckets: int = 32,
+    table_name: str | None = None,
     fs: LocalFS | None = None,
 ) -> bool:
     """L1 fold: publish ``delta=<cover>-<batch_id>`` holding exactly the
@@ -427,7 +493,14 @@ def compact_minor(
     deltas are not re-read. Same manifest commit and read-exclusion rules
     as ``compact``; ``transform`` must be the same read-equivalent
     reduction (a delta holding partially-reduced increments still reads
-    correctly because readers aggregate)."""
+    correctly because readers aggregate).
+
+    ``bucket_cols`` writes the delta PRE-BUCKETED by the same spec as the
+    snapshot tier (one small O(recent) shuffle — exactly num_buckets
+    output files) and records the spec in its manifest, so the next
+    major fold merges it per-bucket instead of re-shuffling total state
+    (``compact`` doc). The catalog entry is dropped right after the
+    write — the delta is addressed by its manifest, not by name."""
     fs = fs or _DEFAULT_FS
     _reconcile(root, fs)
     compacts, batches, deltas = _scan(root, fs)
@@ -445,11 +518,108 @@ def compact_minor(
     if transform is not None:
         df = transform(df)
     dest = os.path.join(root, f"delta={cover:09d}-{batch_id:09d}")
-    df.write.mode("overwrite").parquet(dest)
-    _publish_manifest(fs, dest)
+    if bucket_cols:
+        name = (
+            f"{table_name or _default_table_name(root)}"
+            f"_delta_{cover:09d}_{batch_id:09d}"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        fs.rmtree(dest)
+        (
+            # repartition by the bucket hash so each task holds exactly
+            # one bucket -> exactly num_buckets files; the shuffle moves
+            # only this delta's O(recent) rows, never total state
+            df.repartition(num_buckets, *bucket_cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", dest)
+            .saveAsTable(name)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")  # external: files stay
+        _publish_manifest(
+            fs, dest, {"cols": list(bucket_cols), "n": num_buckets}
+        )
+    else:
+        df.write.mode("overwrite").parquet(dest)
+        _publish_manifest(fs, dest)
     for _, p in fold:
         fs.rmtree(p)
     return True
+
+
+def _bucket_aligned(
+    fs: LocalFS, dir_path: str, bucket_cols: list[str], num_buckets: int
+) -> bool:
+    """True iff ``dir_path``'s manifest records exactly this bucket spec
+    AND the dir's data files are exactly the manifest's (a stray file
+    from a torn earlier overwrite would leak into a table-location scan,
+    so such a dir falls back to the manifest path read)."""
+    info = _manifest_info(fs, dir_path)
+    if not info:
+        return False
+    b = info.get("bucket")
+    if not b or b.get("cols") != bucket_cols or b.get("n") != num_buckets:
+        return False
+    actual = [n for n in fs.list_files(dir_path) if not n.startswith(("_", "."))]
+    return sorted(actual) == sorted(info["files"])
+
+
+def _fold_input(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_id: int,
+    fs: LocalFS,
+    bucket_cols: list[str],
+    num_buckets: int,
+) -> tuple[DataFrame, list[str]]:
+    """The major fold's read set (identical rows to ``read_state``), with
+    every bucket-aligned chain dir (snapshot + pre-bucketed deltas) read
+    as a registered bucketed table so the fold scans it one-partition-
+    per-bucket and the bucketed rewrite merges per bucket with NO
+    Exchange over total state; only the unbucketed batch tail (and any
+    legacy/unaligned dir) is path-read and pays bucket routing. Returns
+    (df, temp table names to drop after the fold job)."""
+    compacts, batches, deltas = _scan(root, fs)
+    chain, cover = _chain(compacts, deltas, batch_id)
+    parts: list[DataFrame] = []
+    plain_paths: list[str] = []
+    tmp_tables: list[str] = []
+    base = _default_table_name(root)
+    for d in chain:
+        if _bucket_aligned(fs, d, bucket_cols, num_buckets):
+            name = base + "_fold_" + re.sub(
+                r"[^A-Za-z0-9_]", "_", os.path.basename(d)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            cols = ", ".join(bucket_cols)
+            spark.sql(
+                f"CREATE TABLE {name} ({schema}) USING PARQUET "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {num_buckets} BUCKETS "
+                f"LOCATION '{os.path.abspath(d)}'"
+            )
+            tmp_tables.append(name)
+            parts.append(spark.table(name))
+        else:
+            plain_paths.extend(_data_paths(fs, d))
+    plain_paths.extend(
+        p for i, p in sorted(batches.items()) if cover <= i < batch_id
+    )
+    if plain_paths:
+        try:
+            parts.append(spark.read.parquet(*plain_paths))
+        except Exception:
+            # every plain dir is file-less (legacy empty-batch commits)
+            parts.append(spark.read.schema(schema).parquet(*plain_paths))
+    if not parts:
+        return spark.createDataFrame([], schema), tmp_tables
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, tmp_tables
 
 
 def _reconcile(root: str, fs: LocalFS) -> None:
@@ -460,8 +630,16 @@ def _reconcile(root: str, fs: LocalFS) -> None:
       rename-protocol dir) — finish the commit by writing the manifest.
       Sound because under the manifest protocol no dir copy ever occurs,
       so _SUCCESS can only be present on a dir our own writer completed.
+      Legacy caveat: a pre-r7 ``shutil.rmtree`` interrupted mid-delete
+      removes files in arbitrary order, so _SUCCESS can survive the
+      data; a dir that lost ALL its data files is therefore treated as
+      torn, not healed (one with a partial remainder stays below the
+      valid cover that justified its deletion, so it is never read —
+      module doc). Under a ``strict`` fs there is no legacy tier at all:
+      every manifestless dir is torn.
     * CLEAN: legacy temp dirs and dirs with neither marker are torn
       publishes — unreadable by rule, deleted here."""
+    strict = getattr(fs, "strict", False)
     for n in fs.listdir(root) if fs.isdir(root) else []:
         path = os.path.join(root, n)
         if n.endswith(".inprogress"):
@@ -477,10 +655,18 @@ def _reconcile(root: str, fs: LocalFS) -> None:
         if _COMPACT_RE.match(n) or _DELTA_RE.match(n):
             if fs.exists(_manifest_path(path)):
                 continue
-            if fs.exists(os.path.join(path, _SUCCESS)):
+            has_data = any(
+                not f.startswith(("_", "."))
+                for f in fs.list_files(path)
+            )
+            if (
+                not strict
+                and has_data
+                and fs.exists(os.path.join(path, _SUCCESS))
+            ):
                 _publish_manifest(fs, path)
             else:
-                fs.rmtree(path)
+                _delete_published(fs, path)
 
 
 def maybe_compact(
@@ -516,7 +702,17 @@ def maybe_compact(
         # this fold would make the chain major_every long — fold it all
         return compact(spark, root, schema, batch_id, fs=fs, **kwargs)
     return compact_minor(
-        spark, root, schema, batch_id, transform=kwargs.get("transform"), fs=fs
+        spark,
+        root,
+        schema,
+        batch_id,
+        transform=kwargs.get("transform"),
+        # deltas are written pre-bucketed by the snapshot tier's spec so
+        # the next major fold merges per-bucket (compact/compact_minor doc)
+        bucket_cols=kwargs.get("bucket_cols"),
+        num_buckets=kwargs.get("num_buckets", 32),
+        table_name=kwargs.get("table_name"),
+        fs=fs,
     )
 
 
@@ -564,17 +760,29 @@ def _default_table_name(root: str) -> str:
     return "statedir_" + re.sub(r"[^A-Za-z0-9_]", "_", root.strip("/"))
 
 
+def _count_files(fs: LocalFS, path: str) -> int:
+    """Recursive file count through the injectable fs (so an object-store
+    StateFS reports real numbers, not the 0 a local os.walk would see)."""
+    if not fs.isdir(path):
+        return 0
+    n = len(fs.list_files(path))
+    for child in fs.listdir(path):
+        cp = os.path.join(path, child)
+        if fs.isdir(cp):
+            n += _count_files(fs, cp)
+    return n
+
+
 def dir_counts(root: str, fs: LocalFS | None = None) -> dict[str, int]:
     """Metadata-size observability: {'compact': n, 'delta': n, 'batch':
     n, 'files': n} — the quantities compaction bounds (asserted flat in
-    the long-horizon bench)."""
+    the long-horizon bench). All four counts go through the injectable
+    fs, so an object-store StateFS reports them accurately."""
+    fs = fs or _DEFAULT_FS
     compacts, batches, deltas = _scan(root, fs)
-    files = 0
-    for _, _, fsn in os.walk(root):
-        files += len(fsn)
     return {
         "compact": len(compacts),
         "delta": len(deltas),
         "batch": len(batches),
-        "files": files,
+        "files": _count_files(fs, root),
     }

@@ -997,20 +997,35 @@ def apply_percentile_gate(
     thresholds: DataFrame,
     by: str = "lang",
     id_col: str = "doc_id",
+    admit_unseen: bool = True,
 ) -> DataFrame:
     """Gate one micro-batch against the current streamed thresholds:
-    score the batch (pure expressions), broadcast-join the |languages|-row
-    threshold relation, keep score >= threshold. The corpus side never
-    shuffles — the only exchange anywhere in the continuous gate is the
-    threshold aggregation's own state shuffle."""
+    score the batch (pure expressions), broadcast LEFT-join the
+    |languages|-row threshold relation, keep score >= threshold. The
+    corpus side never shuffles — the only exchange anywhere in the
+    continuous gate is the threshold aggregation's own state shuffle.
+
+    A group with no threshold row yet (a language first seen this
+    trigger, before the state aggregation has emitted its quantile) has
+    no defined cutoff; the policy is explicit: ``admit_unseen=True``
+    (default) admits such documents (threshold coalesces to -inf — the
+    gate only ever tightens once the group's quantile exists),
+    ``admit_unseen=False`` drops them (coalesce to +inf) for pipelines
+    that must never emit an ungated document."""
     from pyspark.sql import functions as F
 
     from stream_cdc_spark.operators.text import quality_features, quality_score
 
     scored = quality_score(quality_features(batch_df))
+    fallback = float("-inf") if admit_unseen else float("inf")
     return (
-        scored.join(F.broadcast(thresholds.select(by, "score_threshold")), by)
-        .filter(F.col("quality_score") >= F.col("score_threshold"))
+        scored.join(
+            F.broadcast(thresholds.select(by, "score_threshold")), by, "left"
+        )
+        .filter(
+            F.col("quality_score")
+            >= F.coalesce(F.col("score_threshold"), F.lit(fallback))
+        )
         .select(by, id_col, "quality_score")
     )
 

@@ -215,3 +215,212 @@ def test_curation_crash_between_state_writes_recovers(spark, tmp_path):
         for r in pipe.decisions(spark).collect()
     }[5]
     assert dec5 == (False, 4)  # near-dups the batch-1 survivor via the index
+
+
+# -- multimodal mode (media_blob_col): q132's streaming twin --------------
+
+def _py_thumb(text: str) -> bytes:
+    """The _media_thumbs raster in pure Python (md5 hex pair per word)."""
+    import hashlib
+
+    words = text.split(" ")
+    out = bytearray()
+    for i in range(72):
+        w = words[i] if i < len(words) else ""
+        out.append(int(hashlib.md5(w.encode()).hexdigest()[:2], 16))
+    return bytes(out)
+
+
+def _py_dhash(blob: bytes) -> int:
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (blob[r * 9 + c + 1] > blob[r * 9 + c])
+    return bits
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def _greedy_multimodal_reference(rows, blobs, slices, max_hamming=4):
+    """The batch twin of the multimodal pipeline: per micro-batch,
+    quality gate -> perceptual admission (vs kept corpus + earlier-id
+    quality survivors with blobs, min-id within batch) -> text near-dup
+    admission on the media survivors. Returns (kept, media_dropped)."""
+    sh = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        sh[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def jac(a, b):
+        sa, sb = sh[a], sh[b]
+        if not sa or not sb:
+            return 0.0
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter)
+
+    h = {i: _py_dhash(b) for i, b in blobs.items() if b is not None}
+    tok_ok = {
+        r["doc_id"] for r in rows if len(r["text"].split(" ")) >= MIN_TOKENS
+    }
+    kept: set[int] = set()
+    media_dropped: set[int] = set()
+    for batch_ids in slices:
+        ok = sorted(i for i in batch_ids if i in tok_ok)
+        m_ok = []
+        for did in ok:
+            if did in h and (
+                any(o in h and _hamming(h[did], h[o]) <= max_hamming
+                    for o in kept)
+                or any(o in h and _hamming(h[did], h[o]) <= max_hamming
+                       for o in ok if o < did)
+            ):
+                media_dropped.add(did)
+            else:
+                m_ok.append(did)
+        for did in m_ok:
+            dup = any(jac(did, o) >= THRESH for o in kept)
+            dup = dup or any(jac(did, o) >= THRESH for o in m_ok if o < did)
+            if not dup:
+                kept.add(did)
+    return kept, media_dropped
+
+
+def test_multimodal_curation_hand_example(spark, tmp_path):
+    """Gate precedence and state hygiene on a hand-computed batch pair:
+    identical raster -> media_dup (even though the text would also be a
+    near-dup), near-identical text with a distinct raster -> near_dup,
+    short text -> quality, no blob -> media gate bypassed; replay is
+    idempotent; media state carries ADMITTED docs only."""
+    from stream_cdc_spark.streaming.curation import (
+        MEDIA_SIGS_SCHEMA,
+        CurationPipeline,
+    )
+    from stream_cdc_spark.streaming import statedir
+
+    X = bytes(range(72))                      # strictly increasing
+    Y = bytes(72)                             # flat zero
+    Z = bytes(255 if i % 2 else 0 for i in range(72))  # alternating
+    state = str(tmp_path / "state")
+    pipe = CurationPipeline(state, min_tokens=2, media_blob_col="blob")
+    schema = "doc_id bigint, text string, blob binary"
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", X),
+            (2, "one two three four five", Y),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, "completely different words over here", X),  # media dup of 1
+            (4, "alpha beta gamma delta epsilon", Z),        # text dup of 1
+            (5, "short", X),                                  # quality
+            (6, "another unique document entirely fresh", None),  # no blob
+        ],
+        schema,
+    )
+    pipe.foreach_batch(b0, 0)
+    pipe.foreach_batch(b1, 1)
+    first = sorted(map(tuple, pipe.decisions(spark).collect()))
+    pipe.foreach_batch(b1, 1)  # replay: must be byte-identical
+    assert sorted(map(tuple, pipe.decisions(spark).collect())) == first
+    dec = {
+        r["doc_id"]: (r["keep"], r["reason"], r["dup_of"])
+        for r in pipe.decisions(spark).collect()
+    }
+    assert dec[1][0] and dec[2][0] and dec[6][0]
+    assert dec[3] == (False, "media_dup", 1)
+    assert dec[4] == (False, "near_dup", 1)
+    assert dec[5] == (False, "quality", None)
+    kept = sorted(r["doc_id"] for r in pipe.corpus(spark).collect())
+    assert kept == [1, 2, 6]
+    sigs = statedir.read_state(
+        spark, pipe.media_sigs_dir, MEDIA_SIGS_SCHEMA, 1 << 62
+    )
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 2]
+
+
+@pytest.mark.slow
+def test_multimodal_curation_restart_matches_reference(spark, tmp_path):
+    """q132's streaming twin end-to-end: drain a multimodal corpus (text
+    + deterministic raster thumbs, plus planted docs whose rasters match
+    an earlier doc's while their text does not) in two runs with a
+    checkpoint restart; kept corpus and media_dup set must equal the
+    chained batch reference exactly."""
+    from stream_cdc_spark.streaming.curation import CurationPipeline
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    base_rows = d.collect()
+    # plant: copies of the first 72 words of some docs with a fresh tail
+    # (identical raster, dissimilar text) — media_dup is the ONLY gate
+    # that can reject them
+    donors = sorted(r["doc_id"] for r in base_rows)[:3]
+    by_id = {r["doc_id"]: r["text"] for r in base_rows}
+    plant, off = [], 1_000_000
+    for j, did in enumerate(donors):
+        head = " ".join(by_id[did].split(" ")[:72])
+        tail = " ".join(f"planted{j}tok{i}" for i in range(40))
+        plant.append((off + did, head + " " + tail))
+    rows = [(r["doc_id"], r["text"]) for r in base_rows] + plant
+    rows = [{"doc_id": i, "text": t} for i, t in rows]
+    blobs = {r["doc_id"]: _py_thumb(r["text"]) for r in rows}
+
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    slices = [
+        sorted(r["doc_id"] for r in rows if r["doc_id"] % 4 == i)
+        for i in range(4)
+    ]
+    for i, ids in enumerate(slices):
+        sdf = spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"], blobs[r["doc_id"]])
+                for r in rows
+                if r["doc_id"] in set(ids)
+            ],
+            "doc_id bigint, text string, blob binary",
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(indir, f"slice={i}")
+        )
+
+    pipe = CurationPipeline(
+        state, min_tokens=MIN_TOKENS, media_blob_col="blob"
+    )
+
+    def run(n_slices):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string, blob binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/slice={" + ",".join(map(str, range(n_slices))) + "}")
+        )
+        q = (
+            stream.writeStream.foreachBatch(pipe.sink())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(2)
+    run(4)  # restart from checkpoint
+
+    kept = {r["doc_id"] for r in pipe.corpus(spark).collect()}
+    want_kept, want_media = _greedy_multimodal_reference(rows, blobs, slices)
+    got_media = {
+        r["doc_id"]
+        for r in pipe.decisions(spark).filter("reason = 'media_dup'").collect()
+    }
+    assert got_media == want_media
+    assert kept == want_kept
+    # the planted raster-twins must actually exercise the media gate
+    assert any(i >= 1_000_000 for i in want_media), "plants never fired"
+    dec = pipe.decisions(spark)
+    assert dec.count() == len(rows)
+    assert dec.select("doc_id").distinct().count() == len(rows)

@@ -79,63 +79,74 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round7_rotation():
+def test_driver_window_matches_round8_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-7 policy: the 30 queries whose latest driver-green row dates to
-    r4 lead (the round-6 verdict's task-2 list), then this round's
-    code-change anchors (q126/q127 ANSI guards, q99/q110 on the rewritten
-    manifest-commit statedir), the new q129, the r6-addition continuity
-    trio, and the 12 headline-bench continuity anchors (rationale above
-    _DRIVER_WINDOW_R7 in plans/queries.py). Everything outside the window
-    has an r5/r6 green driver row and stays value-checked by the repo
-    oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R7
+    Round-8 policy: the 37 queries whose latest driver-green row dates to
+    r5 lead (the round-7 verdict's task-1 list), then the two queries NEW
+    this round (q131 BPE, q132 multimodal curation), this round's
+    code-change anchors (q110/q99 on the bucketed-delta statedir, q124 on
+    the changed percentile-gate policy, q129 whose dhash feeds the
+    curation media stage), and 7 headline-bench continuity anchors
+    prioritizing the r6-green four (rationale above _DRIVER_WINDOW_R8 in
+    plans/queries.py). Everything outside the window has an r6/r7 green
+    driver row and stays value-checked by the repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R8
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R7) == 50
-    assert len(set(_DRIVER_WINDOW_R7)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R7
-    # the 30 stale r4-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R8) == 50
+    assert len(set(_DRIVER_WINDOW_R8)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R8
+    # the 37 stale r5-green queries all rotated in:
     stale_ids = (
-        [18, 43, 49, 53, 54, 55] + list(range(57, 64)) + list(range(69, 74))
-        + [88, 89] + list(range(100, 104)) + list(range(106, 110))
-        + [115, 116]
+        [2, 3, 4, 5, 8, 9, 11, 12, 16, 17, 23, 28, 29, 30, 32, 33]
+        + list(range(35, 43)) + [44, 45, 46, 50, 52, 56, 64, 111]
+        + list(range(118, 122)) + [123]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 30
-    assert set(stale) <= set(_DRIVER_WINDOW_R7)
+    assert len(stale) == 37
+    assert set(stale) <= set(_DRIVER_WINDOW_R8)
+    # the round-8 additions are in-window (never driver-green before r8):
+    assert {
+        "q131_bpe_token_stats",
+        "q132_multimodal_curation_decisions",
+    } <= set(_DRIVER_WINDOW_R8)
     # this round's code-change anchors are inside the window:
     assert {
-        "q126_zscore_anomaly",
-        "q127_centroid_similarity",
-        "q99_curation_decisions",
         "q110_incremental_dedup",
-    } <= set(_DRIVER_WINDOW_R7)
-    # the round-7 additions are in-window (never driver-green before r7):
-    assert {"q129_phash_near_dup", "q130_media_dup_clusters"} <= set(
-        _DRIVER_WINDOW_R7
-    )
-    # every headline bench query is value-verified in the round it's timed:
+        "q99_curation_decisions",
+        "q124_quality_percentile_gate",
+        "q129_phash_near_dup",
+    } <= set(_DRIVER_WINDOW_R8)
+    # every headline bench query is value-verified at most one round from
+    # when it is timed: the ones missing from this window are all
+    # r7-green (one round old); the r6-green four are in-window
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
-    missing = headline - set(_DRIVER_WINDOW_R7)
-    # q14/q15/q25/q34 went green in r6 (window hygiene: nothing older
-    # than two rounds) — the rest must be in-window this round
+    assert {
+        "q13_tpch_q1", "q14_tpch_q3", "q15_star_join_revenue",
+        "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
+        "q27_minhash_lsh_pairs", "q34_tpch_q6",
+    } <= set(_DRIVER_WINDOW_R8)
+    missing = headline - set(_DRIVER_WINDOW_R8)
     assert missing <= {
+        "q01_envelope_filter_project",
         "q02_classify_count",
         "q03_log_compaction",
-        "q14_tpch_q3",
-        "q15_star_join_revenue",
-        "q25_ann_bruteforce_topk",
-        "q34_tpch_q6",
+        "q07_cdc_apply_join",
+        "q10_hourly_window",
+        "q19_exact_dedup",
+        "q31_sessionization",
+        "q48_cdc_merge_apply",
+        "q51_asof_join",
+        "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 130
+    assert len(names) == len(set(names)) == 132
 
 
 def test_q69_q70_dims_broadcast(spark):

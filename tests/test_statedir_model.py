@@ -354,3 +354,92 @@ def test_random_interleavings_on_object_store_fake(spark, sd_root, ops):
                 fs.crash_after = None
         assert observed(head) == expected(head), (op, crash_after, head)
         assert observed(1 << 62) == expected(1 << 62), (op, crash_after, head)
+
+
+def test_strict_fs_refuses_success_only_dirs(spark, tmp_path):
+    """Object-store torn copy-then-delete hazard: a ``compact=`` dir can
+    surface with data files AND ``_SUCCESS`` but no manifest (e.g. a
+    partially-copied legacy dir — the exact shape a pre-r7 rename could
+    expose on S3). A strict fs asserts the deployment has no legacy
+    history, so such a dir must be (a) invisible to reads, (b) refused by
+    the heal step and deleted, never manifest-stamped."""
+    fs = ObjectStoreFS()
+    fs.strict = True
+    root = str(tmp_path / "strict")
+    os.makedirs(root)
+    for b in range(2):
+        spark.createDataFrame([(b, b)], SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(statedir.batch_dir(root, b))
+    # fabricate the torn-copy shape: real data files + _SUCCESS, no
+    # manifest — under the legacy tier this would be accepted and healed
+    fake = os.path.join(root, "compact=000000009")
+    spark.createDataFrame([(999, 999)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(fake)
+    assert os.path.exists(os.path.join(fake, "_SUCCESS"))
+    assert not os.path.exists(fake + ".commit")
+
+    # (a) never read: the fake snapshot must not shadow the batch dirs
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62, fs=fs).collect(),
+        )
+    )
+    assert got == [(0, 0), (1, 1)]
+    # (b) the next fold's reconcile deletes it instead of healing it
+    assert statedir.compact(spark, root, SCHEMA, 2, fs=fs)
+    assert not os.path.exists(fake)
+    assert not os.path.exists(fake + ".commit")
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62, fs=fs).collect(),
+        )
+    )
+    assert got == [(0, 0), (1, 1)]
+    # sanity: the same shape under a non-strict fs IS the legacy tier
+    # (healed, readable) — strictness is what changed the outcome
+    fs2 = ObjectStoreFS()
+    root2 = str(tmp_path / "legacy")
+    os.makedirs(root2)
+    fake2 = os.path.join(root2, "compact=000000009")
+    spark.createDataFrame([(999, 999)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(fake2)
+    got2 = sorted(
+        map(
+            tuple,
+            statedir.read_state(
+                spark, root2, SCHEMA, 1 << 62, fs=fs2
+            ).collect(),
+        )
+    )
+    assert got2 == [(999, 999)]
+
+
+def test_heal_refuses_data_less_legacy_dir(spark, tmp_path):
+    """A legacy dir whose interrupted rmtree left _SUCCESS but deleted
+    every data file must be treated as torn (deleted), not healed into a
+    manifested empty snapshot — stamping it would launder an incomplete
+    delete into a committed (empty) publish."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "dataless")
+    os.makedirs(root)
+    spark.createDataFrame([(0, 0)], SCHEMA).write.mode("overwrite").parquet(
+        statedir.batch_dir(root, 0)
+    )
+    husk = os.path.join(root, "compact=000000007")
+    os.makedirs(husk)
+    with open(os.path.join(husk, "_SUCCESS"), "w"):
+        pass  # mid-rmtree remainder: marker survived, data did not
+    assert statedir.compact(spark, root, SCHEMA, 1, fs=fs)
+    assert not os.path.exists(husk), "data-less legacy dir must be torn"
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62, fs=fs).collect(),
+        )
+    )
+    assert got == [(0, 0)]

@@ -525,12 +525,17 @@ def compact_minor(
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         fs.rmtree(dest)
+        # A wide delta first aligns partitions with buckets (one task per
+        # bucket -> exactly num_buckets files; the shuffle moves only
+        # this delta's O(recent) rows, never total state). A delta
+        # already narrower than the bucket count skips that stage — the
+        # bucketBy write routes rows per-task either way, file count
+        # stays <= partitions * touched buckets, and the major fold's
+        # forced bucketed scan reads any per-bucket file layout.
+        if df.rdd.getNumPartitions() > num_buckets:
+            df = df.repartition(num_buckets, *bucket_cols)
         (
-            # repartition by the bucket hash so each task holds exactly
-            # one bucket -> exactly num_buckets files; the shuffle moves
-            # only this delta's O(recent) rows, never total state
-            df.repartition(num_buckets, *bucket_cols)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(num_buckets, *bucket_cols)
             .sortBy(*bucket_cols)

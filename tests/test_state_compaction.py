@@ -303,3 +303,96 @@ def test_sinks_accept_injected_object_store_fs(spark, tmp_path):
     import glob
 
     assert glob.glob(os.path.join(str(tmp_path / "s3"), "*", "*.commit"))
+
+
+def test_bucketed_deltas_make_major_fold_a_per_bucket_merge(spark, tmp_path):
+    """Round-8 fold-cost fix: with bucket_cols, minor folds publish L1
+    deltas PRE-BUCKETED by the snapshot spec (manifest records it,
+    exactly num_buckets data files — only the O(recent) delta rows ever
+    shuffle), and the next major fold reads snapshot+deltas as forced
+    bucketed scans — 'Bucketed: true', one partition per bucket, ZERO
+    Exchange in the fold input — so total state is merged per bucket,
+    never re-shuffled, and the new snapshot's file count is bounded by
+    num_buckets * chain length (+ batch tail), not by input splits."""
+    import json
+
+    SCHEMA = "doc_id bigint, band int, key bigint"
+    NB = 4
+    root = str(tmp_path / "index")
+    fs = statedir._DEFAULT_FS
+
+    def batch(b, n=4000):
+        return spark.range(b * n, (b + 1) * n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 16).cast("int").alias("band"),
+            (F.col("id") % 997).alias("key"),
+        )
+
+    for b in range(4):
+        batch(b).coalesce(1).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, b)
+        )
+    # two bucketed minor folds
+    assert statedir.compact_minor(
+        spark, root, SCHEMA, 2, bucket_cols=["band", "key"], num_buckets=NB
+    )
+    assert statedir.compact_minor(
+        spark, root, SCHEMA, 4, bucket_cols=["band", "key"], num_buckets=NB
+    )
+    deltas = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("delta=") and not d.endswith(".commit")
+    )
+    assert len(deltas) == 2
+    for d in deltas:
+        p = os.path.join(root, d)
+        data = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+        # bounded by fold partitions (O(recent), here <= 2 batch files)
+        # x touched buckets — a wide delta would repartition to exactly
+        # one file per bucket first
+        assert len(data) <= 2 * NB, (d, data)
+        man = json.load(open(p + ".commit"))
+        assert man["bucket"] == {"cols": ["band", "key"], "n": NB}
+        assert sorted(man["files"]) == sorted(data)
+
+    # the major fold's input: every chain dir a bucketed scan, no Exchange
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        df, tmps = statedir._fold_input(
+            spark, root, SCHEMA, 4, fs, ["band", "key"], NB
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange" not in plan, plan
+        assert df.rdd.getNumPartitions() == 2 * NB  # one per bucket per dir
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        for t in tmps:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # two more (unbucketed tail) batches, then the major fold itself
+    for b in range(4, 6):
+        batch(b).coalesce(1).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, b)
+        )
+    assert statedir.compact(
+        spark, root, SCHEMA, 6, bucket_cols=["band", "key"], num_buckets=NB
+    )
+    snap = os.path.join(root, "compact=000000006")
+    data = [f for f in os.listdir(snap) if not f.startswith(("_", "."))]
+    # 2 bucketed chain dirs x NB one-bucket tasks + <= 2 tail tasks x NB
+    assert len(data) <= 4 * NB, len(data)
+    man = json.load(open(snap + ".commit"))
+    assert man["bucket"] == {"cols": ["band", "key"], "n": NB}
+    got = statedir.read_state(spark, root, SCHEMA, 1 << 62)
+    assert got.count() == 6 * 4000
+    assert got.select("doc_id").distinct().count() == 6 * 4000
+    # converged: nothing below the new snapshot survives
+    c = statedir.dir_counts(root)
+    assert (c["compact"], c["delta"], c["batch"]) == (1, 0, 0)

@@ -443,3 +443,71 @@ def test_heal_refuses_data_less_legacy_dir(spark, tmp_path):
         )
     )
     assert got == [(0, 0)]
+
+
+def test_object_store_crash_sweep_bucketed(spark, tmp_path):
+    """The round-8 bucketed tier (pre-bucketed L1 deltas, per-bucket
+    major folds) must satisfy the SAME crash-point invariant as the
+    plain protocol: sweep every metadata-mutation boundary of a bucketed
+    minor fold and a bucketed major fold (which now reads the delta as a
+    forced bucketed scan) — reads equal the model at every crash point,
+    folds eventually complete, layout converges."""
+    fs = ObjectStoreFS()
+    root = str(tmp_path / "s3bucketed")
+    os.makedirs(root)
+    model: dict[int, list[tuple[int, int]]] = {}
+    head = 0
+    BK = dict(bucket_cols=["id"], num_buckets=2)
+
+    def observed(batch_id):
+        return sorted(
+            map(
+                tuple,
+                statedir.read_state(
+                    spark, root, SCHEMA, batch_id, fs=fs
+                ).collect(),
+            )
+        )
+
+    def expected(batch_id):
+        return sorted(r for b, rows in model.items() if b < batch_id for r in rows)
+
+    def commit():
+        nonlocal head
+        rows = [(head * 10 + j, head) for j in range(2)]
+        spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, head)
+        )
+        model[head] = rows
+        head += 1
+
+    def crash_sweep(fn):
+        for k in range(200):
+            fs.ops = 0
+            fs.crash_after = k
+            try:
+                fn()
+                fs.crash_after = None
+                assert observed(head) == expected(head), ("done", k)
+                assert observed(1 << 62) == expected(1 << 62), ("done", k)
+                return k
+            except InjectedCrash:
+                fs.crash_after = None
+                assert observed(head) == expected(head), ("crash", k)
+                assert observed(1 << 62) == expected(1 << 62), ("crash", k)
+        raise AssertionError("fold never completed within 200 mutations")
+
+    for _ in range(2):
+        commit()
+    crash_sweep(
+        lambda: statedir.compact_minor(spark, root, SCHEMA, head, fs=fs, **BK)
+    )
+    for _ in range(2):
+        commit()
+    # bucketed major fold over bucketed delta + pending batches
+    crash_sweep(
+        lambda: statedir.compact(spark, root, SCHEMA, head, fs=fs, **BK)
+    )
+    c = statedir.dir_counts(root, fs=fs)
+    assert c["compact"] == 1 and c["delta"] == 0 and c["batch"] == 0
+    assert observed(1 << 62) == expected(1 << 62)

@@ -165,6 +165,83 @@ def bpe_token_stats(
     )
 
 
+def train_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM the corpus: ``n_merges`` iterations
+    of (count adjacent token pairs) -> (merge the most frequent pair
+    everywhere), the classic BPE training loop — distributed.
+
+    Each iteration is ONE map-side-combined aggregate over the corpus:
+    the token sequence is carried in the same delimiter-encoded string
+    as ``bpe_string`` (so "apply the merges so far" is the chained
+    replaces, all codegen), adjacent within-word pairs are derived by
+    pure array expressions (split on the word separator, then a sliding
+    zip — no pairs across words), and only (pair, count) rows ever
+    shuffle. The driver pulls exactly ONE row per iteration (the argmax
+    pair; ties broken by pair text, so training is deterministic and
+    engine-independent). Cost: n_merges corpus scans — vocabulary
+    building is an offline step; the scan is the irreducible part of
+    counting, and nothing here is quadratic.
+
+    Stops early when no pair reaches ``min_count`` (merging singletons
+    only memorizes the corpus). The result always satisfies
+    ``validate_merges`` — operands are chars or earlier results by
+    construction; a candidate whose concatenation collides with an
+    existing symbol is skipped (keeps the table well-formed, see module
+    doc) by excluding it from the count.
+    """
+    merges: list[tuple[str, str]] = []
+    known = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    for _ in range(n_merges):
+        s = bpe_string(F.col(text_col), merges)
+        # within-word adjacent pairs: words are ' '-separated, tokens
+        # inside a word are the [a-z]+ runs of its encoded form
+        words = F.split(s, " ")
+        toks = F.transform(
+            words, lambda w: F.regexp_extract_all(w, F.lit("[a-z]+"), 0)
+        )
+        pairs = F.flatten(
+            F.transform(
+                toks,
+                # sequence(1, 0) would DESCEND in Spark — guard the
+                # single-token word to an empty pair list instead
+                lambda t: F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+                        lambda i: F.concat_ws(
+                            " ", F.get(t, i - 1), F.get(t, i)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+        top = (
+            df.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(50)
+            .collect()
+        )
+        picked = None
+        for r in top:
+            left, right = r["pair"].split(" ", 1)
+            if r["c"] >= min_count and left + right not in known:
+                picked = (left, right, r["c"])
+                break
+        if picked is None:
+            break
+        left, right, _ = picked
+        merges.append((left, right))
+        known.add(left + right)
+    return validate_merges(merges)
+
+
 def oracle_merge_values(merges=DEFAULT_MERGES) -> str:
     """The merge table as a SQL VALUES list ``(rank, pat, rep)`` for the
     DuckDB recursive-CTE replay (plans/queries.py q131) — the oracle

@@ -122,3 +122,86 @@ def test_pack_sequences_budget_compliance_under_bpe_counts(spark):
     total_in = docs.agg(F.sum("n_bpe")).first()[0]
     assert stats.agg(F.sum("total_tokens")).first()[0] == total_in
     assert packed.count() == docs.count()
+
+
+def _py_train(texts, n_merges, min_count=2):
+    """Reference BPE trainer: same spec as bpe.train_merges (count
+    within-word adjacent pairs under merges-so-far, merge the argmax,
+    count desc then pair text asc, skip result collisions)."""
+    import re
+
+    merges = []
+    known = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+
+    def encode(word):
+        toks = list(word)
+        for left, right in merges:
+            out = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    words = []
+    for t in texts:
+        words += [w for w in re.sub("[^a-z]+", " ", t.lower()).split() if w]
+    for _ in range(n_merges):
+        counts = {}
+        for w in words:
+            toks = encode(w)
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        picked = None
+        for (a, b), c in ranked:
+            if c >= min_count and a + b not in known:
+                picked = (a, b)
+                break
+        if picked is None:
+            break
+        merges.append(picked)
+        known.add(picked[0] + picked[1])
+    return merges
+
+
+def test_train_merges_matches_python_reference(spark):
+    texts = [
+        "the cat sat on the mat with the hat",
+        "the bat and the rat ran at the cat",
+        "thin thick things think that the moth",
+        "standing understanding outstanding stands",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe.train_merges(df, n_merges=8)
+    want = _py_train(texts, 8)
+    assert got == want
+    # learned table is well-formed and actually compresses the corpus
+    base = df.select(
+        F.sum(bpe.bpe_token_count(F.col("text"), [])).alias("n")
+    ).first()["n"]
+    trained = df.select(
+        F.sum(bpe.bpe_token_count(F.col("text"), got)).alias("n")
+    ).first()["n"]
+    assert trained < base
+    assert bpe.validate_merges(got) == got
+
+
+def test_train_merges_stops_when_pairs_go_rare(spark):
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    # every pair occurs once < min_count=2 -> no merges learned
+    assert bpe.train_merges(df, n_merges=5, min_count=2) == []
+    # with min_count=1 it learns something, deterministically
+    got = bpe.train_merges(df, n_merges=2, min_count=1)
+    assert got == _py_train(["ab cd ef"], 2, min_count=1)

@@ -72,6 +72,12 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     }
     if pipeline == "lsh_dedup" and os.environ.get("LSH_BUCKETED", "0") == "1":
         sink_kw["bucketed"] = True
+    # MEDIA_BLOB_COL=<col>: multimodal curation — the feed also carries a
+    # thumbnail blob column and the sink runs the q132 perceptual
+    # admission between the quality gate and text dedup
+    media_blob = os.environ.get("MEDIA_BLOB_COL", "")
+    if pipeline == "curation" and media_blob:
+        sink_kw["media_blob_col"] = media_blob
 
     sink = sink_registry.create(
         pipeline, state_dir=state_dir, min_tokens=min_tokens, **sink_kw
@@ -89,11 +95,16 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
         else "*.parquet"
     )
     docs_glob = os.environ.get("DOCS_GLOB", default_glob)
+    feed_schema = "doc_id bigint, text string"
+    feed_cols = ["doc_id", "text"]
+    if pipeline == "curation" and media_blob:
+        feed_schema += f", {media_blob} binary"
+        feed_cols.append(media_blob)
     stream = (
-        spark.readStream.schema("doc_id bigint, text string")
+        spark.readStream.schema(feed_schema)
         .option("pathGlobFilter", docs_glob)
         .parquet(docs_path)
-        .select("doc_id", "text")
+        .select(*feed_cols)
     )
     writer = (
         stream.writeStream.foreachBatch(sink)

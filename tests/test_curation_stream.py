@@ -424,3 +424,55 @@ def test_multimodal_curation_restart_matches_reference(spark, tmp_path):
     dec = pipe.decisions(spark)
     assert dec.count() == len(rows)
     assert dec.select("doc_id").distinct().count() == len(rows)
+
+
+def test_multimodal_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+    """PIPELINE=curation MEDIA_BLOB_COL=blob entrypoint: drain a
+    multimodal feed (text + raster thumbs with planted raster-twins) —
+    one decision per doc including media_dup rows, media state written
+    under the same root."""
+    from stream_cdc_spark import main as M
+    from stream_cdc_spark.streaming import statedir
+    from stream_cdc_spark.streaming.curation import MEDIA_SIGS_SCHEMA
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in d.collect()]
+    # the raster reads the first 72 words, so a raster-twin plant needs a
+    # donor with at least 72 of them (a shorter donor pads with md5(''),
+    # the plant's tail tokens would land in those slots instead)
+    donor, donor_text = min(
+        (i, t) for i, t in rows if len(t.split(" ")) >= 72
+    )
+    head = " ".join(donor_text.split(" ")[:72])
+    rows.append((1_000_000 + donor, head + " " + " ".join(
+        f"planted{i}" for i in range(40))))
+    feed = str(tmp_path / "feed")
+    toks = F.split(F.col("text"), " ")
+    hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.substring(
+            F.md5(F.coalesce(F.get(toks, i), F.lit(""))), 1, 2
+        ),
+    )
+    spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", "text",
+        F.to_binary(F.concat_ws("", hexes), F.lit("hex")).alias("blob"),
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "curation")
+    monkeypatch.setenv("MEDIA_BLOB_COL", "blob")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", feed)
+    monkeypatch.setenv("CURATION_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    pipe = CurationPipeline(state, media_blob_col="blob")
+    dec = pipe.decisions(spark)
+    assert dec.count() == len(rows)
+    planted = dec.filter(F.col("doc_id") == 1_000_000 + donor).first()
+    assert planted["keep"] is False and planted["reason"] == "media_dup"
+    sigs = statedir.read_state(
+        spark, pipe.media_sigs_dir, MEDIA_SIGS_SCHEMA, 1 << 62
+    )
+    assert sigs.count() == pipe.corpus(spark).count()

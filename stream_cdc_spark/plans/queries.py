@@ -5759,20 +5759,72 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_register(
+    "q133_bpe_chunks",
+    """
+    WITH RECURSIVE
+    merges(rank, pat, rep) AS (VALUES __BPE_MERGES__),
+    d AS (
+      SELECT doc_id,
+             regexp_replace(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+               '([a-z])', '_\\1_', 'g') AS s
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, s, 0 AS k FROM d
+      UNION ALL
+      SELECT e.doc_id, replace(e.s, m.pat, m.rep), e.k + 1
+      FROM enc e JOIN merges m ON m.rank = e.k
+    ),
+    toks AS (
+      SELECT doc_id, regexp_extract_all(s, '[a-z]+') AS t
+      FROM enc WHERE k = (SELECT count(*) FROM merges)
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS s0
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s0 / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(t[s0 + 1 : s0 + 32]) AS BIGINT) AS n_tok,
+           array_to_string(t[s0 + 1 : s0 + 32], ' ') AS chunk_text
+    FROM starts ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window chunking in SUBWORD units: text.chunk_documents "
+    "(tokenizer='bpe') windows every document over its exact BPE token "
+    "sequence (32-token windows, 8 overlap) — the chunk size training "
+    "budgets are actually denominated in, vs q115's whitespace windows. "
+    "Same narrow plan (merge chain + sequence + explode + slice rides "
+    "the scan, no shuffle before the sort); the oracle replays the merge "
+    "table (recursive CTE), re-derives the token array, and slices the "
+    "same windows — boundary-exact, not statistical.",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_documents(
+        load(spark, sf, "documents"),
+        chunk_tokens=32,
+        overlap=8,
+        tokenizer="bpe",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _patch_bpe_oracle() -> None:
-    """Splice the canonical merge table into q131's oracle SQL so the
+    """Splice the canonical merge table into the BPE oracles' SQL so the
     Spark operator and the DuckDB replay can never drift apart — one
     source of truth (operators/bpe.py DEFAULT_MERGES)."""
     from stream_cdc_spark.operators import bpe
 
-    spec = QUERIES["q131_bpe_token_stats"]
-    QUERIES["q131_bpe_token_stats"] = QuerySpec(
-        spec.name,
-        spec.builder,
-        spec.oracle.replace("__BPE_MERGES__", bpe.oracle_merge_values()),
-        spec.headline,
-        spec.doc,
-    )
+    for name in ("q131_bpe_token_stats", "q133_bpe_chunks"):
+        spec = QUERIES[name]
+        QUERIES[name] = QuerySpec(
+            spec.name,
+            spec.builder,
+            spec.oracle.replace("__BPE_MERGES__", bpe.oracle_merge_values()),
+            spec.headline,
+            spec.doc,
+        )
 
 
 _patch_bpe_oracle()
@@ -5950,8 +6002,8 @@ assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
 #      q111, q118-q121, q123) lead the window — several sit on code
 #      touched since (dedup.py, similarity.py, text.py);
 #  (2) NEW this round: q131 (BPE tokenizer application, operators/
-#      bpe.py) and q132 (multimodal curation decisions — the media_dup
-#      reason), never driver-green;
+#      bpe.py), q132 (multimodal curation decisions — the media_dup
+#      reason), and q133 (BPE-unit chunk windows), never driver-green;
 #  (3) anchors for code changed THIS round: q110 + q99 (their statedir
 #      state layer gained bucketed L1 deltas / per-bucket major folds
 #      and the strict manifest mode), q124 (the streaming percentile
@@ -5960,9 +6012,10 @@ assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
 #  (4) headline-bench continuity anchors, prioritizing the four whose
 #      latest green is r6 (q14, q15, q25, q34) plus the heaviest r7
 #      plans (q13, q24, q27) so every perf-critical bench query is
-#      value-verified at most one round from when it is timed; the
-#      remaining headliners (q01, q03, q07, q10, q19, q31, q48, q51,
-#      q66) are r7-green — one round old — and rotate back in r9.
+#      value-verified at most one round from when it is timed (q13
+#      yields its slot to q133: it is r7-green); the remaining
+#      headliners (q01, q03, q07, q10, q13, q19, q31, q48, q51, q66)
+#      are r7-green — one round old — and rotate back in r9.
 #  Displaced r6/r7-green families remain value-checked every session by
 #  tests/test_queries_oracle.py.
 _DRIVER_WINDOW_R8 = [
@@ -6007,13 +6060,14 @@ _DRIVER_WINDOW_R8 = [
     # (2) new this round:
     "q131_bpe_token_stats",
     "q132_multimodal_curation_decisions",
+    "q133_bpe_chunks",
     # (3) round-8 code-change anchors:
     "q110_incremental_dedup",
     "q99_curation_decisions",
     "q124_quality_percentile_gate",
     "q129_phash_near_dup",
-    # (4) headline-bench continuity:
-    "q13_tpch_q1",
+    # (4) headline-bench continuity (q13 — r7-green, one round old —
+    # yields its slot to the never-green q133):
     "q14_tpch_q3",
     "q15_star_join_revenue",
     "q24_ngram_jaccard_pairs",

@@ -113,6 +113,7 @@ def test_driver_window_matches_round8_rotation():
     assert {
         "q131_bpe_token_stats",
         "q132_multimodal_curation_decisions",
+        "q133_bpe_chunks",
     } <= set(_DRIVER_WINDOW_R8)
     # this round's code-change anchors are inside the window:
     assert {
@@ -128,12 +129,13 @@ def test_driver_window_matches_round8_rotation():
 
     headline = {n for n, s in Q.items() if s.headline}
     assert {
-        "q13_tpch_q1", "q14_tpch_q3", "q15_star_join_revenue",
+        "q14_tpch_q3", "q15_star_join_revenue",
         "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
         "q27_minhash_lsh_pairs", "q34_tpch_q6",
     } <= set(_DRIVER_WINDOW_R8)
     missing = headline - set(_DRIVER_WINDOW_R8)
     assert missing <= {
+        "q13_tpch_q1",
         "q01_envelope_filter_project",
         "q02_classify_count",
         "q03_log_compaction",
@@ -146,7 +148,7 @@ def test_driver_window_matches_round8_rotation():
         "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 132
+    assert len(names) == len(set(names)) == 133
 
 
 def test_q69_q70_dims_broadcast(spark):

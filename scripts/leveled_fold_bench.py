@@ -32,6 +32,11 @@ SCHEMA = "id bigint, v bigint"
 SNAP_ROWS = int(os.environ.get("SNAP_ROWS", "20000000"))
 BATCH_ROWS = int(os.environ.get("BATCH_ROWS", "20000"))
 PENDING = int(os.environ.get("PENDING", "16"))
+# BUCKETS > 0: lay the starting snapshot out as an id-bucketed table and
+# run the folds with bucket_cols=["id"] — measures the round-8 per-bucket
+# merge (bucketed deltas + forced bucketed scans) instead of the plain
+# rewrite
+BUCKETS = int(os.environ.get("BUCKETS", "0"))
 
 
 def _layout(spark, root: str) -> None:
@@ -40,7 +45,24 @@ def _layout(spark, root: str) -> None:
         F.col("id"), (F.col("id") * 7).alias("v")
     )
     dest = os.path.join(root, "compact=000000100")
-    snap.write.mode("overwrite").parquet(dest)
+    if BUCKETS:
+        name = statedir._default_table_name(root) + "_seed"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            snap.repartition(BUCKETS, "id")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BUCKETS, "id")
+            .sortBy("id")
+            .option("path", dest)
+            .saveAsTable(name)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        statedir._publish_manifest(
+            statedir._DEFAULT_FS, dest, {"cols": ["id"], "n": BUCKETS}
+        )
+    else:
+        snap.write.mode("overwrite").parquet(dest)
     for b in range(100, 100 + PENDING):
         rows = spark.range(BATCH_ROWS).select(
             (F.col("id") + b * BATCH_ROWS).alias("id"),
@@ -63,17 +85,22 @@ def main() -> None:
         "pending": PENDING,
     }
 
+    bk = (
+        {"bucket_cols": ["id"], "num_buckets": BUCKETS} if BUCKETS else {}
+    )
+    out["buckets"] = BUCKETS
+
     root = os.path.join(work, "minor")
     _layout(spark, root)
     t0 = time.time()
-    assert statedir.compact_minor(spark, root, SCHEMA, head)
+    assert statedir.compact_minor(spark, root, SCHEMA, head, **bk)
     out["minor_fold_s"] = round(time.time() - t0, 2)
     rows_after_minor = statedir.read_state(spark, root, SCHEMA, head).count()
 
     root = os.path.join(work, "major")
     _layout(spark, root)
     t0 = time.time()
-    assert statedir.compact(spark, root, SCHEMA, head)
+    assert statedir.compact(spark, root, SCHEMA, head, **bk)
     out["full_fold_s"] = round(time.time() - t0, 2)
     rows_after_full = statedir.read_state(spark, root, SCHEMA, head).count()
 

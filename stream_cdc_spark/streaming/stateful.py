@@ -1031,7 +1031,10 @@ def apply_percentile_gate(
 
 
 def token_count_stream(
-    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Continuously maintained exact (group, token) counts — the state
     side of q125's source-distribution drift monitor.
@@ -1044,6 +1047,12 @@ def token_count_stream(
     not corpus, bounds it — the same collapse the batch operator's plan
     relies on).
 
+    ``tokenizer='bpe'`` counts SUBWORD tokens (operators/bpe.py — the
+    merge chain is narrow string expressions riding the same explode),
+    with a strictly tighter state bound: the BPE vocabulary is closed
+    (26 chars + one symbol per merge rule), so state is
+    |groups| x |closed vocab| by construction, not by corpus behavior.
+
     Because the maintained quantity is an EXACT integer (not a sketch),
     composing the drained counts with text.drift_from_token_counts gives
     drift BIT-EQUAL to the batch q125 result — asserted across a
@@ -1052,10 +1061,16 @@ def token_count_stream(
     """
     from pyspark.sql import functions as F
 
+    if tokenizer == "bpe":
+        from stream_cdc_spark.operators.bpe import bpe_tokens
+
+        toks = bpe_tokens(F.col(text_col))
+    else:
+        toks = F.split(F.col(text_col), " ")
     return (
         docs.select(
             F.col(group_col).alias("grp"),
-            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+            F.explode(toks).alias("tok"),
         )
         .groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("c"))

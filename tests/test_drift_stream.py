@@ -83,3 +83,62 @@ def test_drift_stream_restart_bit_equal_to_batch(spark, tmp_path):
         for r in token_distribution_drift(docs).collect()
     }
     assert streamed == batch  # bit-equal, not rank-band
+
+
+def test_token_count_stream_bpe_mode_counts_closed_vocab(spark, tmp_path):
+    """tokenizer='bpe': one availableNow drain maintains exact per-group
+    SUBWORD counts equal to the batch explode, and every counted token
+    sits inside the CLOSED BPE vocabulary (26 chars + one symbol per
+    merge) — the state bound holds by construction, not corpus luck."""
+    from stream_cdc_spark.operators import bpe
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "source", "text")
+    indir, ckpt, outdir = (str(tmp_path / p) for p in ("in", "ckpt", "out"))
+    docs.coalesce(1).write.mode("overwrite").parquet(indir)
+
+    def emit(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(indir)
+    )
+    q = (
+        token_count_stream(stream, tokenizer="bpe")
+        .writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    latest = (
+        spark.read.parquet(outdir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("grp", "tok").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("grp", "tok", "c")
+    )
+    batch = (
+        docs.select(
+            F.col("source").alias("grp"),
+            F.explode(bpe.bpe_tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = sorted(map(tuple, latest.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    voc = set(bpe.vocab())
+    toks = {r["tok"] for r in latest.select("tok").distinct().collect()}
+    assert toks <= voc
+    assert len(voc) == 26 + len(bpe.DEFAULT_MERGES)

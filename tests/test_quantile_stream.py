@@ -185,3 +185,26 @@ def test_percentile_gate_stream_restart_within_rank_band(spark, tmp_path):
     for lang, xs in per_lang.items():
         want = sum(1 for s in xs if s >= got[lang])
         assert got_kept[lang] == want, (lang, got_kept[lang], want)
+
+
+def test_percentile_gate_unseen_group_policy(spark):
+    """A language with no threshold row yet (first seen this trigger) is
+    governed by an EXPLICIT policy: admit_unseen=True (default) admits
+    its documents, admit_unseen=False drops them; seen groups gate
+    identically under both."""
+    from stream_cdc_spark.streaming.stateful import apply_percentile_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog again"),
+            (2, "zz", "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    thresholds = spark.createDataFrame(
+        [("en", -1e9)], "lang string, score_threshold double"
+    )
+    admit = apply_percentile_gate(docs, thresholds)
+    assert sorted(r["doc_id"] for r in admit.collect()) == [1, 2]
+    strict = apply_percentile_gate(docs, thresholds, admit_unseen=False)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [1]

@@ -624,6 +624,19 @@ def _fold_input(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    # a catalog table registered from a DDL column list STRIPS field
+    # metadata, and sink stamps ride it (e.g. the LSH parameter stamp
+    # minhash_band_index writes and incremental_verified_dedup's drift
+    # guard reads — round-5 advice); re-attach it from a footer read of
+    # the same files so the folded snapshot keeps the stamp
+    paths = state_paths(root, batch_id, fs)
+    if paths:
+        try:
+            for f in spark.read.parquet(*paths).schema.fields:
+                if f.metadata:
+                    df = df.withMetadata(f.name, f.metadata)
+        except Exception:
+            pass  # file-less legacy dirs: nothing to recover
     return df, tmp_tables
 
 

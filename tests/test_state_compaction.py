@@ -396,3 +396,35 @@ def test_bucketed_deltas_make_major_fold_a_per_bucket_merge(spark, tmp_path):
     # converged: nothing below the new snapshot survives
     c = statedir.dir_counts(root)
     assert (c["compact"], c["delta"], c["batch"]) == (1, 0, 0)
+
+
+def test_bucketed_fold_preserves_column_metadata_stamp(spark, tmp_path):
+    """The LSH parameter stamp rides column metadata; a bucketed major
+    fold reads chain dirs through catalog tables whose DDL schema strips
+    metadata, so the fold must re-attach it — otherwise the drift guard
+    silently disarms exactly on bucketed deployments (the round-5 bug
+    class, bucketed edition)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    SCHEMA = "doc_id bigint, band int, key bigint"
+    root = str(tmp_path / "index")
+    stamp = {"lsh_k": 3, "lsh_bands": 16}
+    st = StructType([
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType(), metadata=stamp),
+        StructField("key", LongType()),
+    ])
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + j, j % 4, j) for j in range(8)], st
+        ).coalesce(1).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, b)
+        )
+    BK = dict(bucket_cols=["band", "key"], num_buckets=4)
+    assert statedir.compact_minor(spark, root, SCHEMA, 2, **BK)
+    assert statedir.compact(spark, root, SCHEMA, 4, **BK)
+    got = statedir.read_state(spark, root, SCHEMA, 1 << 62)
+    assert dict(got.schema["band"].metadata or {}) == stamp
+    assert got.count() == 32

@@ -89,7 +89,13 @@ def run(
             "LONGHORIZON_DOCS", "/root/testdata/sf0.1/documents.parquet"
         )
         sink = LshDedupSnapshot(
-            state, compact_every=compact_every, major_every=major_every
+            state,
+            compact_every=compact_every,
+            major_every=major_every,
+            # LONGHORIZON_BUCKETED=1: run the full 100 TB configuration —
+            # bucketed snapshot tier + pre-bucketed L1 deltas (r8
+            # per-bucket major folds) — over the whole horizon
+            bucketed=os.environ.get("LONGHORIZON_BUCKETED", "0") == "1",
         )
         subs = ("sigs", "index", "counts", "matches")
     elif section == "media":

@@ -525,15 +525,23 @@ def compact_minor(
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         fs.rmtree(dest)
-        # A wide delta first aligns partitions with buckets (one task per
-        # bucket -> exactly num_buckets files; the shuffle moves only
-        # this delta's O(recent) rows, never total state). A delta
-        # already narrower than the bucket count skips that stage — the
-        # bucketBy write routes rows per-task either way, file count
-        # stays <= partitions * touched buckets, and the major fold's
-        # forced bucketed scan reads any per-bucket file layout.
-        if df.rdd.getNumPartitions() > num_buckets:
+        # Bound the delta at <= num_buckets files — every file the chain
+        # carries is re-opened by EVERY trigger's state read until the
+        # next major fold, so an unbounded per-fold file count is a
+        # long-horizon latency leak (a 300-batch soak with task-count
+        # routing alone saw-toothed to ~6,700 files and doubled trigger
+        # latency). A wide delta aligns partitions with buckets (one
+        # task per bucket -> exactly num_buckets files; the shuffle
+        # moves only this delta's O(recent) rows, never total state); a
+        # narrow one collapses to a single write task with NO shuffle
+        # (coalesce is narrow) — num_buckets scan partitions is the
+        # crossover where serialization would start to cost more than
+        # the small shuffle.
+        parts = df.rdd.getNumPartitions()
+        if parts > num_buckets:
             df = df.repartition(num_buckets, *bucket_cols)
+        elif parts > 1:
+            df = df.coalesce(1)
         (
             df.write.mode("overwrite")
             .format("parquet")

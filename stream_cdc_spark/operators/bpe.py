@@ -93,11 +93,15 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType
 
-# Auto-tier crossover: measured at sf0.01 (scripts/bpe_tier_bench.py,
-# SCALE_BENCH_r09.md §2) — the expr tier's analysis+codegen cost grows
-# with table size while arrow stays flat; they cross near ~192 merges,
-# and expr risks codegen-limit fallback well before production sizes.
-ARROW_TIER_MIN_MERGES = 128
+# Auto-tier crossover, measured (scripts/bpe_tier_bench.py,
+# SCALE_BENCH_r09.md §2): expr cost grows with table size (sf0.1:
+# 0.76 s @16 -> 2.8 s @256 merges; memo-hostile corpus: 0.82 s @16 ->
+# 6.9 s @512) while arrow stays flat (~0.33-0.78 s at every size, both
+# corpora). The wall-clock crossover is ~16-32 merges even with a
+# useless word cache; 32 keeps small/oracle tables on the pure-JVM
+# codegen path (no Python workers, SQL-replayable plans) and routes
+# everything larger to the flat tier.
+ARROW_TIER_MIN_MERGES = 32
 
 # ASCII whitespace, written as an explicit class so the Java (Spark),
 # RE2 (DuckDB) and Python regex engines agree byte-for-byte. (\s is

@@ -133,6 +133,15 @@ DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
     ("e", "s"),      # -> es
 )
 
+# The byte-alphabet twin of DEFAULT_MERGES: the same English merges
+# expressed as UTF-8 hex symbols (('74','68') merges bytes 't','h').
+# Hex encoding preserves well-formedness — operands stay single base
+# symbols or earlier results, results stay unique.
+DEFAULT_BYTE_MERGES: tuple[tuple[str, str], ...] = tuple(
+    (left.encode().hex(), right.encode().hex())
+    for left, right in DEFAULT_MERGES
+)
+
 
 def _base_symbols(alphabet: str) -> frozenset:
     if alphabet == "letter":

@@ -5810,21 +5810,76 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
-def _patch_bpe_oracle() -> None:
-    """Splice the canonical merge table into the BPE oracles' SQL so the
-    Spark operator and the DuckDB replay can never drift apart — one
-    source of truth (operators/bpe.py DEFAULT_MERGES)."""
+@_register(
+    "q134_bpe_byte_stats",
+    """
+    WITH RECURSIVE
+    merges(rank, pat, rep) AS (VALUES __BPE_BYTE_MERGES__),
+    d AS (
+      SELECT lang, __BPE_BYTE_ENC__ AS s
+      FROM documents
+    ),
+    enc AS (
+      SELECT lang, s, 0 AS k FROM d
+      UNION ALL
+      SELECT e.lang, replace(e.s, m.pat, m.rep), e.k + 1
+      FROM enc e JOIN merges m ON m.rank = e.k
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum((length(s) - length(replace(s, '_', ''))) / 2) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(max((length(s) - length(replace(s, '_', ''))) / 2) AS BIGINT)
+             AS max_bpe_tokens
+    FROM enc WHERE k = (SELECT count(*) FROM merges)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="BYTE-level BPE application (operators/bpe.py byte alphabet — "
+    "GPT-2-style byte fallback): every non-whitespace byte of the "
+    "document's UTF-8 encoding is a base symbol (2-hex-digit), so "
+    "accents/CJK/digits/punctuation survive losslessly where q131's "
+    "letter mode collapses them (VERDICT r8 task 4). Same anchored-"
+    "replace merge semantics, same delimiter token-count identity; the "
+    "oracle replays the identical hex encoding (hex/encode verified "
+    "byte-identical across engines) and merge table with a recursive "
+    "CTE — exact, not statistical. No reference counterpart (the "
+    "reference has no text operators).",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
     from stream_cdc_spark.operators import bpe
 
-    for name in ("q131_bpe_token_stats", "q133_bpe_chunks"):
+    return bpe.bpe_token_stats(
+        load(spark, sf, "documents"),
+        bpe.DEFAULT_BYTE_MERGES,
+        alphabet="byte",
+    ).orderBy("lang")
+
+
+def _patch_bpe_oracle() -> None:
+    """Splice the canonical merge tables and encode expression into the
+    BPE oracles' SQL so the Spark operator and the DuckDB replay can
+    never drift apart — one source of truth (operators/bpe.py
+    DEFAULT_MERGES / DEFAULT_BYTE_MERGES / oracle_encode_sql)."""
+    from stream_cdc_spark.operators import bpe
+
+    def _splice(name: str, **subs: str) -> None:
         spec = QUERIES[name]
+        sql = spec.oracle
+        for placeholder, value in subs.items():
+            sql = sql.replace(placeholder, value)
         QUERIES[name] = QuerySpec(
-            spec.name,
-            spec.builder,
-            spec.oracle.replace("__BPE_MERGES__", bpe.oracle_merge_values()),
-            spec.headline,
-            spec.doc,
+            spec.name, spec.builder, sql, spec.headline, spec.doc
         )
+
+    for name in ("q131_bpe_token_stats", "q133_bpe_chunks"):
+        _splice(name, __BPE_MERGES__=bpe.oracle_merge_values())
+    _splice(
+        "q134_bpe_byte_stats",
+        __BPE_BYTE_MERGES__=bpe.oracle_merge_values(
+            bpe.DEFAULT_BYTE_MERGES, "byte"
+        ),
+        __BPE_BYTE_ENC__=bpe.oracle_encode_sql("text", "byte"),
+    )
 
 
 _patch_bpe_oracle()
@@ -6078,12 +6133,92 @@ _DRIVER_WINDOW_R8 = [
 
 assert len(_DRIVER_WINDOW_R8) == 50, len(_DRIVER_WINDOW_R8)
 
+# Driver verification window, round 9 — rotation policy unchanged (no
+# query's most-recent driver-green row older than two rounds):
+#  (1) the 39 queries whose latest driver-green dates to r6 lead the
+#      window (the round-8 verdict's task-5 cohort — after the r8
+#      rotation the latest-green distribution was 50 r8 / 44 r7 /
+#      39 r6, and the r6 block is the staleness frontier);
+#  (2) NEW this round: q134 (byte-level BPE — lossless GPT-2-style
+#      byte-fallback alphabet), never driver-green;
+#  (3) anchors for code changed THIS round: q131 + q133 (operators/
+#      bpe.py was rewritten — tiered application, scan-free trainer),
+#      q132 (the curation pipeline gained BPE-exact streaming budgets),
+#      q110 + q99 (statedir gained the cached-catalog fold path and the
+#      reconcile/heal guards from ADVICE r8);
+#  (4) headline-bench continuity anchors: 5 of the 10 r7-green
+#      headliners (q13 the heaviest TPC-H plan, q66, q03, q10, and q51
+#      whose r8 drift ratio 1.10 was watch-listed) — the other five
+#      (q01, q07, q19, q31, q48) remain r7-green, exactly two rounds
+#      old at this round's gate, and lead the r10 rotation.
+#  Displaced r7/r8-green families remain value-checked every session by
+#  tests/test_queries_oracle.py.
+_DRIVER_WINDOW_R9 = [
+    # (1) 39 stale r6-green queries:
+    "q06_claim_check_routing",
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_lang_id",
+    "q26_multimodal_meta",
+    "q47_cube_counts",
+    "q65_kmeans_assign",
+    "q67_approx_distinct_bounded",
+    "q68_approx_percentile_bounded",
+    "q74_tpch_q8_market_share",
+    "q75_tpch_q14_promo_effect",
+    "q76_tpch_q15_top_supplier",
+    "q77_tpch_q19_disjunctive_filter",
+    "q78_tpch_q20_heavy_shippers",
+    "q79_stratified_sample",
+    "q80_doc_repetition",
+    "q81_pii_redaction",
+    "q82_sequence_packing",
+    "q83_decontamination",
+    "q84_sliding_window",
+    "q85_full_outer_reconcile",
+    "q86_except_all_multiset",
+    "q87_incremental_agg",
+    "q90_incremental_distinct_hll",
+    "q91_funnel_conversion",
+    "q92_retention_cohorts",
+    "q93_duplicated_spans",
+    "q94_bigram_lm",
+    "q95_shard_balance",
+    "q96_json_field_rollup",
+    "q97_window_rank_zoo",
+    "q98_column_profile",
+    "q104_semantic_dedup",
+    "q105_segment_removal",
+    "q112_gram_matrix",
+    "q113_fuzzy_prefix_pairs",
+    "q114_leakage_safe_split",
+    "q117_soft_dedup_weights",
+    "q122_dedup_survivorship",
+    # (2) new this round:
+    "q134_bpe_byte_stats",
+    # (3) round-9 code-change anchors:
+    "q131_bpe_token_stats",
+    "q133_bpe_chunks",
+    "q132_multimodal_curation_decisions",
+    "q110_incremental_dedup",
+    "q99_curation_decisions",
+    # (4) headline-bench continuity (5 slots; q01/q07/q19/q31/q48 are
+    # two rounds old at this gate and lead the r10 rotation):
+    "q13_tpch_q1",
+    "q66_winnow_fingerprints",
+    "q03_log_compaction",
+    "q10_hourly_window",
+    "q51_asof_join",
+]
+
+assert len(_DRIVER_WINDOW_R9) == 50, len(_DRIVER_WINDOW_R9)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R8. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R9. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R8)
+_window = set(_DRIVER_WINDOW_R9)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R8},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R9},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -79,76 +79,73 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round8_rotation():
+def test_driver_window_matches_round9_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-8 policy: the 37 queries whose latest driver-green row dates to
-    r5 lead (the round-7 verdict's task-1 list), then the two queries NEW
-    this round (q131 BPE, q132 multimodal curation), this round's
-    code-change anchors (q110/q99 on the bucketed-delta statedir, q124 on
-    the changed percentile-gate policy, q129 whose dhash feeds the
-    curation media stage), and 7 headline-bench continuity anchors
-    prioritizing the r6-green four (rationale above _DRIVER_WINDOW_R8 in
-    plans/queries.py). Everything outside the window has an r6/r7 green
-    driver row and stays value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R8
+    Round-9 policy: the 39 queries whose latest driver-green row dates to
+    r6 lead (the round-8 verdict's task-5 cohort), then the query NEW
+    this round (q134 byte-level BPE), this round's code-change anchors
+    (q131/q133 on the rewritten bpe.py, q132 on the BPE-budgeted
+    curation pipeline, q110/q99 on the statedir fold/heal changes), and
+    5 headline-bench continuity anchors (rationale above
+    _DRIVER_WINDOW_R9 in plans/queries.py). Everything outside the
+    window has an r7/r8 green driver row and stays value-checked by the
+    repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R9
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R8) == 50
-    assert len(set(_DRIVER_WINDOW_R8)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R8
-    # the 37 stale r5-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R9) == 50
+    assert len(set(_DRIVER_WINDOW_R9)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R9
+    # the 39 stale r6-green queries all rotated in:
     stale_ids = (
-        [2, 3, 4, 5, 8, 9, 11, 12, 16, 17, 23, 28, 29, 30, 32, 33]
-        + list(range(35, 43)) + [44, 45, 46, 50, 52, 56, 64, 111]
-        + list(range(118, 122)) + [123]
+        [6, 20, 21, 22, 26, 47, 65, 67, 68] + list(range(74, 88))
+        + list(range(90, 99)) + [104, 105, 112, 113, 114, 117, 122]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 37
-    assert set(stale) <= set(_DRIVER_WINDOW_R8)
-    # the round-8 additions are in-window (never driver-green before r8):
-    assert {
-        "q131_bpe_token_stats",
-        "q132_multimodal_curation_decisions",
-        "q133_bpe_chunks",
-    } <= set(_DRIVER_WINDOW_R8)
+    assert len(stale) == 39, len(stale)
+    assert set(stale) <= set(_DRIVER_WINDOW_R9)
+    # the round-9 addition is in-window (never driver-green before r9):
+    assert "q134_bpe_byte_stats" in _DRIVER_WINDOW_R9
     # this round's code-change anchors are inside the window:
     assert {
+        "q131_bpe_token_stats",
+        "q133_bpe_chunks",
+        "q132_multimodal_curation_decisions",
         "q110_incremental_dedup",
         "q99_curation_decisions",
-        "q124_quality_percentile_gate",
-        "q129_phash_near_dup",
-    } <= set(_DRIVER_WINDOW_R8)
-    # every headline bench query is value-verified at most one round from
-    # when it is timed: the ones missing from this window are all
-    # r7-green (one round old); the r6-green four are in-window
+    } <= set(_DRIVER_WINDOW_R9)
+    # headline continuity: the five in-window anchors include the
+    # heaviest plan (q13) and the drift-watched q51; every headliner
+    # missing from this window is r7- or r8-green (at most two rounds
+    # old at this gate, r10 rotation leads with the r7 five)
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
     assert {
-        "q14_tpch_q3", "q15_star_join_revenue",
-        "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
-        "q27_minhash_lsh_pairs", "q34_tpch_q6",
-    } <= set(_DRIVER_WINDOW_R8)
-    missing = headline - set(_DRIVER_WINDOW_R8)
+        "q13_tpch_q1", "q66_winnow_fingerprints", "q03_log_compaction",
+        "q10_hourly_window", "q51_asof_join",
+    } <= set(_DRIVER_WINDOW_R9)
+    missing = headline - set(_DRIVER_WINDOW_R9)
     assert missing <= {
-        "q13_tpch_q1",
         "q01_envelope_filter_project",
         "q02_classify_count",
-        "q03_log_compaction",
         "q07_cdc_apply_join",
-        "q10_hourly_window",
+        "q14_tpch_q3",
+        "q15_star_join_revenue",
         "q19_exact_dedup",
+        "q24_ngram_jaccard_pairs",
+        "q25_ann_bruteforce_topk",
+        "q27_minhash_lsh_pairs",
         "q31_sessionization",
+        "q34_tpch_q6",
         "q48_cdc_merge_apply",
-        "q51_asof_join",
-        "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 133
+    assert len(names) == len(set(names)) == 134
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -30,15 +30,26 @@ def tokens_regex(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
 
 
-def token_count(text: Column, tokenizer: str = "whitespace") -> Column:
+def token_count(
+    text: Column,
+    tokenizer: str = "whitespace",
+    merges=None,
+    alphabet: str = "letter",
+) -> Column:
     """Token count of ``text``. ``tokenizer='whitespace'`` (default) is
     the split-on-space count every existing oracle pins; ``'bpe'``
-    counts exact subword tokens under operators/bpe.py's merge table —
-    the unit a training-data pipeline budgets in."""
+    counts exact subword tokens under a merge table (operators/bpe.py;
+    ``merges=None`` uses the demonstration DEFAULT_MERGES — production
+    callers pass their trained table, which auto-routes to the Arrow
+    tier past the measured size threshold) — the unit a training-data
+    pipeline budgets in. ``alphabet='byte'`` selects the lossless
+    byte-fallback alphabet."""
     if tokenizer == "bpe":
-        from stream_cdc_spark.operators.bpe import bpe_token_count
+        from stream_cdc_spark.operators import bpe
 
-        return bpe_token_count(text)
+        return bpe.bpe_token_count(
+            text, bpe.DEFAULT_MERGES if merges is None else merges, alphabet
+        )
     return F.size(tokens(text))
 
 
@@ -468,6 +479,8 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenizer: str = "whitespace",
+    merges=None,
+    alphabet: str = "letter",
 ) -> DataFrame:
     """Context-window chunking: split each document into token windows of
     ``chunk_tokens`` with ``overlap`` tokens carried between consecutive
@@ -494,9 +507,13 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     if tokenizer == "bpe":
-        from stream_cdc_spark.operators.bpe import bpe_tokens
+        from stream_cdc_spark.operators import bpe
 
-        toks = bpe_tokens(F.col(text_col))
+        toks = bpe.bpe_tokens(
+            F.col(text_col),
+            bpe.DEFAULT_MERGES if merges is None else merges,
+            alphabet,
+        )
     else:
         toks = F.split(F.col(text_col), " ")
     n = F.size(toks)

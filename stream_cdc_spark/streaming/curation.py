@@ -111,6 +111,9 @@ class CurationPipeline:
         media_max_hamming: int = 4,
         media_n_bands: int = 8,
         fs: statedir.LocalFS | None = None,
+        tokenizer: str = "whitespace",
+        bpe_merges=None,
+        bpe_alphabet: str = "letter",
     ):
         if media_blob_col is not None and media_n_bands <= media_max_hamming:
             raise ValueError(
@@ -156,11 +159,35 @@ class CurationPipeline:
         # (sink_registry) before any session exists.
         self._quality_predicate = quality_predicate
         self._min_tokens = min_tokens
+        # tokenizer='bpe' denominates min_tokens in exact SUBWORD tokens
+        # (operators/bpe.py; bpe_merges=None -> DEFAULT_MERGES, a trained
+        # table auto-routes to the Arrow tier) so the streaming quality
+        # gate budgets in the same unit as q131/q133 batch accounting.
+        if tokenizer not in ("whitespace", "bpe"):
+            raise ValueError(
+                f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}"
+            )
+        self.tokenizer = tokenizer
+        self.bpe_merges = bpe_merges
+        self.bpe_alphabet = bpe_alphabet
 
     @property
     def quality_predicate(self) -> Column:
         if self._quality_predicate is not None:
             return self._quality_predicate
+        if self.tokenizer == "bpe":
+            from stream_cdc_spark.operators import bpe
+
+            n = bpe.bpe_token_count(
+                F.col(self.text_col),
+                (
+                    bpe.DEFAULT_MERGES
+                    if self.bpe_merges is None
+                    else self.bpe_merges
+                ),
+                self.bpe_alphabet,
+            )
+            return n >= self._min_tokens
         return F.size(F.split(F.col(self.text_col), " ")) >= self._min_tokens
 
     # -- state ------------------------------------------------------------

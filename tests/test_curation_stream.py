@@ -16,9 +16,11 @@ MIN_TOKENS = 5
 THRESH = 0.8
 
 
-def _greedy_reference(rows, slices):
+def _greedy_reference(rows, slices, tok_ok=None):
     """Chained-greedy across micro-batches, non-chained min-id within one
-    (the q110/q39 hybrid), after the same quality gate."""
+    (the q110/q39 hybrid), after the same quality gate. ``tok_ok`` (the
+    quality-pass id set) defaults to the whitespace MIN_TOKENS gate;
+    callers pass a BPE-counted set to twin the subword-budgeted sink."""
     sh = {}
     for r in rows:
         toks = r["text"].split(" ")
@@ -33,9 +35,12 @@ def _greedy_reference(rows, slices):
         inter = len(sa & sb)
         return inter / (len(sa) + len(sb) - inter)
 
-    tok_ok = {
-        r["doc_id"] for r in rows if len(r["text"].split(" ")) >= MIN_TOKENS
-    }
+    if tok_ok is None:
+        tok_ok = {
+            r["doc_id"]
+            for r in rows
+            if len(r["text"].split(" ")) >= MIN_TOKENS
+        }
     kept: set[int] = set()
     for batch_ids in slices:
         ok = sorted(i for i in batch_ids if i in tok_ok)
@@ -476,3 +481,83 @@ def test_multimodal_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
         spark, pipe.media_sigs_dir, MEDIA_SIGS_SCHEMA, 1 << 62
     )
     assert sigs.count() == pipe.corpus(spark).count()
+
+
+@pytest.mark.slow
+def test_curation_stream_bpe_budget_restart_matches_reference(
+    spark, tmp_path
+):
+    """tokenizer='bpe': the streaming quality gate budgets in exact
+    SUBWORD tokens (the q131/q133 unit). Restart e2e — kept corpus and
+    decisions must equal the batch-sequential reference whose gate is
+    an independent pure-Python BPE count (classic encoder), proving the
+    sink's expression-tier count and the spec agree end-to-end."""
+    from stream_cdc_spark.operators import bpe
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    rows = d.collect()
+    indir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+
+    slices = [
+        sorted(r["doc_id"] for r in rows if r["doc_id"] % 4 == i)
+        for i in range(4)
+    ]
+    for i, ids in enumerate(slices):
+        sdf = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows if r["doc_id"] in set(ids)],
+            "doc_id bigint, text string",
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(indir, f"slice={i}")
+        )
+
+    # pick a BPE threshold that actually splits the corpus (gate fires)
+    enc = bpe._make_word_encoder(list(bpe.DEFAULT_MERGES), "letter")
+
+    def bpe_count(text):
+        words = [
+            w for w in bpe._normalize_py(text, "letter").split(" ") if w
+        ]
+        return sum(len(enc(w)) for w in words)
+
+    counts = sorted(bpe_count(r["text"]) for r in rows)
+    min_bpe = counts[len(counts) // 4] + 1  # ~25th percentile, strict
+    tok_ok = {r["doc_id"] for r in rows if bpe_count(r["text"]) >= min_bpe}
+    assert 0 < len(tok_ok) < len(rows)  # the BPE gate genuinely fires
+
+    pipe = CurationPipeline(state, min_tokens=min_bpe, tokenizer="bpe")
+
+    def run(n_slices):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(
+                indir + "/slice={" + ",".join(map(str, range(n_slices))) + "}"
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(pipe.sink())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(2)
+    run(4)  # restart from checkpoint
+
+    kept = {r["doc_id"] for r in pipe.corpus(spark).collect()}
+    want = _greedy_reference(rows, slices, tok_ok=tok_ok)
+    assert kept == want
+
+    dec = pipe.decisions(spark)
+    assert dec.count() == len(rows)
+    # every quality rejection is exactly the BPE-count shortfall set
+    q_rej = {
+        r["doc_id"]
+        for r in dec.filter(F.col("reason") == "quality").collect()
+    }
+    assert q_rej == {r["doc_id"] for r in rows} - tok_ok

@@ -90,6 +90,17 @@ def main() -> None:
     )
     out["buckets"] = BUCKETS
 
+    # Warm the write path first (committer/codegen class loading): a
+    # continuous pipeline folds in a long-lived session, so steady-state
+    # cost is what each trigger actually pays; the cold first fold is a
+    # once-per-process constant. Timed folds below are therefore warm.
+    warm = os.path.join(work, "warmup")
+    _layout(spark, warm)
+    statedir.compact_minor(spark, warm, SCHEMA, 100 + PENDING, **bk)
+    _layout(spark, warm)
+    statedir.compact(spark, warm, SCHEMA, 100 + PENDING, **bk)
+    shutil.rmtree(warm, ignore_errors=True)
+
     root = os.path.join(work, "minor")
     _layout(spark, root)
     t0 = time.time()

@@ -530,18 +530,16 @@ def compact_minor(
         # next major fold, so an unbounded per-fold file count is a
         # long-horizon latency leak (a 300-batch soak with task-count
         # routing alone saw-toothed to ~6,700 files and doubled trigger
-        # latency). A wide delta aligns partitions with buckets (one
-        # task per bucket -> exactly num_buckets files; the shuffle
-        # moves only this delta's O(recent) rows, never total state); a
-        # narrow one collapses to a single write task with NO shuffle
-        # (coalesce is narrow) — num_buckets scan partitions is the
-        # crossover where serialization would start to cost more than
-        # the small shuffle.
-        parts = df.rdd.getNumPartitions()
-        if parts > num_buckets:
-            df = df.repartition(num_buckets, *bucket_cols)
-        elif parts > 1:
-            df = df.coalesce(1)
+        # latency). Aligning partitions with buckets (one task per
+        # bucket -> at most num_buckets files) is ALSO the measured
+        # fastest write: the shuffle moves only this delta's O(recent)
+        # rows, never total state, while the per-bucket parquet writes
+        # (footer/open/close per file) run across num_buckets tasks
+        # instead of serially in one — r9 microbench at a 16x20k-row
+        # fold: repartition 0.41 s vs single-task coalesce 0.90 s, the
+        # dominant term of the bucketed fold's former 2x-over-plain
+        # constant (SCALE_BENCH_r09.md §5).
+        df = df.repartition(num_buckets, *bucket_cols)
         (
             df.write.mode("overwrite")
             .format("parquet")

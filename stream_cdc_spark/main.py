@@ -35,6 +35,7 @@ Run:  python -m stream_cdc_spark.main
 from __future__ import annotations
 
 import os
+import re
 import signal
 import sys
 
@@ -77,6 +78,15 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     # admission between the quality gate and text dedup
     media_blob = os.environ.get("MEDIA_BLOB_COL", "")
     if pipeline == "curation" and media_blob:
+        # the value is spliced verbatim into a readStream DDL schema
+        # string and select(); anything but a simple identifier would
+        # surface as a confusing parse error (or an unintended extra
+        # column) far from the env var — fail loudly here instead
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", media_blob):
+            raise ValueError(
+                f"MEDIA_BLOB_COL must be a simple column identifier "
+                f"([A-Za-z_][A-Za-z0-9_]*), got {media_blob!r}"
+            )
         sink_kw["media_blob_col"] = media_blob
 
     sink = sink_registry.create(

@@ -45,8 +45,10 @@ window remains: an INTERRUPTED pre-r7 ``shutil.rmtree`` of a published
 dir deletes files in arbitrary order, so ``_SUCCESS`` can outlive some
 data files — such a dir sits strictly below a valid cover and is never
 read, and the heal step refuses to stamp a manifest on one that lost
-ALL its data files; a partially-emptied one can still be healed but
-stays cover-excluded forever, so no read is affected either way. A
+ALL its data files unless it anchors a valid delta chain (then an
+empty-file manifest keeps the chain walkable — ``_reconcile`` doc); a
+partially-emptied one can still be healed but stays cover-excluded
+forever, so no read is affected either way. A
 deployment that asserts object-store semantics from day one sets
 ``strict=True`` on its ``StateFS`` and the legacy tier is refused
 outright: ``_SUCCESS``-only dirs are treated as torn — never read,
@@ -405,7 +407,11 @@ def compact(
     Size ``num_buckets`` to the target fold parallelism — the per-bucket
     merge runs one task per bucket per chain dir."""
     fs = fs or _DEFAULT_FS
-    _reconcile(root, fs)
+    _reconcile(
+        root,
+        fs,
+        {"cols": list(bucket_cols), "n": num_buckets} if bucket_cols else None,
+    )
     compacts, batches, deltas = _scan(root, fs)
     chain, cover = _chain(compacts, deltas, batch_id)
     eligible = [w for w in compacts if w <= batch_id]
@@ -502,7 +508,11 @@ def compact_minor(
     (``compact`` doc). The catalog entry is dropped right after the
     write — the delta is addressed by its manifest, not by name."""
     fs = fs or _DEFAULT_FS
-    _reconcile(root, fs)
+    _reconcile(
+        root,
+        fs,
+        {"cols": list(bucket_cols), "n": num_buckets} if bucket_cols else None,
+    )
     compacts, batches, deltas = _scan(root, fs)
     _, cover = _chain(compacts, deltas, batch_id)
     if cover >= batch_id:
@@ -646,7 +656,38 @@ def _fold_input(
     return df, tmp_tables
 
 
-def _reconcile(root: str, fs: LocalFS) -> None:
+# Spark bucketed writes name files ``part-NNNNN-<uuid>_BBBBB.cNNN.*`` —
+# the ``_BBBBB`` suffix is the bucket id the scan maps at read time.
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+\.")
+
+
+def _heal_bucket_spec(
+    fs: LocalFS, path: str, bucket_hint: dict | None
+) -> dict | None:
+    """The bucket spec to stamp when healing ``path``: the caller's hint
+    (the sink's own bucket_cols/num_buckets constants) — accepted only
+    when every data file carries a Spark bucket-id suffix below the
+    hinted bucket count, so a plain-parquet dir can never be mislabeled
+    bucketed (ADVICE r8: healing a bucketed dir as unbucketed silently
+    cost the next major fold its per-bucket merge)."""
+    if not bucket_hint:
+        return None
+    ids = []
+    for f in fs.list_files(path):
+        if f.startswith(("_", ".")):
+            continue
+        m = _BUCKET_FILE_RE.search(f)
+        if not m:
+            return None
+        ids.append(int(m.group(1)))
+    if ids and max(ids) < bucket_hint["n"]:
+        return dict(bucket_hint)
+    return None
+
+
+def _reconcile(
+    root: str, fs: LocalFS, bucket_hint: dict | None = None
+) -> None:
     """Pre-fold housekeeping (writer-only — readers never mutate):
 
     * HEAL: a compact/delta dir with _SUCCESS but no manifest is a
@@ -654,17 +695,38 @@ def _reconcile(root: str, fs: LocalFS) -> None:
       rename-protocol dir) — finish the commit by writing the manifest.
       Sound because under the manifest protocol no dir copy ever occurs,
       so _SUCCESS can only be present on a dir our own writer completed.
+      When the dir's data files all carry Spark bucket-id suffixes
+      matching the caller's ``bucket_hint`` (the sink's own constants),
+      the healed manifest records the bucket spec too, so a publish that
+      crashed between saveAsTable and the manifest put keeps its
+      per-bucket-merge eligibility (ADVICE r8).
       Legacy caveat: a pre-r7 ``shutil.rmtree`` interrupted mid-delete
       removes files in arbitrary order, so _SUCCESS can survive the
       data; a dir that lost ALL its data files is therefore treated as
-      torn, not healed (one with a partial remainder stays below the
-      valid cover that justified its deletion, so it is never read —
-      module doc). Under a ``strict`` fs there is no legacy tier at all:
-      every manifestless dir is torn.
+      torn, not healed — UNLESS it anchors a valid delta chain (some
+      valid delta's lo equals the dir's watermark), in which case it is
+      healed with an empty-file manifest: deleting a chain anchor would
+      orphan the deltas stacked on it and silently hide their rows
+      (ADVICE r8), while an empty-file manifest contributes zero rows
+      and keeps the chain walkable. (A files-lost anchor can only arise
+      mid-delete, i.e. under a higher cover the read rule already
+      prefers, so the empty heal is never read; a legitimately-empty
+      legacy fold is restored exactly.) A non-anchor with a partial
+      remainder stays below the valid cover that justified its deletion,
+      so it is never read — module doc. Under a ``strict`` fs there is
+      no legacy tier at all: every manifestless dir is torn.
     * CLEAN: legacy temp dirs and dirs with neither marker are torn
       publishes — unreadable by rule, deleted here."""
     strict = getattr(fs, "strict", False)
-    for n in fs.listdir(root) if fs.isdir(root) else []:
+    entries = fs.listdir(root) if fs.isdir(root) else []
+    # chain anchors: a valid delta's lo names the watermark it stacks on
+    anchor_los: set[int] = set()
+    if not strict:
+        for n in entries:
+            m = _DELTA_RE.match(n)
+            if m and _is_valid(fs, os.path.join(root, n)):
+                anchor_los.add(int(m.group(1)))
+    for n in entries:
         path = os.path.join(root, n)
         if n.endswith(".inprogress"):
             # LocalFS put_text temp that never reached its os.replace —
@@ -676,19 +738,25 @@ def _reconcile(root: str, fs: LocalFS) -> None:
         if n.startswith(_TMP_PREFIX):
             fs.rmtree(path)
             continue
-        if _COMPACT_RE.match(n) or _DELTA_RE.match(n):
+        cm = _COMPACT_RE.match(n)
+        dm = _DELTA_RE.match(n)
+        if cm or dm:
             if fs.exists(_manifest_path(path)):
                 continue
             has_data = any(
                 not f.startswith(("_", "."))
                 for f in fs.list_files(path)
             )
+            watermark_of_dir = int(cm.group(1)) if cm else int(dm.group(2))
+            anchors_chain = watermark_of_dir in anchor_los
             if (
                 not strict
-                and has_data
+                and (has_data or anchors_chain)
                 and fs.exists(os.path.join(path, _SUCCESS))
             ):
-                _publish_manifest(fs, path)
+                _publish_manifest(
+                    fs, path, _heal_bucket_spec(fs, path, bucket_hint)
+                )
             else:
                 _delete_published(fs, path)
 

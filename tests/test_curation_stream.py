@@ -561,3 +561,19 @@ def test_curation_stream_bpe_budget_restart_matches_reference(
         for r in dec.filter(F.col("reason") == "quality").collect()
     }
     assert q_rej == {r["doc_id"] for r in rows} - tok_ok
+
+
+def test_media_blob_col_env_validated(monkeypatch, tmp_path):
+    """ADVICE r9: MEDIA_BLOB_COL is spliced into a DDL schema string —
+    a non-identifier value must fail loudly at config time, not as a
+    parse error deep in readStream."""
+    from stream_cdc_spark import main as M
+
+    monkeypatch.setenv("PIPELINE", "curation")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("CURATION_STATE_DIR", str(tmp_path / "s"))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "c"))
+    monkeypatch.setenv("MEDIA_BLOB_COL", "blob, text string")
+    with pytest.raises(ValueError, match="simple column identifier"):
+        M.main()

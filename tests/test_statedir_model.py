@@ -511,3 +511,110 @@ def test_object_store_crash_sweep_bucketed(spark, tmp_path):
     c = statedir.dir_counts(root, fs=fs)
     assert c["compact"] == 1 and c["delta"] == 0 and c["batch"] == 0
     assert observed(1 << 62) == expected(1 << 62)
+
+
+def test_heal_preserves_data_less_chain_anchor(spark, tmp_path):
+    """ADVICE r9: a legitimately-EMPTY legacy compact cover (pre-r7
+    empty-state snapshot that wrote no part files) with a valid delta
+    stacked on it (delta lo == the cover's watermark) must be HEALED
+    with an empty-file manifest, not deleted — deleting the chain
+    anchor would orphan the delta and silently hide its rows."""
+    root = str(tmp_path / "anchor")
+    os.makedirs(root)
+    # the data-less legacy anchor: _SUCCESS only, no data, no manifest
+    anchor = os.path.join(root, "compact=000000005")
+    os.makedirs(anchor)
+    with open(os.path.join(anchor, "_SUCCESS"), "w"):
+        pass
+    # a valid delta stacked on it, holding the rows of batches [5, 7)
+    delta = os.path.join(root, "delta=000000005-000000007")
+    spark.createDataFrame([(5, 50), (6, 60)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(delta)
+    statedir._publish_manifest(statedir._DEFAULT_FS, delta)
+    # one batch above the chain
+    spark.createDataFrame([(7, 70)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(statedir.batch_dir(root, 7))
+
+    want = [(5, 50), (6, 60), (7, 70)]
+    got_before = sorted(
+        map(tuple, statedir.read_state(spark, root, SCHEMA, 8).collect())
+    )
+    assert got_before == want
+    # the fold triggers _reconcile; the anchor must survive (healed)
+    assert statedir.compact(spark, root, SCHEMA, 8)
+    got_after = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62).collect(),
+        )
+    )
+    assert got_after == want, "chain anchor was orphaned, delta rows lost"
+
+
+def test_heal_recovers_bucket_spec_from_hint(spark, tmp_path):
+    """ADVICE r9: a bucketed publish that crashed between saveAsTable
+    and the manifest put must be healed WITH its bucket spec (the
+    caller's own constants, accepted only when every data file carries
+    a matching bucket-id suffix), so the next major fold keeps the
+    per-bucket merge instead of silently falling back."""
+    root = str(tmp_path / "bspec")
+    os.makedirs(root)
+    for b in range(3):
+        spark.createDataFrame([(b, b * 10)], SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(statedir.batch_dir(root, b))
+    bk = {"bucket_cols": ["id"], "num_buckets": 4}
+    assert statedir.compact_minor(spark, root, SCHEMA, 3, **bk)
+    delta = os.path.join(root, "delta=000000000-000000003")
+    mp = statedir._manifest_path(delta)
+    import json as _json
+
+    assert _json.loads(open(mp).read())["bucket"] == {"cols": ["id"], "n": 4}
+    # simulate the crash: manifest put never happened
+    os.remove(mp)
+    # the next fold's reconcile heals it — WITH the spec
+    spark.createDataFrame([(9, 90)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(statedir.batch_dir(root, 9))
+    assert statedir.compact_minor(spark, root, SCHEMA, 10, **bk)
+    healed = _json.loads(open(mp).read())
+    assert healed["bucket"] == {"cols": ["id"], "n": 4}
+    # rows intact end-to-end
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62).collect(),
+        )
+    )
+    assert got == [(0, 0), (1, 10), (2, 20), (9, 90)]
+
+
+def test_heal_does_not_mislabel_plain_dir_as_bucketed(spark, tmp_path):
+    """The bucket hint is accepted only when the file names prove the
+    bucketed layout: healing a PLAIN-parquet dir under a bucket hint
+    must stamp a plain manifest (no bucket key)."""
+    root = str(tmp_path / "plainheal")
+    os.makedirs(root)
+    plain = os.path.join(root, "delta=000000000-000000002")
+    spark.createDataFrame([(1, 10)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(plain)  # plain write: _SUCCESS, no manifest, no bucket ids
+    spark.createDataFrame([(2, 20)], SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(statedir.batch_dir(root, 2))
+    statedir._reconcile(
+        root, statedir._DEFAULT_FS, {"cols": ["id"], "n": 4}
+    )
+    import json as _json
+
+    info = _json.loads(open(statedir._manifest_path(plain)).read())
+    assert "bucket" not in info
+    got = sorted(
+        map(
+            tuple,
+            statedir.read_state(spark, root, SCHEMA, 1 << 62).collect(),
+        )
+    )
+    assert got == [(1, 10), (2, 20)]

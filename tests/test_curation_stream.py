@@ -577,3 +577,52 @@ def test_media_blob_col_env_validated(monkeypatch, tmp_path):
     monkeypatch.setenv("MEDIA_BLOB_COL", "blob, text string")
     with pytest.raises(ValueError, match="simple column identifier"):
         M.main()
+
+
+def test_curation_gate_uses_arrow_tier_for_big_merge_tables(spark, tmp_path):
+    """A production-size merge table auto-routes the sink's quality gate
+    to the Arrow tier (pandas UDF inside foreachBatch) — decisions must
+    match a pure-Python BPE count of the same table."""
+    from stream_cdc_spark.operators import bpe
+
+    table = list(bpe.DEFAULT_MERGES)
+    pad = [("q", "q")]
+    while len(table) + len(pad) <= bpe.ARROW_TIER_MIN_MERGES:
+        pad.append((pad[-1][0] + pad[-1][1], "q"))
+    table = table + pad
+    assert bpe._tier_for(table, None) == "arrow"
+
+    docs = [
+        (1, "the cat and the hat sat on the mat this evening"),
+        (2, "tiny"),
+        (3, "a bat and a rat ran at the cat in the yard"),
+        (4, "no"),
+    ]
+    enc = bpe._make_word_encoder(table, "letter")
+
+    def count(t):
+        return sum(
+            len(enc(w))
+            for w in bpe._normalize_py(t, "letter").split(" ")
+            if w
+        )
+
+    min_tokens = 5
+    pipe = CurationPipeline(
+        str(tmp_path / "state"),
+        min_tokens=min_tokens,
+        tokenizer="bpe",
+        bpe_merges=table,
+    )
+    pipe.foreach_batch(
+        spark.createDataFrame(docs, "doc_id bigint, text string"), 0
+    )
+    dec = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in pipe.decisions(spark).collect()
+    }
+    for did, text in docs:
+        if count(text) < min_tokens:
+            assert dec[did] == (False, "quality"), (did, count(text))
+        else:
+            assert dec[did][0], (did, count(text))

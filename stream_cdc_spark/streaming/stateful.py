@@ -1035,6 +1035,8 @@ def token_count_stream(
     group_col: str = "source",
     text_col: str = "text",
     tokenizer: str = "whitespace",
+    merges=None,
+    alphabet: str = "letter",
 ) -> DataFrame:
     """Continuously maintained exact (group, token) counts — the state
     side of q125's source-distribution drift monitor.
@@ -1062,9 +1064,13 @@ def token_count_stream(
     from pyspark.sql import functions as F
 
     if tokenizer == "bpe":
-        from stream_cdc_spark.operators.bpe import bpe_tokens
+        from stream_cdc_spark.operators import bpe
 
-        toks = bpe_tokens(F.col(text_col))
+        toks = bpe.bpe_tokens(
+            F.col(text_col),
+            bpe.DEFAULT_MERGES if merges is None else merges,
+            alphabet,
+        )
     else:
         toks = F.split(F.col(text_col), " ")
     return (

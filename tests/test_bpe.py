@@ -452,3 +452,45 @@ def test_word_profile_counts_occurrences(spark):
         for r in bpe.word_profile(df).collect()
     }
     assert rows == {"the": 3, "cat": 2}
+
+
+def test_tier_equality_property_random_unicode(spark):
+    """Property (seeded random generation): for ARBITRARY unicode text,
+    both alphabets and all four views, the expr and arrow tiers agree
+    exactly. One Spark pass over the whole generated corpus."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 \t\n\x0b\f\r.,;:!?()[]{}'\"-_/\\"
+        "éüßñçøåЖшЩ漢字かなカナ한글العربية🎉🚀€£¥"
+    )
+    samples = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id bigint, text string"
+    )
+    for alphabet, merges in (
+        ("letter", bpe.DEFAULT_MERGES),
+        ("byte", bpe.DEFAULT_BYTE_MERGES),
+    ):
+        rows = df.select(
+            "doc_id",
+            bpe.bpe_string(F.col("text"), merges, alphabet, "expr").alias("s_e"),
+            bpe.bpe_string(F.col("text"), merges, alphabet, "arrow").alias("s_a"),
+            bpe.bpe_token_count(F.col("text"), merges, alphabet, "expr").alias("n_e"),
+            bpe.bpe_token_count(F.col("text"), merges, alphabet, "arrow").alias("n_a"),
+            bpe.bpe_tokens(F.col("text"), merges, alphabet, "expr").alias("t_e"),
+            bpe.bpe_tokens(F.col("text"), merges, alphabet, "arrow").alias("t_a"),
+            bpe.bpe_token_ids(F.col("text"), merges, alphabet, "expr").alias("i_e"),
+            bpe.bpe_token_ids(F.col("text"), merges, alphabet, "arrow").alias("i_a"),
+        ).collect()
+        for r in rows:
+            sample = samples[r["doc_id"]]
+            assert r["s_e"] == r["s_a"], (alphabet, sample)
+            assert r["n_e"] == r["n_a"], (alphabet, sample)
+            assert r["t_e"] == r["t_a"], (alphabet, sample)
+            assert r["i_e"] == r["i_a"], (alphabet, sample)

@@ -316,3 +316,25 @@ def test_q102_vocab_growth_partial_aggregates(spark):
     plan = _plan(spark, "q102_vocab_growth")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q131_q134_bpe_stats_narrow_before_aggregate(spark):
+    """Both BPE stats queries (letter q131, byte q134) must ride the
+    scan: one Exchange total (the final group-by), no Python in the
+    plan (expression tier at DEFAULT table size), codegen'd."""
+    for name in ("q131_bpe_token_stats", "q134_bpe_byte_stats"):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        import re as _re
+
+        # count Exchange NODES in the final plan only (the formatted AQE
+        # output appends the pre-adaptive Initial Plan, duplicating them)
+        final = plan.split("== Initial Plan ==")[0]
+        n_exchange = len(set(_re.findall(r"Exchange \((\d+)\)", final)))
+        assert n_exchange <= 2, (name, n_exchange)  # agg + orderBy
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "codegen id" in plan, name

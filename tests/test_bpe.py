@@ -494,3 +494,23 @@ def test_tier_equality_property_random_unicode(spark):
             assert r["n_e"] == r["n_a"], (alphabet, sample)
             assert r["t_e"] == r["t_a"], (alphabet, sample)
             assert r["i_e"] == r["i_a"], (alphabet, sample)
+
+
+def test_train_merges_profile_cap(spark):
+    """max_profile_words keeps only the top-N words by (count desc,
+    word asc) — training then sees just that sub-profile. With a cap
+    covering every word the result is identical to uncapped."""
+    texts = ["the the the cat cat sat", "the cat and a rat"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    full = bpe.train_merges(df, n_merges=4, min_count=1)
+    same = bpe.train_merges(
+        df, n_merges=4, min_count=1, max_profile_words=100
+    )
+    assert full == same
+    # cap of 1 keeps only 'the' (count 4): the only learnable merges
+    # are within that word — (h,e) first ('h e' < 't h' on the tie),
+    # then (t,he)
+    capped = bpe.train_merges(
+        df, n_merges=4, min_count=1, max_profile_words=1
+    )
+    assert capped == [("h", "e"), ("t", "he")]

@@ -693,22 +693,17 @@ def _shingle_pair_stats(d: DataFrame):
     sh = dedup.stop_shingle_filter(
         dedup.shingles(d, "text", "doc_id", k=3), 1000, detect_rate_4096=32
     )
-    # Shape note (measured, sf0.1): a window-attached n_sh would make the
-    # two self-join inputs identical (one ReusedExchange, fewest scans) but
-    # shuffles EVERY shingle row by id with no map-side combine — 23%
-    # slower locally and strictly worse at 100 TB, where a corpus-sized
-    # row shuffle dwarfs an extra scan. The sizes-aggregate + post-join
-    # formulation keeps all shuffles partial-aggregated (counts, never
-    # rows): sizes joins happen AFTER the pair aggregate, on the tiny
-    # candidate-pair relation. AQE reuses the identical a/b shingle
-    # exchange at runtime.
+    # Shape notes (measured, sf0.1): a window-attached n_sh shuffles
+    # EVERY shingle row by id with no map-side combine — 23% slower and
+    # strictly worse at 100 TB; the r9 group-and-combine pair block
+    # (dedup.shared_pair_counts: one shingle groupBy, ordered pairs
+    # expanded map-side from the sorted group, partial-aggregated) took
+    # a further 30% off the former self-join (2.45 s -> 1.73 s) with the
+    # same single corpus-sized exchange and df-cap-bounded group memory.
+    # Sizes join AFTER the pair aggregate, on the tiny candidate-pair
+    # relation.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared = dedup.shared_pair_counts(sh)
     joined = shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id")).join(
         sizes.alias("sb"), F.col("id_b") == F.col("sb.id")
     )

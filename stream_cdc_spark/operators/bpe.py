@@ -68,6 +68,15 @@ The DuckDB oracle replays the SAME merge table with a recursive CTE
 over merge ranks (plans/queries.py q131/q133/q134) — the match is
 exact, not statistical.
 
+Locale caveat (letter mode only): Spark's ``lower()`` delegates
+non-ASCII code points to the JVM's default-locale lowercasing, while
+the arrow tier uses Python's locale-independent ``str.lower()``. Under
+a Turkish/Azeri default JVM locale ('I' -> dotless 'ı') the two tiers
+could disagree on documents mixing 'I' with non-ASCII content — run
+executors with a root/en locale (the norm) or use the byte alphabet,
+which never lowercases. The tier-equality suite pins agreement under
+the default locale.
+
 Training (``train_merges``) is corpus-scan-free per merge: ONE
 distributed aggregate collapses the corpus to its (word, count)
 profile (Heaps's law keeps the profile tiny relative to the corpus —
@@ -295,6 +304,12 @@ def _classic_encode(parts: list[str], ranks: dict) -> tuple[str, ...]:
 
 _CACHE_CAP = 1 << 20  # per-worker distinct-word cache bound
 
+# Uncapped profile collects beyond this are refused with a pointer to
+# max_profile_words (~20M words x ~40 B is a few hundred MB on the
+# driver — the documented 100 TB budget; beyond it the corpus is
+# space-less-script-shaped and needs the cap).
+_PROFILE_SAFETY_LIMIT = 20_000_000
+
 
 def _make_word_encoder(merges, alphabet: str):
     """(word -> tuple of tokens) with a per-worker memo — the pandas
@@ -330,8 +345,14 @@ def _arrow_apply(text: Column, merges, alphabet: str, mode: str,
         "ids": ArrayType(IntegerType()),
     }[mode]
 
+    # Built OUTSIDE run() so the ranks dict and word memo ride the
+    # pickled closure: each Python worker deserializes its own copy once
+    # and the cache then persists ACROSS Arrow batches within that
+    # worker — rebuilding per batch would re-encode every high-frequency
+    # word on every batch (code-review r9 finding).
+    enc = _make_word_encoder(merges, alphabet)
+
     def run(batch):
-        enc = _make_word_encoder(merges, alphabet)
         out = []
         for text in batch:
             if text is None:
@@ -636,6 +657,21 @@ def train_merges(
         profile = profile.orderBy(
             F.desc("wc"), F.asc("word")
         ).limit(max_profile_words)
+    else:
+        # Heaps's law bounds the profile for whitespace-delimited text,
+        # but NOT for scripts written without spaces (CJK/Thai under the
+        # byte alphabet: every distinct line is a distinct "word") — an
+        # uncapped collect there would OOM the driver. Fail loudly with
+        # the fix instead (code-review r9 finding).
+        n = profile.count()
+        if n > _PROFILE_SAFETY_LIMIT:
+            raise ValueError(
+                f"word profile has {n:,} distinct words (> "
+                f"{_PROFILE_SAFETY_LIMIT:,}); pass max_profile_words= "
+                "to cap it by frequency (BPE merges are frequency-"
+                "dominated, so a generous cap does not change the "
+                "learned table in practice)"
+            )
     rows = profile.collect()
     word_counts = [
         (_word_parts(r["word"], alphabet), r["wc"]) for r in rows

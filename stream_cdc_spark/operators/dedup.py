@@ -162,7 +162,24 @@ def ngram_jaccard_pairs(
     if storage_level is not None:
         sh = sh.persist(storage_level)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = shared_pair_counts(sh)
+    if max_shingle_df is not None:
+        shared = shared_pair_counts(sh)
+    else:
+        # Uncapped groups make shared_pair_counts' per-group pair ARRAY
+        # unbounded (one hot shingle in d docs -> d^2/2 structs in ONE
+        # row); the self-join produces the same pairs but STREAMS them
+        # through the (spillable) hash aggregate — slower, but the only
+        # safe shape without the df cap (code-review r9 finding).
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
@@ -194,11 +211,17 @@ def shared_pair_counts(sh: DataFrame) -> DataFrame:
     aggregation. Same single corpus-sized shuffle as the self-join
     formulation (whose second scan AQE reused), but no join build/probe
     and no raw pair stream into the aggregate — measured 30% off q24 at
-    sf0.1 (2.45 s -> 1.73 s), value-identical. Group size is bounded by
-    the df cap upstream (stop_shingle_filter), so the per-group pair
-    array tops out at cap^2/2 structs (~8 MB at the default 1000) —
-    bounded memory per task at any corpus size, exactly the bound that
-    already capped the join-group fan-out."""
+    sf0.1 (2.45 s -> 1.73 s), value-identical.
+
+    PRECONDITION: the input must be df-capped (stop_shingle_filter or
+    an equivalent group-size bound). The per-group pair array
+    materializes in ONE row — cap^2/2 structs (~8 MB at the default
+    1000) is bounded memory per task at any corpus size, but an
+    UNCAPPED hot shingle would build its whole d^2/2 pair set in a
+    single array (executor OOM), where a self-join streams the same
+    pairs through a spillable aggregate. Uncapped callers
+    (ngram_jaccard_pairs with max_shingle_df=None) use the self-join
+    formulation instead."""
     grp = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

@@ -133,6 +133,7 @@ _COMPACT_RE = re.compile(r"^compact=(\d+)$")
 _DELTA_RE = re.compile(r"^delta=(\d+)-(\d+)$")
 _TMP_PREFIX = ".tmp-compact-"  # legacy rename-protocol temp dirs
 _MANIFEST_SUFFIX = ".commit"
+_INTENT_SUFFIX = ".intent"
 _SUCCESS = "_SUCCESS"
 
 
@@ -203,6 +204,27 @@ def _manifest_path(dir_path: str) -> str:
     return dir_path + _MANIFEST_SUFFIX
 
 
+def _intent_path(dir_path: str) -> str:
+    return dir_path + _INTENT_SUFFIX
+
+
+def _put_bucket_intent(
+    fs: LocalFS, dest: str, bucket_cols: list[str], num_buckets: int
+) -> None:
+    """Record the bucket spec BEFORE a bucketed data write so a crash
+    between saveAsTable and the manifest put can be healed with the
+    TRUE spec of the files on disk. Without this, heal could only guess
+    from the caller's CURRENT constants — wrong if the deployment's
+    bucket_cols/num_buckets changed across the restart, and a
+    mislabeled spec makes the per-bucket fold skip an exchange the
+    files don't satisfy (code-review r9). The intent is removed once
+    the manifest (which carries the spec) is durable."""
+    fs.put_text(
+        _intent_path(dest),
+        json.dumps({"cols": list(bucket_cols), "n": num_buckets}),
+    )
+
+
 def _is_valid(fs: LocalFS, dir_path: str) -> bool:
     """Manifest = committed; _SUCCESS-only = legacy rename-protocol
     publish (pre-r7 layouts; healed by the next compaction pass) —
@@ -261,6 +283,7 @@ def _delete_published(fs: LocalFS, dir_path: str) -> None:
     leaves either a still-valid dir or markerless (torn-by-rule) garbage,
     never a manifest naming missing files."""
     fs.remove(_manifest_path(dir_path))
+    fs.remove(_intent_path(dir_path))
     fs.remove(os.path.join(dir_path, _SUCCESS))
     fs.rmtree(dir_path)
 
@@ -407,11 +430,7 @@ def compact(
     Size ``num_buckets`` to the target fold parallelism — the per-bucket
     merge runs one task per bucket per chain dir."""
     fs = fs or _DEFAULT_FS
-    _reconcile(
-        root,
-        fs,
-        {"cols": list(bucket_cols), "n": num_buckets} if bucket_cols else None,
-    )
+    _reconcile(root, fs)
     compacts, batches, deltas = _scan(root, fs)
     chain, cover = _chain(compacts, deltas, batch_id)
     eligible = [w for w in compacts if w <= batch_id]
@@ -439,6 +458,7 @@ def compact(
             name = table_name or _default_table_name(root)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             fs.rmtree(dest)
+            _put_bucket_intent(fs, dest, list(bucket_cols), num_buckets)
             auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
             prev_auto = spark.conf.get(auto_key, "true")
             # force one-partition-per-bucket scans of the chain for the
@@ -463,6 +483,7 @@ def compact(
             _publish_manifest(
                 fs, dest, {"cols": list(bucket_cols), "n": num_buckets}
             )
+            fs.remove(_intent_path(dest))
         else:
             df = read_state(spark, root, schema, batch_id, fs)
             if transform is not None:
@@ -508,11 +529,7 @@ def compact_minor(
     (``compact`` doc). The catalog entry is dropped right after the
     write — the delta is addressed by its manifest, not by name."""
     fs = fs or _DEFAULT_FS
-    _reconcile(
-        root,
-        fs,
-        {"cols": list(bucket_cols), "n": num_buckets} if bucket_cols else None,
-    )
+    _reconcile(root, fs)
     compacts, batches, deltas = _scan(root, fs)
     _, cover = _chain(compacts, deltas, batch_id)
     if cover >= batch_id:
@@ -535,6 +552,7 @@ def compact_minor(
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         fs.rmtree(dest)
+        _put_bucket_intent(fs, dest, list(bucket_cols), num_buckets)
         # Bound the delta at <= num_buckets files — every file the chain
         # carries is re-opened by EVERY trigger's state read until the
         # next major fold, so an unbounded per-fold file count is a
@@ -562,6 +580,7 @@ def compact_minor(
         _publish_manifest(
             fs, dest, {"cols": list(bucket_cols), "n": num_buckets}
         )
+        fs.remove(_intent_path(dest))
     else:
         df.write.mode("overwrite").parquet(dest)
         _publish_manifest(fs, dest)
@@ -661,16 +680,27 @@ def _fold_input(
 _BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+\.")
 
 
-def _heal_bucket_spec(
-    fs: LocalFS, path: str, bucket_hint: dict | None
-) -> dict | None:
-    """The bucket spec to stamp when healing ``path``: the caller's hint
-    (the sink's own bucket_cols/num_buckets constants) — accepted only
-    when every data file carries a Spark bucket-id suffix below the
-    hinted bucket count, so a plain-parquet dir can never be mislabeled
-    bucketed (ADVICE r8: healing a bucketed dir as unbucketed silently
-    cost the next major fold its per-bucket merge)."""
-    if not bucket_hint:
+def _heal_bucket_spec(fs: LocalFS, path: str) -> dict | None:
+    """The bucket spec to stamp when healing ``path``: the INTENT marker
+    the writer put before its bucketed data write — the spec of the
+    files actually on disk (ADVICE r8: healing a bucketed dir as
+    unbucketed silently cost the next major fold its per-bucket merge).
+    The caller's current constants are deliberately NOT used: they may
+    have drifted across the restart, and a mislabeled spec would let
+    the per-bucket fold skip an exchange the files don't satisfy
+    (code-review r9). Accepted only when every data file carries a
+    Spark bucket-id suffix below the intent's bucket count, so a
+    corrupt/stale intent can never mislabel a plain-parquet dir; a dir
+    with no intent (plain write, or a pre-intent-protocol crash) heals
+    without a spec — correct, merely ineligible for the per-bucket
+    merge until the next fold rewrites it."""
+    ip = _intent_path(path)
+    if not fs.exists(ip):
+        return None
+    try:
+        spec = json.loads(fs.read_text(ip))
+        cols, n = list(spec["cols"]), int(spec["n"])
+    except Exception:
         return None
     ids = []
     for f in fs.list_files(path):
@@ -680,14 +710,12 @@ def _heal_bucket_spec(
         if not m:
             return None
         ids.append(int(m.group(1)))
-    if ids and max(ids) < bucket_hint["n"]:
-        return dict(bucket_hint)
+    if ids and max(ids) < n:
+        return {"cols": cols, "n": n}
     return None
 
 
-def _reconcile(
-    root: str, fs: LocalFS, bucket_hint: dict | None = None
-) -> None:
+def _reconcile(root: str, fs: LocalFS) -> None:
     """Pre-fold housekeeping (writer-only — readers never mutate):
 
     * HEAL: a compact/delta dir with _SUCCESS but no manifest is a
@@ -695,11 +723,11 @@ def _reconcile(
       rename-protocol dir) — finish the commit by writing the manifest.
       Sound because under the manifest protocol no dir copy ever occurs,
       so _SUCCESS can only be present on a dir our own writer completed.
-      When the dir's data files all carry Spark bucket-id suffixes
-      matching the caller's ``bucket_hint`` (the sink's own constants),
-      the healed manifest records the bucket spec too, so a publish that
-      crashed between saveAsTable and the manifest put keeps its
-      per-bucket-merge eligibility (ADVICE r8).
+      When the dir carries the writer's INTENT marker and its data
+      files all carry matching Spark bucket-id suffixes, the healed
+      manifest records the bucket spec too, so a publish that crashed
+      between saveAsTable and the manifest put keeps its
+      per-bucket-merge eligibility (ADVICE r8 / code-review r9).
       Legacy caveat: a pre-r7 ``shutil.rmtree`` interrupted mid-delete
       removes files in arbitrary order, so _SUCCESS can survive the
       data; a dir that lost ALL its data files is therefore treated as
@@ -735,6 +763,13 @@ def _reconcile(
             continue
         if n.endswith(_MANIFEST_SUFFIX):
             continue
+        if n.endswith(_INTENT_SUFFIX):
+            # stale once its dir's manifest is durable (the manifest
+            # carries the spec) or the dir itself is gone
+            d = path[: -len(_INTENT_SUFFIX)]
+            if fs.exists(_manifest_path(d)) or not fs.isdir(d):
+                fs.remove(path)
+            continue
         if n.startswith(_TMP_PREFIX):
             fs.rmtree(path)
             continue
@@ -754,9 +789,8 @@ def _reconcile(
                 and (has_data or anchors_chain)
                 and fs.exists(os.path.join(path, _SUCCESS))
             ):
-                _publish_manifest(
-                    fs, path, _heal_bucket_spec(fs, path, bucket_hint)
-                )
+                _publish_manifest(fs, path, _heal_bucket_spec(fs, path))
+                fs.remove(_intent_path(path))
             else:
                 _delete_published(fs, path)
 

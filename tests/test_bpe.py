@@ -514,3 +514,16 @@ def test_train_merges_profile_cap(spark):
         df, n_merges=4, min_count=1, max_profile_words=1
     )
     assert capped == [("h", "e"), ("t", "he")]
+
+
+def test_train_merges_refuses_runaway_profile(spark, monkeypatch):
+    """Uncapped profiles beyond the driver-safety limit fail loudly
+    with a pointer to max_profile_words (code-review r9: byte-mode
+    'words' on space-less scripts approach corpus cardinality)."""
+    monkeypatch.setattr(bpe, "_PROFILE_SAFETY_LIMIT", 2)
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    with pytest.raises(ValueError, match="max_profile_words"):
+        bpe.train_merges(df, 2, min_count=1)
+    # an explicit cap bypasses the guard
+    got = bpe.train_merges(df, 1, min_count=1, max_profile_words=2)
+    assert isinstance(got, list)

@@ -553,35 +553,44 @@ def test_heal_preserves_data_less_chain_anchor(spark, tmp_path):
     assert got_after == want, "chain anchor was orphaned, delta rows lost"
 
 
-def test_heal_recovers_bucket_spec_from_hint(spark, tmp_path):
-    """ADVICE r9: a bucketed publish that crashed between saveAsTable
-    and the manifest put must be healed WITH its bucket spec (the
-    caller's own constants, accepted only when every data file carries
-    a matching bucket-id suffix), so the next major fold keeps the
-    per-bucket merge instead of silently falling back."""
+def test_heal_recovers_bucket_spec_from_intent(spark, tmp_path):
+    """ADVICE r8 / code-review r9: a bucketed publish that crashed
+    between saveAsTable and the manifest put must be healed WITH the
+    spec from the writer's INTENT marker — the truth of the files on
+    disk — even when the restarted deployment's constants have DRIFTED
+    (intent n=4, restart folds with n=8: the healed manifest must say
+    4, or the per-bucket fold would skip an exchange the files don't
+    satisfy)."""
+    import json as _json
+
     root = str(tmp_path / "bspec")
     os.makedirs(root)
     for b in range(3):
         spark.createDataFrame([(b, b * 10)], SCHEMA).write.mode(
             "overwrite"
         ).parquet(statedir.batch_dir(root, b))
-    bk = {"bucket_cols": ["id"], "num_buckets": 4}
-    assert statedir.compact_minor(spark, root, SCHEMA, 3, **bk)
+    assert statedir.compact_minor(
+        spark, root, SCHEMA, 3, bucket_cols=["id"], num_buckets=4
+    )
     delta = os.path.join(root, "delta=000000000-000000003")
     mp = statedir._manifest_path(delta)
-    import json as _json
-
     assert _json.loads(open(mp).read())["bucket"] == {"cols": ["id"], "n": 4}
-    # simulate the crash: manifest put never happened
+    # a completed publish removed its intent marker
+    assert not os.path.exists(statedir._intent_path(delta))
+    # simulate the real crash point: intent + data + _SUCCESS, no
+    # manifest (the state between saveAsTable and the manifest put)
     os.remove(mp)
-    # the next fold's reconcile heals it — WITH the spec
+    statedir._put_bucket_intent(statedir._DEFAULT_FS, delta, ["id"], 4)
+    # the restarted deployment folds with DIFFERENT constants (n=8)
     spark.createDataFrame([(9, 90)], SCHEMA).write.mode(
         "overwrite"
     ).parquet(statedir.batch_dir(root, 9))
-    assert statedir.compact_minor(spark, root, SCHEMA, 10, **bk)
+    assert statedir.compact_minor(
+        spark, root, SCHEMA, 10, bucket_cols=["id"], num_buckets=8
+    )
     healed = _json.loads(open(mp).read())
-    assert healed["bucket"] == {"cols": ["id"], "n": 4}
-    # rows intact end-to-end
+    assert healed["bucket"] == {"cols": ["id"], "n": 4}  # intent, not hint
+    assert not os.path.exists(statedir._intent_path(delta))  # consumed
     got = sorted(
         map(
             tuple,
@@ -604,9 +613,10 @@ def test_heal_does_not_mislabel_plain_dir_as_bucketed(spark, tmp_path):
     spark.createDataFrame([(2, 20)], SCHEMA).write.mode(
         "overwrite"
     ).parquet(statedir.batch_dir(root, 2))
-    statedir._reconcile(
-        root, statedir._DEFAULT_FS, {"cols": ["id"], "n": 4}
-    )
+    # even a (bogus/stale) intent cannot mislabel it: the file names
+    # carry no bucket-id suffix, so the heal stamps a plain manifest
+    statedir._put_bucket_intent(statedir._DEFAULT_FS, plain, ["id"], 4)
+    statedir._reconcile(root, statedir._DEFAULT_FS)
     import json as _json
 
     info = _json.loads(open(statedir._manifest_path(plain)).read())

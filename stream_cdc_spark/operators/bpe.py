@@ -305,10 +305,13 @@ def _classic_encode(parts: list[str], ranks: dict) -> tuple[str, ...]:
 _CACHE_CAP = 1 << 20  # per-worker distinct-word cache bound
 
 # Uncapped profile collects beyond this are refused with a pointer to
-# max_profile_words (~20M words x ~40 B is a few hundred MB on the
-# driver — the documented 100 TB budget; beyond it the corpus is
-# space-less-script-shaped and needs the cap).
-_PROFILE_SAFETY_LIMIT = 20_000_000
+# max_profile_words. Sized against what collect() actually materializes
+# — pyspark Row objects (~150-250 B each, NOT the ~40 B of raw string
+# bytes) plus the per-character parts tuples the trainer builds — so 5M
+# words is ~1-2 GB of peak driver memory: safe on a normally-sized
+# driver, and an offline trainer on a bigger driver can raise it or
+# pass an explicit max_profile_words.
+_PROFILE_SAFETY_LIMIT = 5_000_000
 
 
 def _make_word_encoder(merges, alphabet: str):
@@ -654,25 +657,28 @@ def train_merges(
     """
     profile = word_profile(df, text_col, alphabet)
     if max_profile_words is not None:
-        profile = profile.orderBy(
+        rows = profile.orderBy(
             F.desc("wc"), F.asc("word")
-        ).limit(max_profile_words)
+        ).limit(max_profile_words).collect()
     else:
         # Heaps's law bounds the profile for whitespace-delimited text,
         # but NOT for scripts written without spaces (CJK/Thai under the
         # byte alphabet: every distinct line is a distinct "word") — an
-        # uncapped collect there would OOM the driver. Fail loudly with
-        # the fix instead (code-review r9 finding).
-        n = profile.count()
-        if n > _PROFILE_SAFETY_LIMIT:
+        # uncapped collect there would OOM the driver. Guard with ONE
+        # action: limit(N+1) bounds the collect itself by construction
+        # (no separate count() re-running the corpus aggregate), and one
+        # extra row proves the overflow. Training is insensitive to the
+        # profile's row order (pair counts are commutative sums; picks
+        # tie-break on pair text), so limit() is safe when under the
+        # bound (code-review r9 findings).
+        rows = profile.limit(_PROFILE_SAFETY_LIMIT + 1).collect()
+        if len(rows) > _PROFILE_SAFETY_LIMIT:
             raise ValueError(
-                f"word profile has {n:,} distinct words (> "
-                f"{_PROFILE_SAFETY_LIMIT:,}); pass max_profile_words= "
-                "to cap it by frequency (BPE merges are frequency-"
-                "dominated, so a generous cap does not change the "
-                "learned table in practice)"
+                f"word profile exceeds {_PROFILE_SAFETY_LIMIT:,} distinct "
+                "words; pass max_profile_words= to cap it by frequency "
+                "(BPE merges are frequency-dominated, so a generous cap "
+                "does not change the learned table in practice)"
             )
-    rows = profile.collect()
     word_counts = [
         (_word_parts(r["word"], alphabet), r["wc"]) for r in rows
     ]

@@ -663,16 +663,9 @@ def containment_pairs(
     sh_full = shingles(df, text_col, id_col, k)
     sh = stop_shingle_filter(sh_full, max_df, detect_rate_4096=32)
     sizes = sh_full.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    # df-capped input -> the group-and-combine pair block applies (its
+    # documented precondition holds; same relation, fewer exchanges)
+    shared = shared_pair_counts(sh)
     joined = shared.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")

@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from stream_cdc_spark.operators.text import tokens
 from stream_cdc_spark.operators.util import ensure_parallelism
 
+# Version id of the MinHash signature scheme: how shingles are hashed
+# (xxhash64(shingle, seed=i) per signature position) and how band keys are
+# derived (xxhash64 over the band's signature slice). A persisted band
+# index is only probe-compatible with the scheme that built it — signatures
+# under a different scheme share no band keys, so a probe would silently
+# return zero candidates and admit every near-dup. The id rides the index
+# parameter stamp (minhash_band_index) and is validated next to k /
+# num_hashes / bands (incremental_verified_dedup). Bump it whenever the
+# hash function, seeding, or band-key derivation changes.
+LSH_SCHEME = "minhash-xxhash64-seeded/bandkey-xxhash64/v1"
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups by normalized-text fingerprint: keeps the
@@ -356,7 +367,12 @@ def minhash_band_index(
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     out = band_buckets(sig, num_hashes, bands)
-    stamp = {"lsh_k": k, "lsh_num_hashes": num_hashes, "lsh_bands": bands}
+    stamp = {
+        "lsh_k": k,
+        "lsh_num_hashes": num_hashes,
+        "lsh_bands": bands,
+        "lsh_scheme": LSH_SCHEME,
+    }
     return out.withColumn("band", F.col("band").alias("band", metadata=stamp))
 
 
@@ -526,6 +542,23 @@ def incremental_verified_dedup(
                 f"prebuilt LSH index parameter mismatch: index has {got}, "
                 f"probe requested {want} — rebuild the index or pass "
                 f"matching k/num_hashes/bands"
+            )
+        # Scheme drift is worse than parameter drift: same (k, hashes,
+        # bands) under a different hash scheme shares zero band keys, so
+        # the probe would silently return no corpus candidates. A stamp
+        # without lsh_scheme predates versioning and is accepted (only
+        # one scheme has ever existed); a PRESENT-but-different scheme
+        # must refuse with migration guidance.
+        got_scheme = stamp.get("lsh_scheme")
+        if got_scheme is not None and got_scheme != LSH_SCHEME:
+            raise ValueError(
+                f"prebuilt LSH index signature-scheme mismatch: index was "
+                f"built under {got_scheme!r}, this build computes "
+                f"{LSH_SCHEME!r}. Persisted signatures/band keys are not "
+                f"comparable across schemes (a probe would silently admit "
+                f"every near-dup). Migrate by rebuilding the index from "
+                f"the corpus with minhash_band_index under the current "
+                f"scheme, then resume update_band_index maintenance."
             )
 
     nb = new_buckets.select(

@@ -189,6 +189,39 @@ def test_incremental_rejects_mismatched_index_params(spark):
     assert {r["doc_id"]: r["keep"] for r in out.collect()} == {10: False}
 
 
+def test_incremental_rejects_mismatched_signature_scheme(spark):
+    """Scheme drift is worse than parameter drift: identical (k, hashes,
+    bands) under a different hash scheme shares zero band keys, so a probe
+    would silently admit every near-dup. An index stamped with a foreign
+    lsh_scheme must refuse with migration guidance; a stamp WITHOUT the
+    scheme key (pre-versioning index) stays accepted for back-compat."""
+    import pytest
+
+    corpus = _docs(spark, [(1, BODY), (2, OTHER)])
+    batch = _docs(spark, [(10, BODY)])
+
+    idx = dedup.minhash_band_index(corpus)
+    assert dict(idx.schema["band"].metadata)["lsh_scheme"] == dedup.LSH_SCHEME
+
+    foreign = dict(idx.schema["band"].metadata)
+    foreign["lsh_scheme"] = "minhash-murmur3-seeded/bandkey-crc32/v9"
+    drifted = idx.withMetadata("band", foreign)
+    with pytest.raises(ValueError, match="scheme mismatch.*rebuilding"):
+        dedup.incremental_verified_dedup(batch, corpus, index=drifted)
+
+    # pre-versioning stamp: parameters only, no scheme key — accepted
+    legacy_stamp = {"lsh_k": 3, "lsh_num_hashes": 64, "lsh_bands": 16}
+    legacy = idx.withMetadata("band", legacy_stamp)
+    out = dedup.incremental_verified_dedup(batch, corpus, index=legacy)
+    assert {r["doc_id"]: r["keep"] for r in out.collect()} == {10: False}
+
+    # the scheme id survives a parquet round-trip next to the parameters
+    path = "/tmp/lsh-index-scheme-stamp-test"
+    idx.write.mode("overwrite").parquet(path)
+    got = dict(spark.read.parquet(path).schema["band"].metadata)
+    assert got["lsh_scheme"] == dedup.LSH_SCHEME
+
+
 def test_containment_denominators_ignore_df_cap(spark, monkeypatch):
     """The df-cap must apply only to the pair-generating self-join, never
     the per-doc size denominators: capping |A| for a boilerplate-heavy doc

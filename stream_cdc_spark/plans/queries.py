@@ -5880,6 +5880,63 @@ def _patch_bpe_oracle() -> None:
 _patch_bpe_oracle()
 
 
+@_register(
+    "q135_incremental_components",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s0 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle FROM s0),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE 1000000.0 * shared / (sa.n_sh + sb.n_sh - shared) >= 500000.0
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT u FROM und),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+    )
+    SELECT u AS vertex, MIN(v) AS component FROM reach GROUP BY u
+    ORDER BY vertex
+    """,
+    doc="INCREMENTAL dedup-cluster maintenance (streaming/components.py "
+    "components_over_batches): the q64 edge set arrives as three "
+    "interleaved micro-batch slices and is folded through the append-"
+    "only union-find forest — members stamped with their insertion "
+    "root, merges as O(1) parent-log rows, labels resolved by path-"
+    "compressing the component-granular log and ONE broadcast join "
+    "(the corpus-sized member table never shuffles). The oracle is the "
+    "one-shot recursive-CTE fixpoint over the SAME edge set, so the "
+    "driver check proves order-insensitivity: batch-at-a-time folding "
+    "reaches the exact one-shot clusters. The streaming twin "
+    "(IncrementalComponentsSnapshot) persists the identical forest on "
+    "statedir state — tests/test_components_stream.py holds the "
+    "restart/replay equality to batch connected_components.",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.components import components_over_batches
+
+    d = load(spark, sf, "documents")
+    joined, ratio = _shingle_pair_stats(d)
+    edges = (
+        joined.filter(ratio >= 500000.0)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    slices = [edges.filter(F.col("id_a") % 3 == i) for i in range(3)]
+    return components_over_batches(slices).orderBy("vertex")
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -6208,12 +6265,96 @@ _DRIVER_WINDOW_R9 = [
 
 assert len(_DRIVER_WINDOW_R9) == 50, len(_DRIVER_WINDOW_R9)
 
+# Driver verification window, round 10 — rotation policy unchanged (no
+# query's most-recent driver-green row older than two rounds):
+#  (1) the 40 queries whose latest driver-green dates to r7 lead the
+#      window (the round-9 verdict's task-3 cohort — after the r9
+#      rotation the latest-green distribution was 50 r9 / 44 r8 /
+#      40 r7, and the r7 block is the staleness frontier); this cohort
+#      already contains five headliners (q01, q07, q19, q31, q48),
+#      exactly the five the r9 rotation note promised would lead here;
+#  (2) NEW this round: q135 (incremental connected components — the
+#      q64 edge set folded through streaming/components.py's append-
+#      only union-find forest as three micro-batch slices), never
+#      driver-green;
+#  (3) anchors for code changed THIS round: q110 (the LSH index stamp
+#      gained the signature-scheme id + probe-side refusal guard in
+#      operators/dedup.py) and q64 (the batch connected_components twin
+#      the new incremental path holds bit-equality against);
+#  (4) headline-bench continuity anchors: the six r8-green headliners
+#      (q14, q15, q24, q25, q27, q34 — exactly two rounds old at this
+#      gate, including the two heaviest bench plans q24/q27) plus q13,
+#      the heaviest TPC-H plan, value-verified in the round it is
+#      timed. The remaining headliners (q03, q10, q51, q66) are
+#      r9-green — one round old — and rotate back in r11 with the r8
+#      cohort.
+#  Displaced r8/r9-green families remain value-checked every session by
+#  tests/test_queries_oracle.py.
+_DRIVER_WINDOW_R10 = [
+    # (1) 40 stale r7-green queries:
+    "q18_rollup_value",
+    "q43_ivf_cells",
+    "q49_topk_per_group",
+    "q53_tpch_q18",
+    "q54_tfidf_top_terms",
+    "q55_tpch_q10",
+    "q57_tpch_q5_local_supplier",
+    "q58_tpch_q12_priority_counts",
+    "q59_tpch_q4_late_orders",
+    "q60_tpch_q2_min_cost_supplier",
+    "q61_tpch_q16_supplier_variety",
+    "q62_tpch_q11_value_concentration",
+    "q63_tpch_q22_dormant_customers",
+    "q69_tpch_q7_nation_volume",
+    "q70_tpch_q9_product_profit",
+    "q71_tpch_q13_order_distribution",
+    "q72_tpch_q17_small_quantity",
+    "q73_tpch_q21_waiting_suppliers",
+    "q88_pagerank",
+    "q89_bm25_topk",
+    "q100_language_mix_report",
+    "q101_cross_source_duplication",
+    "q102_vocab_growth",
+    "q103_lm_doc_fluency",
+    "q106_gapfill_locf",
+    "q107_sq8_ann_topk",
+    "q108_heavy_hitters",
+    "q109_source_capped_sample",
+    "q115_document_chunks",
+    "q116_equidepth_histogram",
+    "q125_source_drift_kl",
+    "q126_zscore_anomaly",
+    "q127_centroid_similarity",
+    "q128_cross_source_near_dup",
+    "q130_media_dup_clusters",
+    "q01_envelope_filter_project",
+    "q07_cdc_apply_join",
+    "q19_exact_dedup",
+    "q31_sessionization",
+    "q48_cdc_merge_apply",
+    # (2) new this round:
+    "q135_incremental_components",
+    # (3) round-10 code-change anchors:
+    "q110_incremental_dedup",
+    "q64_dedup_components",
+    # (4) headline-bench continuity:
+    "q13_tpch_q1",
+    "q14_tpch_q3",
+    "q15_star_join_revenue",
+    "q24_ngram_jaccard_pairs",
+    "q25_ann_bruteforce_topk",
+    "q27_minhash_lsh_pairs",
+    "q34_tpch_q6",
+]
+
+assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R9. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R10. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R9)
+_window = set(_DRIVER_WINDOW_R10)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R9},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R10},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -79,73 +79,67 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round9_rotation():
+def test_driver_window_matches_round10_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-9 policy: the 39 queries whose latest driver-green row dates to
-    r6 lead (the round-8 verdict's task-5 cohort), then the query NEW
-    this round (q134 byte-level BPE), this round's code-change anchors
-    (q131/q133 on the rewritten bpe.py, q132 on the BPE-budgeted
-    curation pipeline, q110/q99 on the statedir fold/heal changes), and
-    5 headline-bench continuity anchors (rationale above
-    _DRIVER_WINDOW_R9 in plans/queries.py). Everything outside the
-    window has an r7/r8 green driver row and stays value-checked by the
-    repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R9
+    Round-10 policy: the 40 queries whose latest driver-green row dates
+    to r7 lead (the round-9 verdict's task-3 cohort — it already carries
+    the five headliners q01/q07/q19/q31/q48 the r9 rotation promised
+    here), then the query NEW this round (q135 incremental connected
+    components), this round's code-change anchors (q110 on the LSH
+    signature-scheme stamp, q64 as the batch twin the new incremental
+    path is proven equal to), and seven headline-bench continuity
+    anchors (rationale above _DRIVER_WINDOW_R10 in plans/queries.py).
+    Everything outside the window has an r8/r9 green driver row and
+    stays value-checked by the repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R10
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R9) == 50
-    assert len(set(_DRIVER_WINDOW_R9)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R9
-    # the 39 stale r6-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R10) == 50
+    assert len(set(_DRIVER_WINDOW_R10)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R10
+    # the 40 stale r7-green queries all rotated in:
     stale_ids = (
-        [6, 20, 21, 22, 26, 47, 65, 67, 68] + list(range(74, 88))
-        + list(range(90, 99)) + [104, 105, 112, 113, 114, 117, 122]
+        [18, 43, 49, 53, 54, 55] + list(range(57, 64)) + list(range(69, 74))
+        + [88, 89] + list(range(100, 104)) + list(range(106, 110))
+        + [115, 116, 125, 126, 127, 128, 130, 1, 7, 19, 31, 48]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 39, len(stale)
-    assert set(stale) <= set(_DRIVER_WINDOW_R9)
-    # the round-9 addition is in-window (never driver-green before r9):
-    assert "q134_bpe_byte_stats" in _DRIVER_WINDOW_R9
+    assert len(stale) == 40, len(stale)
+    assert set(stale) <= set(_DRIVER_WINDOW_R10)
+    # the round-10 addition is in-window (never driver-green before r10):
+    assert "q135_incremental_components" in _DRIVER_WINDOW_R10
     # this round's code-change anchors are inside the window:
     assert {
-        "q131_bpe_token_stats",
-        "q133_bpe_chunks",
-        "q132_multimodal_curation_decisions",
         "q110_incremental_dedup",
-        "q99_curation_decisions",
-    } <= set(_DRIVER_WINDOW_R9)
-    # headline continuity: the five in-window anchors include the
-    # heaviest plan (q13) and the drift-watched q51; every headliner
-    # missing from this window is r7- or r8-green (at most two rounds
-    # old at this gate, r10 rotation leads with the r7 five)
+        "q64_dedup_components",
+    } <= set(_DRIVER_WINDOW_R10)
+    # headline continuity: the six r8-green headliners (two rounds old
+    # at this gate, including the heaviest bench plans q24/q27) plus
+    # q13; every headliner missing from this window is r9-green (one
+    # round old) and rotates back in r11 with the r8 cohort
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
     assert {
-        "q13_tpch_q1", "q66_winnow_fingerprints", "q03_log_compaction",
-        "q10_hourly_window", "q51_asof_join",
-    } <= set(_DRIVER_WINDOW_R9)
-    missing = headline - set(_DRIVER_WINDOW_R9)
+        "q13_tpch_q1", "q14_tpch_q3", "q15_star_join_revenue",
+        "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
+        "q27_minhash_lsh_pairs", "q34_tpch_q6",
+    } <= set(_DRIVER_WINDOW_R10)
+    missing = headline - set(_DRIVER_WINDOW_R10)
     assert missing <= {
-        "q01_envelope_filter_project",
         "q02_classify_count",
-        "q07_cdc_apply_join",
-        "q14_tpch_q3",
-        "q15_star_join_revenue",
-        "q19_exact_dedup",
-        "q24_ngram_jaccard_pairs",
-        "q25_ann_bruteforce_topk",
-        "q27_minhash_lsh_pairs",
-        "q31_sessionization",
-        "q34_tpch_q6",
-        "q48_cdc_merge_apply",
+        "q03_log_compaction",
+        "q05_batch_assembly",
+        "q10_hourly_window",
+        "q51_asof_join",
+        "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 134
+    assert len(names) == len(set(names)) == 135
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -527,3 +527,160 @@ def test_train_merges_refuses_runaway_profile(spark, monkeypatch):
     # an explicit cap bypasses the guard
     got = bpe.train_merges(df, 1, min_count=1, max_profile_words=2)
     assert isinstance(got, list)
+
+
+# ---------------------------------------------------------------------------
+# profile-cap guarantee (round-10 verdict task 5): bound the cap's cost
+# by construction, not by anecdote
+# ---------------------------------------------------------------------------
+
+def _pair_counts(words_wc):
+    """Within-word adjacent pair counts over a (parts, wc) profile —
+    the exact quantity the trainer maximizes (every adjacent position,
+    weighted by word count)."""
+    counts = {}
+    for parts, wc in words_wc:
+        for p in zip(parts, parts[1:]):
+            counts[p] = counts.get(p, 0) + wc
+    return counts
+
+
+def _apply_merge(words_wc, left, right):
+    merged = left + right
+    out = []
+    for parts, wc in words_wc:
+        new, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == left and parts[i + 1] == right:
+                new.append(merged)
+                i += 2
+            else:
+                new.append(parts[i])
+                i += 1
+        out.append((new, wc))
+    return out
+
+
+def _margins(profile, merges, min_count):
+    """For each trained merge, the uncapped selection margin: picked
+    pair's count minus the best OTHER candidate's count (same candidate
+    rule as the trainer: result must not collide with a known symbol)."""
+    known = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    words = [(list(parts), wc) for parts, wc in profile]
+    margins = []
+    for left, right in merges:
+        counts = _pair_counts(words)
+        cands = {
+            p: c
+            for p, c in counts.items()
+            if c >= min_count and p[0] + p[1] not in known
+        }
+        picked_c = cands.pop((left, right))
+        runner_c = max(cands.values(), default=0)
+        margins.append(picked_c - runner_c)
+        known.add(left + right)
+        words = _apply_merge(words, left, right)
+    return margins
+
+
+def _zipf_profile(seed, n_vocab, s, n_alpha=6, scale=1_000_000):
+    """Deterministic Zipf-shaped (parts, wc) profile: random words over a
+    small alphabet (pairs concentrate, like natural language), count of
+    the rank-r word ∝ r^-s. With scale=1e6/s=2 the tail beyond rank
+    ~1000 is all singletons — the production cap shape (a generous
+    max_profile_words drops only the rare-junk tail)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    letters = [chr(ord("a") + i) for i in range(n_alpha)]
+    vocab = set()
+    while len(vocab) < n_vocab:
+        length = rng.randint(2, 9)
+        vocab.add(
+            "".join(letters[rng.randint(0, n_alpha)] for _ in range(length))
+        )
+    words = sorted(vocab)
+    rng.shuffle(words)
+    return [
+        (list(w), max(1, int(scale * (r + 1) ** -s)))
+        for r, w in enumerate(words)
+    ]
+
+
+def _guaranteed_prefix(profile, uncapped, tail_bound, min_count):
+    """How many leading merges the tail-mass bound PROVES the capped
+    trainer must reproduce: dropping the tail changes any pair count by
+    at most tail_bound, so every pick whose uncapped selection margin
+    exceeds tail_bound is forced (until the first pick that isn't)."""
+    guaranteed = 0
+    for m in _margins(profile, uncapped, min_count):
+        if m > tail_bound:
+            guaranteed += 1
+        else:
+            break
+    return guaranteed
+
+
+def _lcp(a, b):
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+# seed 0 is the recorded-divergence case: capped and uncapped genuinely
+# part ways at merge 6 — exactly at the first pick whose margin falls
+# under the tail bound, i.e. the bound is tight in the right place
+@pytest.mark.parametrize(
+    "seed,n_alpha", [(0, 6), (1, 6), (2, 6), (3, 6), (0, 8), (1, 8)]
+)
+def test_profile_cap_agreement_bound(seed, n_alpha):
+    """The frequency cap's cost, quantified (bpe.py max_profile_words
+    note): dropping words below the cap changes any pair count by at
+    most tail_bound = sum over dropped words of (len-1)*wc, so capped
+    training provably agrees with uncapped training on every leading
+    merge whose uncapped selection margin exceeds that bound. Asserted
+    as a theorem, not an anecdote: the agreement prefix is AT LEAST the
+    proof-side prefix on every seed (including the one where the tail
+    really does flip a later merge), and the proof-side prefix is
+    non-trivial for Zipf-shaped frequencies."""
+    profile = _zipf_profile(seed, 2000, 2.0, n_alpha)
+    n_merges, min_count = 12, 2
+
+    uncapped = bpe._train_from_profile(
+        [(list(p), wc) for p, wc in profile], n_merges, min_count, "letter"
+    )
+    # production-shaped cap: keep every word that occurs more than once
+    kept = [t for t in profile if t[1] > 1]
+    dropped = [t for t in profile if t[1] == 1]
+    capped = bpe._train_from_profile(
+        [(list(p), wc) for p, wc in kept], n_merges, min_count, "letter"
+    )
+
+    tail_bound = sum((len(p) - 1) * wc for p, wc in dropped)
+    guaranteed = _guaranteed_prefix(profile, uncapped, tail_bound, min_count)
+
+    assert len(dropped) > 1000  # the cap genuinely dropped a large tail
+    assert _lcp(capped, uncapped) >= guaranteed
+    assert guaranteed >= 2, (guaranteed, tail_bound)
+
+
+def test_profile_cap_divergence_is_margin_located(spark):
+    """End-to-end through train_merges: where capped and uncapped DO
+    diverge, the first disagreement sits at or after the first merge
+    whose selection margin dips under the tail bound — the recorded
+    divergence bound for the driver-profile cap (max_profile_words)."""
+    profile = _zipf_profile(0, 400, 2.0, n_alpha=6, scale=30_000)
+    ranked = sorted(profile, key=lambda t: (-t[1], "".join(t[0])))
+    cap = 200
+    rows = [(" ".join(["".join(p)] * wc),) for p, wc in profile]
+    df = spark.createDataFrame(rows, "text string")
+    full = bpe.train_merges(df, n_merges=8, min_count=2)
+    capped = bpe.train_merges(
+        df, n_merges=8, min_count=2, max_profile_words=cap
+    )
+    tail_bound = sum((len(p) - 1) * wc for p, wc in ranked[cap:])
+    guaranteed = _guaranteed_prefix(profile, full, tail_bound, 2)
+    assert _lcp(capped, full) >= guaranteed >= 1

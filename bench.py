@@ -29,6 +29,25 @@ def _load_baseline() -> dict | None:
         return None
 
 
+def _round_files() -> list[tuple[int, str]]:
+    """(round, path) for every recorded BENCH_r{N}.json, sorted
+    NUMERICALLY on the round id: lexicographic order picks BENCH_r9 over
+    BENCH_r10 once widths mix, silently comparing against a stale round
+    (non-numeric BENCH_r*.json strays are skipped rather than crashing).
+    The single source of 'newest recorded round' for both the drift
+    baseline (_load_prev_round) and the staleness stamp
+    (_current_round) — two copies drifted once already."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)", p))
+    )
+
+
 def _load_prev_round() -> dict | None:
     """Per-query medians from the newest recorded BENCH_r*.json, so the
     round-over-round delta is decidable from this artifact alone (the
@@ -36,22 +55,12 @@ def _load_prev_round() -> dict | None:
     certainly shared-session load, but nothing in the artifact could
     prove it). The driver keeps only the TAIL of the stdout line, so the
     queries dict is recovered from the tail text."""
-    import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    # sort NUMERICALLY on the round id: lexicographic order picks
-    # BENCH_r9 over BENCH_r10 once widths mix, silently comparing
-    # against a stale round (non-numeric BENCH_r*.json strays are
-    # skipped rather than crashing the key function)
-    files = sorted(
-        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-         if re.search(r"BENCH_r(\d+)", p)),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    files = _round_files()
     if not files:
         return None
-    path = files[-1]
+    path = files[-1][1]
     try:
         with open(path) as f:
             rec = json.load(f)
@@ -81,19 +90,12 @@ DETAIL_PATH = os.path.join(
 def _current_round() -> int | None:
     """The round this run belongs to: newest recorded BENCH_r{N} + 1.
     The driver writes BENCH_r{N} at round close, so during round N the
-    newest on disk is N-1. Used to stamp BENCH_ISOLATED.json with the
-    round that produced it and to flag a stale embed (round-9 verdict:
-    BENCH_r09 presented r8 isolated numbers with no provenance)."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)", p))
-    ]
-    return max(rounds) + 1 if rounds else None
+    newest on disk is N-1. Used to stamp BENCH_ISOLATED.json and
+    BENCH_DETAIL.json with the round that produced them and to flag a
+    stale embed (round-9 verdict: BENCH_r09 presented r8 isolated
+    numbers with no provenance)."""
+    files = _round_files()
+    return files[-1][0] + 1 if files else None
 
 
 def _load_isolated() -> dict | None:
@@ -191,6 +193,8 @@ def main() -> None:
         "queries": timings,
         "value": total,
     }
+    this_round = _current_round()
+    iso = None
     if not isolated:
         iso = _load_isolated()
         if iso and str(iso.get("sf")) != str(out["sf"]):
@@ -201,7 +205,6 @@ def main() -> None:
             # it, and carries stale=true when that round predates this
             # run (round-9 verdict task 2 — BENCH_r09 embedded r8
             # numbers indistinguishably from fresh ones)
-            this_round = _current_round()
             iso_round = iso.get("source_round")
             out["isolated"] = {
                 "value": iso.get("value"),
@@ -280,6 +283,10 @@ def main() -> None:
     # provenance — in well under 2000 chars.
     detail = {
         "detail_of": out["metric"],
+        # same provenance rule as the isolated embed: the pointer frozen
+        # inside a BENCH_r{N} artifact must be checkable against the
+        # (mutable, every-run-overwritten) side file it names
+        "source_round": this_round,
         "sf": out["sf"],
         "repeats": repeats,
         "stats": out.pop("stats"),
@@ -289,26 +296,27 @@ def main() -> None:
         detail["per_query_vs_baseline"] = out.pop("per_query_vs_baseline")
     if "drift" in out:
         detail["drift_ratios"] = out["drift"].pop("min_over_prev_median")
-    if not isolated:
-        iso_full = _load_isolated()
-        if iso_full and str(iso_full.get("sf")) == str(out["sf"]):
-            detail["isolated_queries"] = iso_full.get("queries")
+    if iso:
+        detail["isolated_queries"] = iso.get("queries")
     order = [
         "unit", "sf", "repeats", "metric", "detail_file", "drift",
         "isolated", "queries", "value_min", "value", "vs_baseline",
         "regressed",
     ]
-    out["detail_file"] = os.path.basename(DETAIL_PATH)
-    out = {k: out[k] for k in order if k in out}
     if isolated:
-        iso_rec = dict(out)
+        iso_rec = {k: out[k] for k in order if k in out}
         iso_rec["queries_wall_min"] = detail["wall_min"]
-        iso_rec["source_round"] = _current_round()
+        iso_rec["source_round"] = this_round
         with open(ISOLATED_PATH, "w") as f:
             json.dump(iso_rec, f)
+        out = iso_rec
     else:
-        # only the default (driver-shaped) run owns the detail file;
-        # an --isolated run records to BENCH_ISOLATED.json instead
+        # only the default (driver-shaped) run owns — and points at —
+        # the detail file; an --isolated run records to
+        # BENCH_ISOLATED.json instead and carries no detail_file (the
+        # pointer would name a DIFFERENT run's diagnostics)
+        out["detail_file"] = os.path.basename(DETAIL_PATH)
+        out = {k: out[k] for k in order if k in out}
         with open(DETAIL_PATH, "w") as f:
             json.dump(detail, f, indent=1)
     line = json.dumps(out)

@@ -242,6 +242,8 @@ def components_over_batches(
     return the final (vertex, component) labels — the in-memory harness
     for the q135 registry entry and the equality tests. Bit-equal to
     dedup.connected_components over the union of the batches."""
+    if not edge_batches:
+        raise ValueError("components_over_batches: no edge batches given")
     members: DataFrame | None = None
     flat: DataFrame | None = None
     for e in edge_batches:
@@ -256,7 +258,12 @@ def components_over_batches(
             apply_parent_delta(flat, p_delta) if flat is not None else p_delta
         ).localCheckpoint(eager=True)
     if members is None:
-        raise ValueError("components_over_batches: every edge batch was empty")
+        # every batch was edge-free: the batch twin (connected_components
+        # over an empty edge set) returns an empty labels relation, and
+        # so must the incremental fold — q135 must stay empty-not-ERR on
+        # a corpus with no qualifying pairs
+        spark = edge_batches[0].sparkSession
+        return spark.createDataFrame([], "vertex bigint, component bigint")
     return resolve_labels(members, flat)
 
 

@@ -181,6 +181,17 @@ def test_components_over_batches_equals_batch(spark):
     assert got.columns == want.columns == ["vertex", "component"]
 
 
+def test_components_over_batches_all_empty_returns_empty(spark):
+    """A corpus with zero qualifying pairs must fold to an EMPTY labels
+    relation — the batch twin returns empty there, and q135 must stay
+    empty-not-ERR at a scale factor with no near-dups (review finding:
+    this used to raise ValueError)."""
+    empty = _edges(spark, [])
+    got = components_over_batches([empty, empty, empty])
+    assert got.columns == ["vertex", "component"]
+    assert got.count() == 0
+
+
 def test_labels_never_ride_a_shuffle_join(spark, tmp_path):
     """The 100 TB property: members/ (the corpus-sized table) is only
     ever probed broadcast — a SortMergeJoin or ShuffledHashJoin in the

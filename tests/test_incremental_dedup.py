@@ -170,7 +170,7 @@ def test_sequential_admission_matches_greedy_reference(spark):
     assert len(spark_kept) < d.count()  # dups genuinely dropped
 
 
-def test_incremental_rejects_mismatched_index_params(spark):
+def test_incremental_rejects_mismatched_index_params(spark, tmp_path):
     """A prebuilt index built with different (k, num_hashes, bands) yields
     zero corpus candidates — every near-dup would be silently admitted.
     The index is stamped with its parameters; a mismatched probe raises."""
@@ -182,14 +182,14 @@ def test_incremental_rejects_mismatched_index_params(spark):
     with pytest.raises(ValueError, match="parameter mismatch"):
         dedup.incremental_verified_dedup(batch, corpus, index=idx)
     # matching params still accepted (and the stamp survives parquet)
-    path = "/tmp/lsh-index-stamp-test"
+    path = str(tmp_path / "lsh-index-stamp-test")
     dedup.minhash_band_index(corpus).write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
     out = dedup.incremental_verified_dedup(batch, corpus, index=reloaded)
     assert {r["doc_id"]: r["keep"] for r in out.collect()} == {10: False}
 
 
-def test_incremental_rejects_mismatched_signature_scheme(spark):
+def test_incremental_rejects_mismatched_signature_scheme(spark, tmp_path):
     """Scheme drift is worse than parameter drift: identical (k, hashes,
     bands) under a different hash scheme shares zero band keys, so a probe
     would silently admit every near-dup. An index stamped with a foreign
@@ -216,7 +216,7 @@ def test_incremental_rejects_mismatched_signature_scheme(spark):
     assert {r["doc_id"]: r["keep"] for r in out.collect()} == {10: False}
 
     # the scheme id survives a parquet round-trip next to the parameters
-    path = "/tmp/lsh-index-scheme-stamp-test"
+    path = str(tmp_path / "lsh-index-scheme-stamp-test")
     idx.write.mode("overwrite").parquet(path)
     got = dict(spark.read.parquet(path).schema["band"].metadata)
     assert got["lsh_scheme"] == dedup.LSH_SCHEME

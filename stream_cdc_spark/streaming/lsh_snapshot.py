@@ -24,6 +24,11 @@ streaming/statedir.py, which also holds the crash-interleaving proof):
     index/batch=<id>/   (doc_id, band, key)       ADMITTED band keys only
     counts/batch=<id>/  (band, key, cnt)          per-bucket admit increments
     matches/batch=<id>/ (doc_id, dup_of, agree_ppm)
+    clusters/{members,parents}/batch=<id>/  (cluster_state=True only)
+                        incremental union-find forest over the match
+                        graph — continuous cluster membership + min-id
+                        survivorship representative (streaming/
+                        components.py)
     */compact=<w>/      compacted snapshot of all batches < w
 
 Every ``compact_every`` committed batches each table's subdirs fold into
@@ -97,6 +102,7 @@ class LshDedupSnapshot:
         bucketed: bool = False,
         num_buckets: int = 32,
         commit_files: int = 1,
+        cluster_state: bool = False,
         fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
@@ -128,6 +134,27 @@ class LshDedupSnapshot:
         # writes up to <shuffle partitions> part files per dir, and the
         # long-horizon file count (and per-batch write latency) balloons.
         self.commit_files = commit_files
+        # cluster_state=True maintains dedup-CLUSTER membership (and the
+        # min-id survivorship representative) continuously: each batch's
+        # committed matches feed the incremental union-find forest under
+        # clusters/ in the same foreachBatch pass, so a curation loop
+        # reads clusters() instead of re-rolling connected components
+        # over the accumulated pair log per decision.
+        self._components = None
+        if cluster_state:
+            from stream_cdc_spark.streaming.components import (
+                IncrementalComponentsSnapshot,
+            )
+
+            self._components = IncrementalComponentsSnapshot(
+                os.path.join(state_dir, "clusters"),
+                id_a="dup_of",
+                id_b="doc_id",
+                compact_every=compact_every,
+                major_every=major_every,
+                commit_files=commit_files,
+                fs=fs,
+            )
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
@@ -139,6 +166,18 @@ class LshDedupSnapshot:
 
     def processed(self, spark) -> DataFrame:
         return self._read(spark, self.sigs_dir, SIGS_SCHEMA, 1 << 62)
+
+    def clusters(self, spark) -> DataFrame:
+        """(vertex, component) cluster membership over every committed
+        match — component = min doc_id in the near-dup cluster, i.e. the
+        survivorship representative. Requires cluster_state=True."""
+        if self._components is None:
+            raise ValueError(
+                "cluster membership requires LshDedupSnapshot("
+                "cluster_state=True); without it, roll up matches() with "
+                "dedup.connected_components instead"
+            )
+        return self._components.labels(spark)
 
     def bucketed_index(self, spark) -> DataFrame | None:
         """The compacted admitted-corpus band index as its registered
@@ -202,6 +241,17 @@ class LshDedupSnapshot:
             ),
             self.counts_dir,
         )
+        if self._components is not None:
+            # Fold this batch's matches into the cluster forest — read
+            # the just-COMMITTED rows back (no recompute of the match
+            # plan) and let the components sink run its own compaction
+            # and replay-idempotent batch-dir overwrite under clusters/.
+            # A replayed batch re-reads identical matches, so cluster
+            # state inherits the exactly-once rule.
+            edges = spark.read.parquet(
+                statedir.batch_dir(self.matches_dir, batch_id)
+            ).select("dup_of", "doc_id")
+            self._components.foreach_batch(edges, batch_id)
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
         """Build (batch_sigs, admitted_bk, matches) for one micro-batch, or

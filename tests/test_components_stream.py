@@ -217,3 +217,45 @@ def test_flatten_parent_log_compresses_chains(spark):
         (r["child"], r["parent"]) for r in flatten_parent_log(log).collect()
     }
     assert flat == {(5, 0), (4, 0), (3, 0), (2, 0), (1, 0)}
+
+
+def test_lsh_snapshot_cluster_state_matches_batch_rollup(spark, tmp_path):
+    """cluster_state=True: the LSH sink folds each batch's committed
+    matches into the union-find forest in the same pass, so clusters()
+    equals dedup.connected_components over the full accumulated match
+    set — the continuous form of the q64/q130 rollup — and the min-id
+    component IS the survivorship representative. Replaying a batch
+    changes nothing (the forest inherits the matches' exactly-once
+    rule)."""
+    from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    parts = (
+        d.repartition(3)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+    snap = LshDedupSnapshot(str(tmp_path / "state"), cluster_state=True)
+    for i, rows in parts:
+        snap.foreach_batch(spark.createDataFrame(rows, d.schema), i)
+
+    got = _labels_set(snap.clusters(spark))
+    want = _labels_set(
+        dedup.connected_components(
+            snap.matches(spark).select(
+                F.col("dup_of").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+        )
+    )
+    assert got == want
+    assert len(want) > 0
+    # replay the last batch: cluster state must not move
+    i, rows = parts[-1]
+    snap.foreach_batch(spark.createDataFrame(rows, d.schema), i)
+    assert _labels_set(snap.clusters(spark)) == got
+    # without cluster_state the reader refuses with guidance
+    plain = LshDedupSnapshot(str(tmp_path / "state2"))
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster_state=True"):
+        plain.clusters(spark)

@@ -61,6 +61,7 @@ class MediaDedupSnapshot:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        cluster_state: bool = False,
         fs: statedir.LocalFS | None = None,
     ):
         if n_bands <= max_hamming:
@@ -82,6 +83,25 @@ class MediaDedupSnapshot:
         self.major_every = major_every
         self.commit_files = commit_files
         self.fs = fs
+        # cluster_state=True maintains media dup-CLUSTER membership (and
+        # the min-id survivorship representative) continuously — the
+        # streaming form of the q130 rollup, same forest design as
+        # LshDedupSnapshot(cluster_state=True)
+        self._components = None
+        if cluster_state:
+            from stream_cdc_spark.streaming.components import (
+                IncrementalComponentsSnapshot,
+            )
+
+            self._components = IncrementalComponentsSnapshot(
+                os.path.join(state_dir, "clusters"),
+                id_a="dup_of",
+                id_b="media_id",
+                compact_every=compact_every,
+                major_every=major_every,
+                commit_files=commit_files,
+                fs=fs,
+            )
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:
@@ -90,6 +110,19 @@ class MediaDedupSnapshot:
     def matches(self, spark) -> DataFrame:
         """All near-dup pairs emitted by committed batches."""
         return self._read(spark, self.matches_dir, MEDIA_MATCHES_SCHEMA, 1 << 62)
+
+    def clusters(self, spark) -> DataFrame:
+        """(vertex, component) media dup-cluster membership over every
+        committed match — component = min media_id in the cluster, the
+        survivorship representative (continuous q130). Requires
+        cluster_state=True."""
+        if self._components is None:
+            raise ValueError(
+                "cluster membership requires MediaDedupSnapshot("
+                "cluster_state=True); without it, roll up matches() with "
+                "dedup.connected_components instead"
+            )
+        return self._components.labels(spark)
 
     def processed(self, spark) -> DataFrame:
         return self._read(spark, self.sigs_dir, MEDIA_SIGS_SCHEMA, 1 << 62)
@@ -126,6 +159,14 @@ class MediaDedupSnapshot:
         commit(matches, self.matches_dir)
         commit(sigs_new, self.sigs_dir)
         commit(index_new, self.index_dir)
+        if self._components is not None:
+            # fold the just-COMMITTED matches into the cluster forest
+            # (read back, no recompute; replay re-reads identical rows,
+            # so cluster state inherits the exactly-once rule)
+            edges = spark.read.parquet(
+                statedir.batch_dir(self.matches_dir, batch_id)
+            ).select("dup_of", "media_id")
+            self._components.foreach_batch(edges, batch_id)
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
         """(sigs_new, index_new, matches) for one micro-batch, or None

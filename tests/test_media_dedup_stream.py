@@ -104,3 +104,38 @@ def test_recall_guard():
 
     with pytest.raises(ValueError, match="recall guarantee"):
         MediaDedupSnapshot("/tmp/x", max_hamming=8, n_bands=8)
+
+
+def test_cluster_state_matches_batch_rollup(spark, tmp_path):
+    """cluster_state=True: the sink folds each batch's committed matches
+    into the incremental union-find forest — clusters() equals batch
+    connected_components over the accumulated match set (the continuous
+    q130 rollup), with the min-id component as the survivorship
+    representative; replay moves nothing."""
+    from stream_cdc_spark.operators import dedup
+
+    snap = MediaDedupSnapshot(
+        str(tmp_path / "s"), compact_every=2, cluster_state=True
+    )
+    slices = _slices(spark, 4)
+    for i, b in enumerate(slices):
+        snap.foreach_batch(b, i)
+    got = {
+        (r["vertex"], r["component"])
+        for r in snap.clusters(spark).collect()
+    }
+    want = {
+        (r["vertex"], r["component"])
+        for r in dedup.connected_components(
+            snap.matches(spark).select(
+                F.col("dup_of").alias("id_a"),
+                F.col("media_id").alias("id_b"),
+            )
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    snap.foreach_batch(slices[-1], len(slices) - 1)  # torn-write replay
+    assert {
+        (r["vertex"], r["component"])
+        for r in snap.clusters(spark).collect()
+    } == got

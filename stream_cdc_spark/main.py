@@ -25,6 +25,9 @@ incremental near-dup admission with durable batch-versioned state:
                                      (default 0 = single-level)
   LSH_BUCKETED=1                     lsh_dedup mode: compact into
                                      bucketed snapshot tables
+  CLUSTER_STATE=1                    lsh_dedup mode: maintain dedup-
+                                     cluster membership continuously
+                                     (incremental union-find forest)
 
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
@@ -73,6 +76,12 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     }
     if pipeline == "lsh_dedup" and os.environ.get("LSH_BUCKETED", "0") == "1":
         sink_kw["bucketed"] = True
+    # CLUSTER_STATE=1 (lsh_dedup mode): also maintain dedup-cluster
+    # membership — each batch's matches fold into the incremental
+    # union-find forest under clusters/, and the min-id representative
+    # is the survivorship pick (streaming/components.py)
+    if pipeline == "lsh_dedup" and os.environ.get("CLUSTER_STATE", "0") == "1":
+        sink_kw["cluster_state"] = True
     # MEDIA_BLOB_COL=<col>: multimodal curation — the feed also carries a
     # thumbnail blob column and the sink runs the q132 perceptual
     # admission between the quality gate and text dedup

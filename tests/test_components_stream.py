@@ -259,3 +259,31 @@ def test_lsh_snapshot_cluster_state_matches_batch_rollup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cluster_state=True"):
         plain.clusters(spark)
+
+
+def test_lsh_dedup_cli_cluster_state_env_knob(spark, tmp_path, monkeypatch):
+    """CLUSTER_STATE=1 on the PIPELINE=lsh_dedup entrypoint wires the
+    forest through the registry/env config: after one availableNow
+    drain, clusters() equals connected_components over the emitted
+    match set."""
+    from stream_cdc_spark import main as M
+    from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
+
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "lsh_dedup")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("CURATION_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    monkeypatch.setenv("CLUSTER_STATE", "1")
+    assert M.main() == 0
+    snap = LshDedupSnapshot(state, cluster_state=True)
+    got = _labels_set(snap.clusters(spark))
+    want = _labels_set(
+        dedup.connected_components(
+            snap.matches(spark).select(
+                F.col("dup_of").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+        )
+    )
+    assert got == want and len(want) > 0

@@ -56,13 +56,20 @@ def main() -> None:
             seed = (i % 50) * 1_000  # 50 long-lived cluster anchors
             batch.append((seed, next_vid))
             next_vid += 1
-        # redundant edges inside existing clusters (commit nothing work)
+        # redundant edges between two DISTINCT existing members of the
+        # same cluster (cluster j's anchor j*1000 and its batch-0 chained
+        # vertex 1_000_000+j) — exercises the known-vertex resolution
+        # path AND the commit-nothing rule (not self-loops, which short-
+        # circuit before resolution; review finding)
         if b > 2:
-            batch += [(j * 1_000, j * 1_000 + 0) for j in range(10)]
-        # every 10th batch a tiny-id vertex absorbs a big cluster:
-        # O(1) parent-log rows no matter how large the cluster is
+            batch += [(j * 1_000, 1_000_000 + j) for j in range(10)]
+        # every 10th batch a NEW vertex with a strictly smaller id than
+        # anything in its target cluster absorbs it — 500-b decreases
+        # monotonically, so EVERY event relabels through the parent log
+        # (a fixed small id stops absorbing once it IS the root; review
+        # finding), exercising O(1)-rows-per-merge regardless of size
         if b % 10 == 9:
-            batch.append((b, (b % 50) * 1_000))
+            batch.append((500 - b, (b % 50) * 1_000))
         all_edges += batch
         df = spark.createDataFrame(batch, "id_a bigint, id_b bigint")
         t0 = time.time()
@@ -70,7 +77,7 @@ def main() -> None:
         walls.append(round(time.time() - t0, 3))
 
     def seg(a, z):
-        s = sorted(walls[a:z])
+        s = sorted(walls[max(0, a):z])  # short runs: clamp, don't wrap
         return s[len(s) // 2]
 
     t0 = time.time()

@@ -327,8 +327,24 @@ class IncrementalComponentsSnapshot:
                 fs=self.fs,
             )
 
+    def is_empty(self, batch_id: int = 1 << 62) -> bool:
+        """True while no batch has committed any member row — the
+        never-folded-anything state (used by the dedup sinks to decide
+        whether a late-enabled cluster_state needs a match-history
+        backfill). Metadata-only: no data files are read."""
+        return not statedir.state_paths(self.members_dir, batch_id, self.fs)
+
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Edge-free trigger: exit before ANY state read — without this,
+        # every zero-edge batch pays the full parents-log flatten and
+        # members/parents reads just to discover there is nothing to
+        # fold (review finding; the common case on a mostly-unique
+        # corpus feeding the dedup sinks' match streams). Compaction is
+        # deferred with the commit: pending dirs fold on the next
+        # edge-bearing batch, exactly like the skipped-commit rule.
+        if not batch_df.take(1):
+            return
         # fold committed prefix first — a replayed batch re-folds the
         # identical prefix, so compaction inherits replay idempotence
         self._compact(spark, batch_id)

@@ -251,6 +251,19 @@ class LshDedupSnapshot:
             edges = spark.read.parquet(
                 statedir.batch_dir(self.matches_dir, batch_id)
             ).select("dup_of", "doc_id")
+            if self._components.is_empty(batch_id):
+                # cluster_state enabled AFTER matches history accrued:
+                # without a backfill, clusters() would silently ignore
+                # historical pairs and report wrong survivorship roots
+                # (review finding). Fold the whole committed history
+                # with this batch — a one-time O(total matches) cost,
+                # replay-exact because a replayed batch's own forest
+                # dirs are invisible at its read bound, so it recomputes
+                # the identical union.
+                history = self._read(
+                    spark, self.matches_dir, MATCHES_SCHEMA, batch_id
+                ).select("dup_of", "doc_id")
+                edges = history.unionByName(edges)
             self._components.foreach_batch(edges, batch_id)
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):

@@ -166,6 +166,15 @@ class MediaDedupSnapshot:
             edges = spark.read.parquet(
                 statedir.batch_dir(self.matches_dir, batch_id)
             ).select("dup_of", "media_id")
+            if self._components.is_empty(batch_id):
+                # late-enabled cluster_state: backfill the committed
+                # match history so clusters() covers EVERY pair ever
+                # emitted (one-time cost, replay-exact — see the LSH
+                # sink's identical wiring)
+                history = self._read(
+                    spark, self.matches_dir, MEDIA_MATCHES_SCHEMA, batch_id
+                ).select("dup_of", "media_id")
+                edges = history.unionByName(edges)
             self._components.foreach_batch(edges, batch_id)
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):

@@ -287,3 +287,41 @@ def test_lsh_dedup_cli_cluster_state_env_knob(spark, tmp_path, monkeypatch):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_cluster_state_late_enable_backfills_history(spark, tmp_path):
+    """Enabling cluster_state on a state dir that already holds matches
+    history must NOT silently ignore the historical pairs (review
+    finding): the first cluster-enabled batch backfills the whole
+    committed match set, so clusters() covers every pair ever emitted
+    and the survivorship roots are the true historical minima."""
+    from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    parts = (
+        d.repartition(3)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+    state = str(tmp_path / "state")
+    plain = LshDedupSnapshot(state)  # history accrues WITHOUT clusters
+    for i, rows in parts[:2]:
+        plain.foreach_batch(spark.createDataFrame(rows, d.schema), i)
+    assert plain.matches(spark).count() > 0
+
+    enabled = LshDedupSnapshot(state, cluster_state=True)  # restart
+    i, rows = parts[2]
+    enabled.foreach_batch(spark.createDataFrame(rows, d.schema), i)
+    got = _labels_set(enabled.clusters(spark))
+    want = _labels_set(
+        dedup.connected_components(
+            enabled.matches(spark).select(
+                F.col("dup_of").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+        )
+    )
+    assert got == want and len(want) > 0
+    # replaying the backfill batch is exact (its own forest dirs are
+    # invisible at its read bound, so the union recomputes identically)
+    enabled.foreach_batch(spark.createDataFrame(rows, d.schema), i)
+    assert _labels_set(enabled.clusters(spark)) == got

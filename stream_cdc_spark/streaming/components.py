@@ -35,7 +35,9 @@ readers flatten anyway) and concatenates members.
 Per micro-batch cost model at 100 TB: the batch's vertices probe
 members/ with a broadcast semi-join (streamed scan, no shuffle); edge
 endpoints resolve through the batch-bounded slice of the flattened log;
-the component-merge graph (<= 2|batch edges| nodes) runs through the
+the component-merge graph (<= 2|batch edges| nodes) resolves with a
+bounded driver-side union-find (a planning collect — microseconds, no
+per-iteration distributed rounds) or, past DRIVER_CC_MAX_EDGES, the
 proven batch connected_components; deltas are batch-bounded appends.
 Nothing corpus-sized ever rides an Exchange.
 
@@ -62,6 +64,37 @@ from stream_cdc_spark.streaming import statedir
 
 MEMBERS_SCHEMA = "vertex bigint, root bigint"
 PARENTS_SCHEMA = "child bigint, parent bigint"
+
+# A batch's component-merge graph at or under this many edges resolves
+# with a driver-side union-find (microseconds, zero extra Spark jobs);
+# above it, the distributed connected_components fallback keeps
+# correctness at any drain size. The limit bounds the collect itself
+# (limit(N+1) — one action proves the overflow), the same honest
+# guard shape as the BPE profile collect. 100k longs ≈ 1.6 MB driver
+# memory at the bound — a planning aggregate, not a data path.
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_union_find(rows) -> list[tuple[int, int]]:
+    """Min-label union-find over a collected (na, nb) edge list:
+    returns (node, root) for every node, root = min id of its
+    component — exactly the distributed fixpoint's labels."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
 
 
 def flatten_parent_log(parents: DataFrame, max_iter: int = 40) -> DataFrame:
@@ -184,12 +217,22 @@ def incremental_cc_step(
         .filter(F.col("na") != F.col("nb"))
         .dropDuplicates(["na", "nb"])
     )
-    if e_comp.take(1):
+    # Resolve the merge graph: driver union-find when it is small (the
+    # steady-state micro-batch — one bounded collect instead of
+    # O(diameter) distributed rounds of per-iteration checkpoints),
+    # distributed CC when a drain-sized batch overflows the bound.
+    # Both produce the identical min-label fixpoint.
+    comp_rows = e_comp.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if not comp_rows:
+        mapping = spark.createDataFrame([], "node bigint, new_root bigint")
+    elif len(comp_rows) <= DRIVER_CC_MAX_EDGES:
+        mapping = spark.createDataFrame(
+            _driver_union_find(comp_rows), "node bigint, new_root bigint"
+        )
+    else:
         mapping = connected_components(e_comp, "na", "nb").select(
             F.col("vertex").alias("node"), F.col("component").alias("new_root")
         )
-    else:
-        mapping = spark.createDataFrame([], "node bigint, new_root bigint")
     mapping = mapping.localCheckpoint(eager=True)
 
     # parents delta: EXISTING canonical roots absorbed by a smaller root.

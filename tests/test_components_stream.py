@@ -325,3 +325,33 @@ def test_cluster_state_late_enable_backfills_history(spark, tmp_path):
     # invisible at its read bound, so the union recomputes identically)
     enabled.foreach_batch(spark.createDataFrame(rows, d.schema), i)
     assert _labels_set(enabled.clusters(spark)) == got
+
+
+def test_distributed_fallback_equals_driver_union_find(spark, tmp_path, monkeypatch):
+    """Past DRIVER_CC_MAX_EDGES the merge graph resolves through the
+    distributed connected_components instead of the driver union-find;
+    both must produce the identical min-label fixpoint. Force the
+    fallback with a tiny bound and replay the transitive-merge scenario."""
+    from stream_cdc_spark.streaming import components as C
+
+    batches = [
+        [(1, 2), (5, 6), (30, 31)],
+        [(2, 6)],
+        [(0, 9), (9, 5)],
+    ]
+    driver = IncrementalComponentsSnapshot(str(tmp_path / "a"))
+    for i, b in enumerate(batches):
+        driver.foreach_batch(_edges(spark, b), i)
+
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)  # always distributed
+    dist = IncrementalComponentsSnapshot(str(tmp_path / "b"))
+    for i, b in enumerate(batches):
+        dist.foreach_batch(_edges(spark, b), i)
+
+    want = _labels_set(
+        dedup.connected_components(
+            _edges(spark, [p for b in batches for p in b])
+        )
+    )
+    assert _labels_set(driver.labels(spark)) == want
+    assert _labels_set(dist.labels(spark)) == want

@@ -29,6 +29,15 @@ incremental near-dup admission with durable batch-versioned state:
                                      cluster membership continuously
                                      (incremental union-find forest)
 
+ANN index mode (PIPELINE=ann_index): stream a (vec_id, embedding) feed
+into the persisted IVF index (streaming/ann_index.py) — continuous
+similarity-search admission against a fixed offline-trained quantizer:
+
+  PIPELINE=ann_index EMB_PATH=<embeddings parquet dir>
+  CENTROIDS_PATH=<parquet of (cid bigint, cv array<float>)>  REQUIRED
+  ANN_STATE_DIR=<dir>                vectors/ state table
+  COMPACT_EVERY / COMPACT_MAJOR_EVERY  same fold knobs as curation
+
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
 
@@ -144,11 +153,60 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     return 0
 
 
+def _ann_index_main(cfg) -> int:
+    """PIPELINE=ann_index: continuous IVF index admission over a
+    (vec_id, embedding) parquet feed — same streaming scaffold as the
+    curation modes, embedding-feed schema and a required centroid set."""
+    from stream_cdc_spark.sources import sink_registry
+
+    spark = get_spark(app_name="stream-cdc-spark-ann-index")
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    emb_path = os.environ.get("EMB_PATH", "/root/testdata/sf0.001")
+    state_dir = os.environ.get("ANN_STATE_DIR", "/tmp/stream-cdc-spark-ann")
+    ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
+    drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
+    sink = sink_registry.create(
+        "ann_index",
+        state_dir=state_dir,
+        centroids_path=os.environ.get("CENTROIDS_PATH", ""),
+        compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
+        major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+    )
+    default_glob = (
+        "embeddings.parquet"
+        if os.path.exists(os.path.join(emb_path, "embeddings.parquet"))
+        else "*.parquet"
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("pathGlobFilter", os.environ.get("EMB_GLOB", default_glob))
+        .parquet(emb_path)
+        .select("vec_id", "embedding")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+    )
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
+
+    def _stop(signum, frame):
+        print(f"signal {signum}: stopping ann_index", file=sys.stderr)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    query.awaitTermination()
+    print(f"ann_index stopped; state at {state_dir}, checkpoint at {ckpt}")
+    return 0
+
+
 def main() -> int:
     cfg = AppConfig.load()
     pipeline = os.environ.get("PIPELINE", "cdc")
     if pipeline in ("curation", "lsh_dedup"):
         return _curation_main(cfg, pipeline)
+    if pipeline == "ann_index":
+        return _ann_index_main(cfg)
     spark = get_spark(app_name="stream-cdc-spark-pipeline")
     spark.sparkContext.setLogLevel(cfg.log_level)
 

@@ -230,6 +230,34 @@ def ivf_ann_topk(
     (assignment, probing, scoring, ranking) is then exactly reproducible
     in a SQL oracle."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_probe_topk(
+        cells, queries, centroids, k, nprobe, id_col, vec_col, quantize_bp
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_bp: int | None = None,
+    prune_cells: bool = False,
+) -> DataFrame:
+    """The probe half of ``ivf_ann_topk`` over a PRECOMPUTED cell
+    assignment ``assigned`` (canonical columns vec_id, vv, cell — e.g.
+    `ivf_assign` output, or a persisted index maintained incrementally
+    by streaming/ann_index.AnnIndexSnapshot). Both callers share this
+    body, so the drained streaming index is bit-equal to the batch
+    operator by construction.
+
+    ``prune_cells=True``: collect the distinct probed cells (bounded by
+    |queries| x nprobe — a planning collect, not a data path) and apply
+    them as an IN filter on ``assigned`` so a cell-clustered parquet
+    index scan prunes row groups — the probe then reads ~nprobe/num_cells
+    of the corpus instead of scanning it all to feed the join."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     c = centroids.select(F.col("cid"), F.col("cv"))
     qdist = q.crossJoin(F.broadcast(c)).select(
@@ -246,6 +274,17 @@ def ivf_ann_topk(
         .filter(F.col("__rn") <= nprobe)
         .select("q_id", "qv", F.col("cid").alias("cell"))
     )
+    cells = assigned
+    if prune_cells:
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        # no queries -> no probed cells -> nothing to score
+        cells = (
+            cells.filter(F.col("cell").isin(probed))
+            if probed
+            else cells.filter(F.lit(False))
+        )
     cos = cosine(F.col("qv"), F.col("vv"))
     if quantize_bp is not None:
         sim_col = F.floor(F.lit(quantize_bp) * cos).cast("bigint").alias("sim_bp")

@@ -125,6 +125,29 @@ def _register_builtins() -> None:
     # snapshot-join twin of streaming.stateful.lsh_dedup_stream, built
     # for bulk drains: PIPELINE=lsh_dedup STATE_DIR=...
     sink_registry.register("lsh_dedup", _lsh_dedup_sink)
+
+    def _ann_index_sink(state_dir, centroids=None, centroids_path=None, **kw):
+        from stream_cdc_spark.streaming.ann_index import AnnIndexSnapshot
+
+        kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
+        if centroids is None:
+            if not centroids_path:
+                raise ValueError(
+                    "ann_index sink needs `centroids` or `centroids_path` "
+                    "(a parquet of (cid bigint, cv array<float>) — the "
+                    "offline-trained IVF coarse quantizer, e.g. "
+                    "operators/clustering k-means output)"
+                )
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(centroids_path).to_pylist()
+            centroids = [(r["cid"], list(r["cv"])) for r in rows]
+        return AnnIndexSnapshot(state_dir, centroids, **kw).foreach_batch
+
+    # Continuous IVF ANN index admission over a (vec_id, embedding)
+    # feed — the streaming twin of q44's batch index build:
+    # PIPELINE=ann_index CENTROIDS_PATH=... (streaming/ann_index.py)
+    sink_registry.register("ann_index", _ann_index_sink)
     state_registry.register("parquet_kv", ParquetKVState)
 
 

@@ -1,0 +1,252 @@
+"""Continuous ANN index maintenance — the streaming twin of the batch
+IVF pipeline (similarity.ivf_assign / ivf_ann_topk, q44), on the same
+batch-versioned statedir state as the LSH and media dedup sinks.
+
+A production embedding corpus is not built once: vectors arrive
+continuously (new documents embedded, old ones re-embedded) and the
+similarity-search index has to admit them without rebuilding. Every
+micro-batch of (vec_id, embedding) rows here is coarse-quantized against
+the FIXED centroid set (IVF centroids are trained once, offline — e.g.
+operators/clustering's k-means — exactly like a FAISS IVF index) and
+appended to the persisted cell-assigned vector table:
+
+    <root>/vectors/   (vec_id, vv, cell)   admitted vectors, cell-sorted
+
+Scale shape per trigger: the centroid relation broadcasts (num_cells ~
+sqrt(corpus) rows by the usual IVF sizing — a planning relation), the
+assignment argmin is a narrow map over the micro-batch, and the commit
+sorts by cell so parquet row-group min/max stats cluster each cell's
+rows. `topk` probes the nprobe nearest cells per query over the
+persisted index: the probed-cell set (|queries| x nprobe values — a
+planning collect) becomes an IN filter on the index scan, so the read
+prunes to ~nprobe/num_cells of the corpus; the query side broadcasts
+into the scoring join and the corpus side never rides an Exchange
+(plan-asserted in tests/test_ann_index_stream.py). The redelivery guard
+(left-anti against admitted vec_ids) feeds only the column-pruned
+vec_id column of the index into the join — 8 bytes per admitted row,
+never the vectors — the same admission discipline as the LSH sinks.
+
+Equality contract (the standard set by tests/test_lsh_snapshot.py):
+after any drain — restarts, replays, overlapping redeliveries,
+compaction folds crossing the stream — `topk` is bit-equal to the batch
+operator `similarity.ivf_ann_topk` over the union of all admitted
+batches. Both paths share `similarity.ivf_probe_topk` verbatim, so the
+equality is by construction once admission is exactly-once; the q136
+registry entry value-checks the fold against the q44 SQL oracle.
+
+The index is self-describing: the `cell` column carries a parameter
+stamp (centroid digest, scheme id, quantization) as column metadata —
+the same guard as the LSH index stamp (operators/dedup.py LSH_SCHEME,
+round-9 hardening). Admitting or probing with a DIFFERENT centroid set
+against persisted cell assignments would silently score the wrong cells
+(wrong neighbors, no error anywhere), so a mismatched digest refuses
+with migration guidance. statedir compaction re-applies column metadata
+through folds, so the stamp survives the leveled tiers.
+
+Reference anchor: the coordinator's process-then-checkpoint admission
+loop (stream_cdc/coordinator.py:110-159).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from stream_cdc_spark.operators import similarity
+from stream_cdc_spark.streaming import statedir
+
+ANN_VECTORS_SCHEMA = "vec_id bigint, vv array<float>, cell bigint"
+
+# Versioned id of the assignment/scoring math the persisted cells bake
+# in: argmin of FLOOR(10000 * squared distance) with min-cid ties, cosine
+# scoring. A change here (different quantization, different tie rule)
+# invalidates every persisted assignment, exactly like dedup.LSH_SCHEME.
+ANN_SCHEME = "ivf-argmin-sqdist-bp10000-mincid/cosine/v1"
+
+
+def centroid_digest(centroids: list[tuple[int, list[float]]]) -> str:
+    """Deterministic digest of a centroid set. float.hex() is exact (no
+    formatting rounding), so two centroid lists digest equal iff they
+    are bitwise the same vectors under the same ids."""
+    canon = ";".join(
+        f"{int(cid)}:" + ",".join(float(x).hex() for x in vec)
+        for cid, vec in sorted(centroids, key=lambda t: int(t[0]))
+    )
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
+class AnnIndexSnapshot:
+    """foreachBatch sink: continuous IVF index admission over a
+    (vec_id, embedding) stream, plus the `topk` probe over the persisted
+    index. See module doc.
+
+    ``centroids``: list of (cid, vector) — the offline-trained coarse
+    quantizer. Broadcast-small by IVF design; its digest is stamped into
+    the persisted index and enforced on every admit/probe.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        centroids: list[tuple[int, list[float]]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        quantize_bp: int | None = 10000,
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        fs: statedir.LocalFS | None = None,
+    ):
+        if not centroids:
+            raise ValueError("AnnIndexSnapshot needs a non-empty centroid set")
+        self.state_dir = state_dir
+        self.vectors_dir = os.path.join(state_dir, "vectors")
+        self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.quantize_bp = quantize_bp
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.fs = fs
+        self._stamp = {
+            "ann_scheme": ANN_SCHEME,
+            "ann_centroid_digest": centroid_digest(self.centroids),
+            "ann_num_cells": len(self.centroids),
+            "ann_quantize_bp": -1 if quantize_bp is None else int(quantize_bp),
+        }
+
+    # -- state ------------------------------------------------------------
+    def _centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self.centroids, "cid bigint, cv array<float>"
+        )
+
+    def _validate_stamp(self, state: DataFrame) -> None:
+        meta = dict(state.schema["cell"].metadata or {})
+        if not meta:
+            # schema-fallback read of an empty state: nothing persisted
+            # yet, nothing to contradict
+            return
+        got = {k: meta.get(k) for k in self._stamp}
+        if got != self._stamp:
+            raise ValueError(
+                f"ANN index parameter mismatch: state at "
+                f"{self.vectors_dir!r} was built with {got!r} but this "
+                f"sink/probe uses {self._stamp!r}. Persisted cell "
+                f"assignments are not comparable across centroid sets or "
+                f"schemes — a probe would silently score the wrong cells. "
+                f"Rebuild the index by replaying the corpus through an "
+                f"AnnIndexSnapshot over a fresh state dir with the new "
+                f"centroids."
+            )
+
+    def _state(self, spark, batch_id: int) -> DataFrame:
+        state = statedir.read_state(
+            spark, self.vectors_dir, ANN_VECTORS_SCHEMA, batch_id, fs=self.fs
+        )
+        self._validate_stamp(state)
+        return state
+
+    def vectors(self, spark) -> DataFrame:
+        """Every admitted (vec_id, vv, cell) row — the persisted index."""
+        return self._state(spark, 1 << 62)
+
+    def topk(
+        self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """ANN top-k over the persisted index: bit-equal to batch
+        `similarity.ivf_ann_topk` over the union of all admitted batches
+        (same probe body, same centroids, same quantization)."""
+        return similarity.ivf_probe_topk(
+            self.vectors(spark),
+            queries,
+            self._centroids_df(spark),
+            k=k,
+            nprobe=nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            quantize_bp=self.quantize_bp,
+            prune_cells=True,
+        )
+
+    # -- the sink ---------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # fold committed prefix first — a replayed batch re-folds the
+        # identical prefix, so compaction inherits replay idempotence
+        statedir.maybe_compact(
+            spark, self.vectors_dir, ANN_VECTORS_SCHEMA, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            fs=self.fs,
+        )
+        assigned = self._build(spark, batch_df, batch_id)
+        if assigned is None:
+            return  # empty trigger: commit nothing (missing == empty)
+        (
+            assigned.coalesce(self.commit_files)
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
+        )
+
+    def _build(self, spark, batch_df: DataFrame, batch_id: int):
+        """The micro-batch's new (vec_id, vv, cell) rows, or None for an
+        effectively-empty batch. Separated from the commit so plan tests
+        can assert scale shape on the exact relation written."""
+        vecs = batch_df.select(
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            F.col(self.vec_col).cast("array<float>").alias("vv"),
+        ).dropDuplicates(["vec_id"])
+        state = self._state(spark, batch_id)
+        # redelivery guard: an already-admitted vec_id is dropped whole.
+        # Only the admitted-id column feeds the anti-join (column-pruned
+        # slim scan — 8 bytes/row of the index, never the vectors).
+        vecs = vecs.join(state.select("vec_id"), "vec_id", "left_anti")
+        assigned = similarity.ivf_assign(
+            vecs, self._centroids_df(spark), id_col="vec_id", vec_col="vv"
+        ).select(
+            "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
+        )
+        if not assigned.take(1):
+            return None
+        return assigned
+
+
+def ann_topk_over_batches(
+    vec_batches: list[DataFrame],
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_bp: int | None = 10000,
+) -> DataFrame:
+    """Fold vector micro-batches through the incremental admission
+    (exactly-once per vec_id, overlapping redeliveries dropped) and probe
+    the accumulated index — the in-memory harness for the q136 registry
+    entry and the equality tests. Bit-equal to `similarity.ivf_ann_topk`
+    over the union of the batches."""
+    if not vec_batches:
+        raise ValueError("ann_topk_over_batches: no vector batches given")
+    members: DataFrame | None = None
+    for b in vec_batches:
+        vecs = b.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<float>").alias("vv"),
+        ).dropDuplicates(["vec_id"])
+        if members is not None:
+            vecs = vecs.join(members.select("vec_id"), "vec_id", "left_anti")
+        assigned = similarity.ivf_assign(
+            vecs, centroids, id_col="vec_id", vec_col="vv"
+        ).select("vec_id", "vv", "cell")
+        members = (
+            members.unionByName(assigned) if members is not None else assigned
+        ).localCheckpoint(eager=True)
+    return similarity.ivf_probe_topk(
+        members, queries, centroids, k, nprobe, id_col, vec_col, quantize_bp
+    )

@@ -1,0 +1,203 @@
+"""Continuous IVF ANN index maintenance: after any drain the persisted
+index's topk must equal batch similarity.ivf_ann_topk over the union of
+all admitted batches, bit-for-bit, across replays / restarts /
+overlapping redeliveries / compaction folds — the equality standard set
+by tests/test_lsh_snapshot.py. The probe must also keep its scale shape:
+query side broadcast, index side pruned by the probed-cell IN filter,
+no corpus-sized Exchange."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import similarity
+from stream_cdc_spark.streaming import statedir
+from stream_cdc_spark.streaming.ann_index import (
+    AnnIndexSnapshot,
+    ann_topk_over_batches,
+    centroid_digest,
+)
+from stream_cdc_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return load(spark, SF_SMALL, "embeddings")
+
+
+def _centroids_df(spark):
+    return _emb(spark).filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<float>").alias("cv"),
+    )
+
+
+def _centroids(spark):
+    return [(r["cid"], list(r["cv"])) for r in _centroids_df(spark).collect()]
+
+
+def _queries(spark):
+    return _emb(spark).filter(F.col("vec_id") < 5)
+
+
+def _slices(spark):
+    """Overlapping micro-batches: slice i redelivers every vec_id that is
+    i mod 7 as well as owning i mod 3 — the union covers the corpus and
+    the overlaps exercise the exactly-once admission guard."""
+    emb = _emb(spark)
+    return [
+        emb.filter((F.col("vec_id") % 3 == i) | (F.col("vec_id") % 7 == i))
+        for i in range(3)
+    ]
+
+
+def _batch_topk(spark):
+    return sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                _emb(spark), _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+
+
+def _snap_topk(snap, spark):
+    return sorted(map(tuple, snap.topk(spark, _queries(spark)).collect()))
+
+
+def test_drained_topk_equals_batch_operator(spark, tmp_path):
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=2
+    )
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    assert _snap_topk(snap, spark) == _batch_topk(spark)
+
+
+def test_overlapping_batches_admit_exactly_once(spark, tmp_path):
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    vecs = snap.vectors(spark)
+    n = _emb(spark).count()
+    assert vecs.count() == n  # redelivered ids admitted once
+    assert vecs.select("vec_id").distinct().count() == n
+
+
+def test_replay_and_restart_preserve_equality(spark, tmp_path):
+    """Replaying the in-flight batch (torn-write crash model) and
+    continuing through a fresh sink object over the same state dir — the
+    checkpoint-restart shape — changes nothing."""
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=2
+    )
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    snap.foreach_batch(slices[1], 1)  # replay of the last in-flight batch
+    snap2 = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=2
+    )
+    snap2.foreach_batch(slices[2], 2)
+    assert _snap_topk(snap2, spark) == _batch_topk(spark)
+
+
+def test_empty_batch_commits_nothing(spark, tmp_path):
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
+    snap.foreach_batch(_slices(spark)[0], 0)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    snap.foreach_batch(empty, 1)
+    c = statedir.dir_counts(os.path.join(str(tmp_path / "s"), "vectors"))
+    assert c["batch"] == 1, c
+
+
+def test_centroid_drift_refused_on_probe_and_admit(spark, tmp_path):
+    """Same parameters under a different centroid set share NO cell
+    geometry — a probe would silently score the wrong cells. Both the
+    probe and the admission path must refuse a mismatched digest; the
+    matching sink keeps working, across a compaction fold too."""
+    cents = _centroids(spark)
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), cents, compact_every=1)
+    snap.foreach_batch(slices[0], 0)
+    dim = len(cents[0][1])
+    drifted = AnnIndexSnapshot(
+        str(tmp_path / "s"), [(0, [1.0] * dim), (1, [-1.0] * dim)]
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        drifted.topk(spark, _queries(spark))
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        drifted.foreach_batch(slices[1], 1)
+    ok = AnnIndexSnapshot(str(tmp_path / "s"), cents, compact_every=1)
+    for i, b in enumerate(slices[1:], start=1):
+        ok.foreach_batch(b, i)  # fold fires every batch; stamp survives
+    assert _snap_topk(ok, spark) == _batch_topk(spark)
+
+
+def test_probe_plan_prunes_cells_and_never_shuffles_corpus(spark, tmp_path):
+    """The probe's scale shape: the probed-cell set reaches the parquet
+    scan as a pushed IN filter (row-group pruning on the cell-sorted
+    index) and the scoring join broadcasts the query side — the corpus
+    never rides an Exchange or a sort-merge join."""
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    out = snap.topk(spark, _queries(spark))
+    out.collect()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "In(cell" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_in_memory_fold_matches_batch(spark):
+    got = sorted(
+        map(
+            tuple,
+            ann_topk_over_batches(
+                _slices(spark), _centroids_df(spark), _queries(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert got == _batch_topk(spark)
+
+
+def test_ann_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+    """PIPELINE=ann_index entrypoint: one availableNow drain over the
+    sf0.001 embeddings admits the whole corpus into the persisted index
+    and the probe equals the batch operator — the sink wired through the
+    registry + env config exactly like the curation modes."""
+    from stream_cdc_spark import main as M
+
+    cents = _centroids(spark)
+    cpath = str(tmp_path / "centroids.parquet")
+    _centroids_df(spark).toPandas().to_parquet(cpath)
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "ann_index")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("EMB_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("CENTROIDS_PATH", cpath)
+    monkeypatch.setenv("ANN_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    snap = AnnIndexSnapshot(state, cents)
+    assert _snap_topk(snap, spark) == _batch_topk(spark)
+
+
+def test_centroid_digest_is_order_insensitive_and_exact():
+    a = [(1, [0.5, 0.25]), (2, [1.0, -1.0])]
+    b = [(2, [1.0, -1.0]), (1, [0.5, 0.25])]
+    assert centroid_digest(a) == centroid_digest(b)
+    # any bitwise vector change is a different index
+    assert centroid_digest(a) != centroid_digest([(1, [0.5, 0.25]), (2, [1.0, -0.999999])])
+    with pytest.raises(ValueError):
+        AnnIndexSnapshot("/tmp/x", [])

@@ -5937,6 +5937,88 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     return components_over_batches(slices).orderBy("vertex")
 
 
+@_register(
+    "q136_incremental_ann_index",
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    d AS (
+      SELECT vec_id, vv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(vv, vv)
+                                 - 2 * list_dot_product(vv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM v, c
+    ),
+    assign AS (
+      SELECT vec_id, vv, cid AS cell FROM (
+        SELECT vec_id, vv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_bp, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, vv AS qv FROM v WHERE vec_id < 5),
+    qd AS (
+      SELECT q_id, qv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(qv, qv)
+                                 - 2 * list_dot_product(qv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT) AS dist_bp
+      FROM q, c
+    ),
+    probes AS (
+      SELECT q_id, qv, cid AS cell FROM (
+        SELECT q_id, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_bp, cid) AS rn
+        FROM qd
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(p.qv, a.vv)) AS BIGINT)
+               AS sim_bp
+      FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, sim_bp, rank FROM (
+      SELECT q_id, c_id, sim_bp,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_bp DESC, c_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    doc="INCREMENTAL ANN index maintenance (streaming/ann_index.py "
+    "ann_topk_over_batches): the embedding corpus arrives as three "
+    "OVERLAPPING micro-batch slices (slice i owns vec_id%3==i and "
+    "redelivers vec_id%7==i) admitted one batch at a time into the "
+    "cell-assigned IVF index — redelivered ids dropped by the exactly-"
+    "once guard, each batch coarse-quantized against the fixed broadcast "
+    "centroid set — then probed at nprobe=2/k=5. The oracle is q44's "
+    "one-shot SQL over the WHOLE corpus, so the driver check proves "
+    "drain equality AND order/redelivery insensitivity: batch-at-a-time "
+    "admission reaches the exact one-shot index. Both paths share "
+    "similarity.ivf_probe_topk, and the statedir-persisted twin "
+    "(AnnIndexSnapshot — centroid-digest stamp guard, cell-sorted "
+    "commits, IN-pruned probes) holds the same equality across restarts "
+    "and replays in tests/test_ann_index_stream.py.",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.ann_index import ann_topk_over_batches
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<float>").alias("cv"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    slices = [
+        emb.filter((F.col("vec_id") % 3 == i) | (F.col("vec_id") % 7 == i))
+        for i in range(3)
+    ]
+    return ann_topk_over_batches(
+        slices, cents, q, k=5, nprobe=2, quantize_bp=10000
+    ).orderBy("q_id", "rank")
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -6275,12 +6357,17 @@ assert len(_DRIVER_WINDOW_R9) == 50, len(_DRIVER_WINDOW_R9)
 #      exactly the five the r9 rotation note promised would lead here;
 #  (2) NEW this round: q135 (incremental connected components — the
 #      q64 edge set folded through streaming/components.py's append-
-#      only union-find forest as three micro-batch slices), never
-#      driver-green;
-#  (3) anchors for code changed THIS round: q110 (the LSH index stamp
+#      only union-find forest as three micro-batch slices) and q136
+#      (incremental ANN index admission — overlapping embedding slices
+#      folded through streaming/ann_index.py and probed against q44's
+#      one-shot oracle), both never driver-green;
+#  (3) anchor for code changed THIS round: q110 (the LSH index stamp
 #      gained the signature-scheme id + probe-side refusal guard in
-#      operators/dedup.py) and q64 (the batch connected_components twin
-#      the new incremental path holds bit-equality against);
+#      operators/dedup.py). q64, the batch connected_components twin,
+#      ceded its slot to q136: it is r9-green (one round old), its
+#      batch code did not change this round, and the changed incremental
+#      path is exercised in-window by q135 directly (including the new
+#      driver union-find, which q135's batch-bounded slices take);
 #  (4) headline-bench continuity anchors: the six r8-green headliners
 #      (q14, q15, q24, q25, q27, q34 — exactly two rounds old at this
 #      gate, including the two heaviest bench plans q24/q27) plus q13,
@@ -6334,9 +6421,9 @@ _DRIVER_WINDOW_R10 = [
     "q48_cdc_merge_apply",
     # (2) new this round:
     "q135_incremental_components",
-    # (3) round-10 code-change anchors:
+    "q136_incremental_ann_index",
+    # (3) round-10 code-change anchor:
     "q110_incremental_dedup",
-    "q64_dedup_components",
     # (4) headline-bench continuity:
     "q13_tpch_q1",
     "q14_tpch_q3",

@@ -84,11 +84,13 @@ def test_driver_window_matches_round10_rotation():
     Round-10 policy: the 40 queries whose latest driver-green row dates
     to r7 lead (the round-9 verdict's task-3 cohort — it already carries
     the five headliners q01/q07/q19/q31/q48 the r9 rotation promised
-    here), then the query NEW this round (q135 incremental connected
-    components), this round's code-change anchors (q110 on the LSH
-    signature-scheme stamp, q64 as the batch twin the new incremental
-    path is proven equal to), and seven headline-bench continuity
-    anchors (rationale above _DRIVER_WINDOW_R10 in plans/queries.py).
+    here), then the two queries NEW this round (q135 incremental
+    connected components, q136 incremental ANN index — never driver-
+    green, so they must be in-window), this round's code-change anchor
+    (q110 on the LSH signature-scheme stamp; q64 ceded its slot to q136
+    — it is r9-green and its batch code did not change), and seven
+    headline-bench continuity anchors (rationale above
+    _DRIVER_WINDOW_R10 in plans/queries.py).
     Everything outside the window has an r8/r9 green driver row and
     stays value-checked by the repo oracle suite."""
     from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R10
@@ -110,13 +112,13 @@ def test_driver_window_matches_round10_rotation():
     ]
     assert len(stale) == 40, len(stale)
     assert set(stale) <= set(_DRIVER_WINDOW_R10)
-    # the round-10 addition is in-window (never driver-green before r10):
-    assert "q135_incremental_components" in _DRIVER_WINDOW_R10
-    # this round's code-change anchors are inside the window:
+    # the round-10 additions are in-window (never driver-green before r10):
     assert {
-        "q110_incremental_dedup",
-        "q64_dedup_components",
+        "q135_incremental_components",
+        "q136_incremental_ann_index",
     } <= set(_DRIVER_WINDOW_R10)
+    # this round's code-change anchor is inside the window:
+    assert "q110_incremental_dedup" in _DRIVER_WINDOW_R10
     # headline continuity: the six r8-green headliners (two rounds old
     # at this gate, including the heaviest bench plans q24/q27) plus
     # q13; every headliner missing from this window is r9-green (one
@@ -139,7 +141,7 @@ def test_driver_window_matches_round10_rotation():
         "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 135
+    assert len(names) == len(set(names)) == 136
 
 
 def test_q69_q70_dims_broadcast(spark):

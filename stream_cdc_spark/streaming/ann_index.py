@@ -177,10 +177,16 @@ class AnnIndexSnapshot:
         spark = batch_df.sparkSession
         # fold committed prefix first — a replayed batch re-folds the
         # identical prefix, so compaction inherits replay idempotence
+        # folds re-sort by cell (row-preserving, so read-equivalent):
+        # batch commits are cell-sorted, and without this a fold would
+        # interleave cells across its output row groups — the probe's
+        # pushed IN filter would stop pruning exactly when most of the
+        # corpus lives in compacted snapshots
         statedir.maybe_compact(
             spark, self.vectors_dir, ANN_VECTORS_SCHEMA, batch_id,
             every=self.compact_every,
             major_every=self.major_every,
+            transform=lambda df: df.sortWithinPartitions("cell"),
             fs=self.fs,
         )
         assigned = self._build(spark, batch_df, batch_id)

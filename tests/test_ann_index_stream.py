@@ -158,6 +158,35 @@ def test_probe_plan_prunes_cells_and_never_shuffles_corpus(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_compaction_keeps_cells_clustered(spark, tmp_path):
+    """Batch commits are cell-sorted; the fold transform must keep the
+    compacted snapshot cell-sorted too (within every file), or row-group
+    stats stop pruning probes exactly when most of the corpus lives in
+    compacted state. Also re-checks equality and the stamp across the
+    fold."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    compact_dirs = [
+        p
+        for p in glob.glob(str(tmp_path / "s" / "vectors" / "compact=*"))
+        if os.path.isdir(p)  # skip the .commit manifest markers
+    ]
+    assert compact_dirs, "compact_every=1 must have folded"
+    files = glob.glob(os.path.join(sorted(compact_dirs)[-1], "*.parquet"))
+    assert files
+    for f in files:
+        cells = pq.read_table(f, columns=["cell"])["cell"].to_pylist()
+        assert cells == sorted(cells), f
+    assert _snap_topk(snap, spark) == _batch_topk(spark)
+
+
 def test_in_memory_fold_matches_batch(spark):
     got = sorted(
         map(

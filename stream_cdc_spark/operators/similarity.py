@@ -276,6 +276,9 @@ def ivf_probe_topk(
     )
     cells = assigned
     if prune_cells:
+        # pin: the probe relation feeds both the planning collect below
+        # and the scoring join — unpinned it would recompute per action
+        probes = probes.localCheckpoint(eager=True)
         probed = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )

@@ -217,6 +217,10 @@ class AnnIndexSnapshot:
         ).select(
             "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
         )
+        # pin: feeds both the emptiness probe and the commit write —
+        # unpinned, the assignment (and the state anti-join behind it)
+        # would recompute per action
+        assigned = assigned.localCheckpoint(eager=True)
         if not assigned.take(1):
             return None
         return assigned

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Quantify the ANN probe's pushed-IN cell pruning: build a persisted
+index over a synthetic corpus large enough that scan cost matters, then
+time `topk` probes with cell pruning ON (the AnnIndexSnapshot.topk path:
+probed-cell IN filter pushed into the parquet scan of the cell-clustered
+state) vs OFF (same shared probe body, no filter — the scan feeds the
+whole corpus into the broadcast join).
+
+Both paths return identical rows (asserted) — pruning only skips cells
+that cannot contribute — so this isolates the scan-side saving the
+cell-sorted commits/folds buy. At 100 TB the ratio is the point: a probe
+should read ~nprobe/num_cells of the corpus, not all of it.
+
+Usage: python scripts/ann_probe_bench.py [n_vectors] [num_cells] [dim]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stream_cdc_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    num_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    state = ".scale/ann-probe-bench-state"
+    shutil.rmtree(state, ignore_errors=True)
+
+    spark = get_spark(app_name="ann-probe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F  # noqa: E402
+    from stream_cdc_spark.operators import similarity  # noqa: E402
+    from stream_cdc_spark.streaming.ann_index import AnnIndexSnapshot  # noqa: E402
+
+    def vec(vid: int) -> list[float]:
+        a = vid % num_cells
+        return [
+            round(math.sin(0.7 * a + 0.13 * d) + 0.01 * ((vid * 31 + d) % 7), 6)
+            for d in range(dim)
+        ]
+
+    centroids = [(c, vec(c)) for c in range(num_cells)]
+    snap = AnnIndexSnapshot(state, centroids, compact_every=4)
+
+    # admit in 8 batches so the state crosses compaction folds (the
+    # pruning claim must hold on FOLDED state, not just batch commits)
+    per = n_vectors // 8
+    for b in range(8):
+        ids = spark.range(b * per, (b + 1) * per).select(
+            F.col("id").alias("vec_id")
+        )
+        a = F.col("vec_id") % num_cells
+        expr = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.round(
+                F.sin(0.7 * a.cast("double") + 0.13 * d.cast("double"))
+                + 0.01 * ((F.col("vec_id") * 31 + d) % 7).cast("double"),
+                6,
+            ).cast("float"),
+        )
+        snap.foreach_batch(ids.select("vec_id", expr.alias("embedding")), b)
+
+    queries = spark.createDataFrame(
+        [(10_000_000 + i, vec(10_000_000 + i)) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    cents_df = spark.createDataFrame(centroids, "cid bigint, cv array<float>")
+
+    def run(prune: bool):
+        out = similarity.ivf_probe_topk(
+            snap.vectors(spark), queries, cents_df,
+            k=5, nprobe=2, quantize_bp=10000, prune_cells=prune,
+        )
+        t0 = time.time()
+        rows = sorted(map(tuple, out.collect()))
+        return round(time.time() - t0, 3), rows
+
+    # warm the file-listing/footer caches once so both sides compare hot
+    run(False)
+    walls_off = [run(False)[0] for _ in range(3)]
+    wall_off, rows_off = min(walls_off), run(False)[1]
+    walls_on = [run(True)[0] for _ in range(3)]
+    wall_on, rows_on = min(walls_on), run(True)[1]
+
+    print(json.dumps({
+        "metric": "ann_probe_prune_bench",
+        "n_vectors": n_vectors,
+        "num_cells": num_cells,
+        "dim": dim,
+        "probe_wall_pruned_s": wall_on,
+        "probe_wall_unpruned_s": wall_off,
+        "speedup": round(wall_off / wall_on, 2) if wall_on else None,
+        "identical_results": rows_on == rows_off,
+        "n_result_rows": len(rows_on),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

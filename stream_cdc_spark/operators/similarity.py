@@ -546,7 +546,30 @@ def gram_matrix(
     -> 2 080 + 64 rows), the canonical driver-side input for the eigen
     step (fit_pca).
     """
-    schema = "i int, j int, s_q long"
+    return (
+        df.select(vec_col)
+        .mapInPandas(gram_partials_fn(vec_col, quant), GRAM_PARTIALS_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s_q").cast("bigint").alias("s_q"))
+    )
+
+
+GRAM_PARTIALS_SCHEMA = "i int, j int, s_q long"
+
+
+def gram_partials_fn(
+    vec_col: str, quant: int, emit_count: bool = False
+):
+    """The per-partition integer Gram accumulator behind `gram_matrix`,
+    exposed so the streaming twin (streaming/stateful.gram_stream) runs
+    the IDENTICAL per-row math — bit-equality of the drained stream to
+    the batch statistics is then a property of the integer monoid, not
+    of two implementations agreeing.
+
+    ``emit_count=True`` additionally yields an (i=-1, j=-1, s_q=rows)
+    partial so a consumer can maintain the corpus count in the same
+    aggregate (batch callers leave it off: gram_matrix's q112 contract
+    has no count row)."""
 
     def part(batches):
         import numpy as np
@@ -555,10 +578,12 @@ def gram_matrix(
         acc2 = None
         acc1 = None
         d = None
+        n_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n_rows += len(X)
             if d is None:
                 d = X.shape[1]
                 acc2 = np.zeros((d, d), dtype=np.int64)
@@ -576,20 +601,22 @@ def gram_matrix(
         if d is None:
             return
         iu, ju = np.triu_indices(d)
+        i_out = [iu, np.arange(d)]
+        j_out = [ju, np.full(d, -1)]
+        s_out = [acc2[iu, ju], acc1]
+        if emit_count:
+            i_out.append(np.array([-1]))
+            j_out.append(np.array([-1]))
+            s_out.append(np.array([n_rows], dtype=np.int64))
         yield pd.DataFrame(
             {
-                "i": np.concatenate([iu, np.arange(d)]),
-                "j": np.concatenate([ju, np.full(d, -1)]),
-                "s_q": np.concatenate([acc2[iu, ju], acc1]),
+                "i": np.concatenate(i_out),
+                "j": np.concatenate(j_out),
+                "s_q": np.concatenate(s_out),
             }
         )
 
-    return (
-        df.select(vec_col)
-        .mapInPandas(part, schema)
-        .groupBy("i", "j")
-        .agg(F.sum("s_q").cast("bigint").alias("s_q"))
-    )
+    return part
 
 
 def fit_pca(
@@ -610,14 +637,26 @@ def fit_pca(
     builds. Returns (mean, components) as numpy arrays, components
     row-wise, eigenvalue-descending.
     """
+    rows = gram_matrix(df, vec_col, quant).collect()
+    return pca_from_gram(rows, df.count(), n_components, quant)
+
+
+def pca_from_gram(rows, n: int, n_components: int = 8, quant: int = 1_000_000_000):
+    """The driver-side eigen step of `fit_pca` over already-aggregated
+    (i, j, s_q) Gram rows and a corpus count — shared with consumers of
+    the continuously-maintained statistics (streaming/stateful.
+    gram_stream), so a PCA refreshed from the drained stream is
+    bit-identical to one fit on the batch operator. Rows with i == -1
+    (the stream's count partial) are ignored here; pass their value as
+    ``n``."""
     import numpy as np
 
-    rows = gram_matrix(df, vec_col, quant).collect()
-    n = df.count()
     d = max(r["i"] for r in rows) + 1
     s2 = np.zeros((d, d), dtype=np.float64)
     s1 = np.zeros(d, dtype=np.float64)
     for r in rows:
+        if r["i"] == -1:
+            continue
         if r["j"] == -1:
             s1[r["i"]] = r["s_q"]
         else:

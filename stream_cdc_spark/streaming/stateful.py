@@ -414,6 +414,55 @@ def moments_stream(
 
 
 # ---------------------------------------------------------------------------
+# Continuous Gram/PCA statistics (streaming twin of q112's gram_matrix)
+# ---------------------------------------------------------------------------
+
+
+def gram_stream(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Continuously maintained Gram / first-moment sufficient statistics
+    — the streaming twin of q112's similarity.gram_matrix, for the
+    whitening/PCA/SemDeDup inputs of a growing embedding corpus: refresh
+    the projection periodically (similarity.pca_from_gram) without ever
+    rescanning the admitted vectors.
+
+    Same declarative shape as hll_distinct_stream / moments_stream: each
+    micro-batch runs the IDENTICAL mapInPandas integer accumulator as the
+    batch operator (similarity.gram_partials_fn — one d x d partial per
+    Arrow batch, never n * d^2 rows), and a plain streaming groupBy folds
+    the partials into the state store, so state is d(d+1)/2 + d + 1 rows
+    FOREVER regardless of corpus size, with map-side partial aggregation
+    before the shuffle and exactly-once restart via the checkpoint.
+    Every per-row contribution is a floor-quantized exact integer
+    (mergeable monoid), so the drained statistics EQUAL the batch
+    operator bit-for-bit regardless of micro-batch slicing or restarts
+    (asserted in tests/test_stateful.py) — a PCA fit from them is
+    bit-identical to fit_pca over the same corpus.
+
+    Emits (i, j, s_q) per update — gram_matrix's q112 contract plus one
+    (i=-1, j=-1) row carrying the admitted-row count (pca_from_gram's
+    ``n``). Use ``outputMode("update")``.
+    """
+    from pyspark.sql import functions as F
+
+    from stream_cdc_spark.operators.similarity import (
+        GRAM_PARTIALS_SCHEMA,
+        gram_partials_fn,
+    )
+
+    partials = vectors.select(vec_col).mapInPandas(
+        gram_partials_fn(vec_col, quant, emit_count=True),
+        GRAM_PARTIALS_SCHEMA,
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("s_q").cast("bigint").alias("s_q")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Continuous heavy-hitter maintenance (streaming twin of q108's Misra-Gries)
 # ---------------------------------------------------------------------------
 

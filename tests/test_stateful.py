@@ -594,3 +594,96 @@ def test_moments_stream_restart_equals_batch_gate(spark, tmp_path):
         ).collect()
     }
     assert stream_flagged == batch_flagged and len(batch_flagged) > 0
+
+
+def test_gram_stream_restart_equals_batch_and_pca(spark, tmp_path):
+    """Streaming Gram/PCA statistics maintenance (twin of q112): drain
+    the embeddings table through gram_stream in two runs with a
+    checkpoint restart in between; the final (i, j, s_q) state must
+    equal batch similarity.gram_matrix EXACTLY (integer monoids — the
+    shared gram_partials_fn accumulator makes bit-equality structural,
+    not coincidental), the count row must equal the corpus count, and a
+    PCA fit from the drained statistics must be bit-identical to
+    fit_pca over the same corpus."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from stream_cdc_spark.operators import similarity
+    from stream_cdc_spark.streaming.stateful import gram_stream
+
+    emb = load(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt-gram")
+    outdir = str(tmp_path / "out-gram")
+    parts = (
+        emb.repartition(6)
+        .rdd.mapPartitionsWithIndex(lambda i, it: ((i, list(it)),))
+        .collect()
+    )
+    os.makedirs(indir, exist_ok=True)
+
+    def write_slice(i, rows):
+        spark.createDataFrame(rows, emb.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(indir, f"slice={i}"))
+
+    for i, rows in parts[:3]:
+        write_slice(i, rows)
+
+    def emit(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    def run_to_completion():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir + "/slice=*")
+        )
+        q = (
+            gram_stream(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_to_completion()
+    for i, rows in parts[3:]:
+        write_slice(i, rows)
+    run_to_completion()
+
+    latest = (
+        spark.read.parquet(outdir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("i", "j").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {
+        (r["i"], r["j"]): r["s_q"]
+        for r in latest.select("i", "j", "s_q").collect()
+    }
+    n_stream = streamed.pop((-1, -1))
+    assert n_stream == emb.count()
+    batch = {
+        (r["i"], r["j"]): r["s_q"]
+        for r in similarity.gram_matrix(emb).collect()
+    }
+    assert streamed == batch  # bit-exact integers, every (i, j) cell
+
+    rows = [
+        {"i": i, "j": j, "s_q": s} for (i, j), s in streamed.items()
+    ]
+    mean_s, comps_s = similarity.pca_from_gram(rows, n_stream, n_components=4)
+    mean_b, comps_b = similarity.fit_pca(emb, n_components=4)
+    assert np.array_equal(mean_s, mean_b)
+    assert np.array_equal(comps_s, comps_b)

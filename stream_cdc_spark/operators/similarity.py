@@ -545,6 +545,15 @@ def gram_matrix(
     n * d^2. The d^2-row result is the planning-aggregate size (d = 64
     -> 2 080 + 64 rows), the canonical driver-side input for the eigen
     step (fit_pca).
+
+    Corpus-size bound: with unit-scale components (|x| <= 1) each row
+    contributes at most `quant` to a cell, so s_q fits int64 while
+    n * quant < 2^63 — ~9.2e9 rows at the default quant. Beyond that,
+    pass a smaller quant (ANSI mode makes an overflow a loud error, not
+    a silent wrap): the quantization error is <= n/quant on sums that
+    themselves grow ~n, so the RELATIVE precision is n-independent and
+    shrinking quant costs nothing at large n. The same bound governs the
+    streaming twin's state cells (streaming/stateful.gram_stream).
     """
     return (
         df.select(vec_col)

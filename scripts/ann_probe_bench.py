@@ -88,10 +88,10 @@ def main() -> None:
 
     # warm the file-listing/footer caches once so both sides compare hot
     run(False)
-    walls_off = [run(False)[0] for _ in range(3)]
-    wall_off, rows_off = min(walls_off), run(False)[1]
-    walls_on = [run(True)[0] for _ in range(3)]
-    wall_on, rows_on = min(walls_on), run(True)[1]
+    # min over the timed runs, reusing THEIR rows for the equality check
+    # (no extra untimed execution per side)
+    wall_off, rows_off = min(run(False) for _ in range(3))
+    wall_on, rows_on = min(run(True) for _ in range(3))
 
     print(json.dumps({
         "metric": "ann_probe_prune_bench",

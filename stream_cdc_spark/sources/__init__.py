@@ -140,7 +140,15 @@ def _register_builtins() -> None:
                 )
             import pyarrow.parquet as pq
 
-            rows = pq.read_table(centroids_path).to_pylist()
+            table = pq.read_table(centroids_path)
+            missing = {"cid", "cv"} - set(table.column_names)
+            if missing:
+                raise ValueError(
+                    f"ann_index centroids at {centroids_path!r} must have "
+                    f"columns (cid bigint, cv array<float>); missing "
+                    f"{sorted(missing)} (found {table.column_names})"
+                )
+            rows = table.to_pylist()
             centroids = [(r["cid"], list(r["cv"])) for r in rows]
         return AnnIndexSnapshot(state_dir, centroids, **kw).foreach_batch
 

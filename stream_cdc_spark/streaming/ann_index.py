@@ -3,8 +3,17 @@ IVF pipeline (similarity.ivf_assign / ivf_ann_topk, q44), on the same
 batch-versioned statedir state as the LSH and media dedup sinks.
 
 A production embedding corpus is not built once: vectors arrive
-continuously (new documents embedded, old ones re-embedded) and the
-similarity-search index has to admit them without rebuilding. Every
+continuously (new documents embedded) and the similarity-search index
+has to admit them without rebuilding. Admission is FIRST-WINS per
+vec_id: the redelivery guard treats the id as the identity of the
+vector, so a later row with the same vec_id — including a re-embedding
+with a different vector — is dropped, by design (that is what makes
+replayed/overlapping micro-batches exactly-once). Re-embedding a
+document therefore requires a new vec_id, or rebuilding into a fresh
+index (see operators/migration.rebuild_ann_index). Within one batch,
+duplicate vec_ids keep the lexicographically-smallest vector, so
+admission is replay-stable even for conflicting intra-batch duplicates.
+Every
 micro-batch of (vec_id, embedding) rows here is coarse-quantized against
 the FIXED centroid set (IVF centroids are trained once, offline — e.g.
 operators/clustering's k-means — exactly like a FAISS IVF index) and
@@ -175,6 +184,12 @@ class AnnIndexSnapshot:
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # refuse mismatched state BEFORE touching the statedir: a sink
+        # built with drifted centroids must not fold/delete batch dirs of
+        # an index it is then refused from probing (the fold would be
+        # read-equivalent, but the guard's contract is "no operation at
+        # all on mismatched state")
+        self._state(spark, batch_id)
         # fold committed prefix first — a replayed batch re-folds the
         # identical prefix, so compaction inherits replay idempotence
         # folds re-sort by cell (row-preserving, so read-equivalent):
@@ -203,10 +218,18 @@ class AnnIndexSnapshot:
         """The micro-batch's new (vec_id, vv, cell) rows, or None for an
         effectively-empty batch. Separated from the commit so plan tests
         can assert scale shape on the exact relation written."""
-        vecs = batch_df.select(
-            F.col(self.id_col).cast("long").alias("vec_id"),
-            F.col(self.vec_col).cast("array<float>").alias("vv"),
-        ).dropDuplicates(["vec_id"])
+        vecs = (
+            batch_df.select(
+                F.col(self.id_col).cast("long").alias("vec_id"),
+                F.col(self.vec_col).cast("array<float>").alias("vv"),
+            )
+            # deterministic intra-batch tie-break: conflicting duplicate
+            # ids keep the lexicographically-smallest vector, so a replay
+            # of the same batch admits the same row (dropDuplicates would
+            # pick an arbitrary one). Same shuffle shape as dropDuplicates.
+            .groupBy("vec_id")
+            .agg(F.min("vv").alias("vv"))
+        )
         state = self._state(spark, batch_id)
         # redelivery guard: an already-admitted vec_id is dropped whole.
         # Only the admitted-id column feeds the anti-join (column-pruned
@@ -245,10 +268,15 @@ def ann_topk_over_batches(
         raise ValueError("ann_topk_over_batches: no vector batches given")
     members: DataFrame | None = None
     for b in vec_batches:
-        vecs = b.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).cast("array<float>").alias("vv"),
-        ).dropDuplicates(["vec_id"])
+        vecs = (
+            b.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<float>").alias("vv"),
+            )
+            # same deterministic tie-break as AnnIndexSnapshot._build
+            .groupBy("vec_id")
+            .agg(F.min("vv").alias("vv"))
+        )
         if members is not None:
             vecs = vecs.join(members.select("vec_id"), "vec_id", "left_anti")
         assigned = similarity.ivf_assign(

@@ -107,6 +107,61 @@ def test_replay_and_restart_preserve_equality(spark, tmp_path):
     assert _snap_topk(snap2, spark) == _batch_topk(spark)
 
 
+def test_conflicting_intra_batch_duplicates_admit_deterministically(
+    spark, tmp_path
+):
+    """The same vec_id carrying DIFFERENT vectors inside one batch must
+    admit a deterministic winner (the lexicographically-smallest vector),
+    so a replay of the batch admits the same row — dropDuplicates would
+    pick an arbitrary one. Cross-batch, first-wins: a later re-embedding
+    under an already-admitted id is dropped."""
+    cents = _centroids(spark)
+    dim = len(cents[0][1])
+    lo, hi = [0.25] * dim, [0.75] * dim
+    conflicted = spark.createDataFrame(
+        [(1, hi), (1, lo), (2, lo)], "vec_id bigint, embedding array<float>"
+    )
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), cents)
+    snap.foreach_batch(conflicted, 0)
+    got = {
+        r["vec_id"]: [round(x, 6) for x in r["vv"]]
+        for r in snap.vectors(spark).collect()
+    }
+    want = [round(x, 6) for x in lo]
+    assert got == {1: want, 2: want}
+    # first-wins across batches: a re-embedding of id 2 is dropped whole
+    snap.foreach_batch(
+        spark.createDataFrame([(2, hi)], "vec_id bigint, embedding array<float>"),
+        1,
+    )
+    got2 = {
+        r["vec_id"]: [round(x, 6) for x in r["vv"]]
+        for r in snap.vectors(spark).collect()
+    }
+    assert got2 == got
+
+
+def test_drifted_sink_refuses_before_restructuring_statedir(spark, tmp_path):
+    """The stamp guard must fire BEFORE maybe_compact: a sink built with
+    mismatched centroids must not fold/delete batch dirs of an index it
+    is refused from probing. compact_every=1 would fold on the very next
+    admit if the guard ran after compaction."""
+    cents = _centroids(spark)
+    slices = _slices(spark)
+    root = os.path.join(str(tmp_path / "s"), "vectors")
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), cents, compact_every=10**9)
+    for i in range(2):
+        snap.foreach_batch(slices[i], i)
+    before = statedir.dir_counts(root)
+    dim = len(cents[0][1])
+    drifted = AnnIndexSnapshot(
+        str(tmp_path / "s"), [(0, [1.0] * dim)], compact_every=1
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        drifted.foreach_batch(slices[2], 2)
+    assert statedir.dir_counts(root) == before  # statedir untouched
+
+
 def test_empty_batch_commits_nothing(spark, tmp_path):
     snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
     snap.foreach_batch(_slices(spark)[0], 0)
@@ -220,6 +275,19 @@ def test_ann_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     assert M.main() == 0
     snap = AnnIndexSnapshot(state, cents)
     assert _snap_topk(snap, spark) == _batch_topk(spark)
+
+
+def test_ann_index_sink_rejects_misnamed_centroid_columns(spark, tmp_path):
+    """A centroids parquet with the wrong column names must fail with the
+    descriptive ValueError, not a bare KeyError deep in the row loop."""
+    from stream_cdc_spark.sources import sink_registry
+
+    bad = str(tmp_path / "bad_centroids.parquet")
+    _centroids_df(spark).toDF("centroid_id", "vec").toPandas().to_parquet(bad)
+    with pytest.raises(ValueError, match="cid bigint, cv array<float>"):
+        sink_registry.create(
+            "ann_index", state_dir=str(tmp_path / "s"), centroids_path=bad
+        )
 
 
 def test_centroid_digest_is_order_insensitive_and_exact():

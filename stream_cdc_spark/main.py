@@ -38,6 +38,15 @@ similarity-search admission against a fixed offline-trained quantizer:
   ANN_STATE_DIR=<dir>                vectors/ state table
   COMPACT_EVERY / COMPACT_MAJOR_EVERY  same fold knobs as curation
 
+Retrieval index mode (PIPELINE=retrieval_index): stream a (doc_id,
+text) feed into the persisted inverted index (streaming/
+retrieval_index.py) — continuous BM25/TF-IDF corpus-statistics
+maintenance:
+
+  PIPELINE=retrieval_index DOCS_PATH=<documents parquet dir>
+  RETR_STATE_DIR=<dir>               docs/ postings/ stats/ state tables
+  COMPACT_EVERY / COMPACT_MAJOR_EVERY  same fold knobs as curation
+
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
 
@@ -200,6 +209,52 @@ def _ann_index_main(cfg) -> int:
     return 0
 
 
+def _retrieval_index_main(cfg) -> int:
+    """PIPELINE=retrieval_index: continuous inverted-index (BM25/TF-IDF)
+    admission over a (doc_id, text) parquet feed — same streaming
+    scaffold as the ann_index mode (streaming/retrieval_index.py)."""
+    from stream_cdc_spark.sources import sink_registry
+
+    spark = get_spark(app_name="stream-cdc-spark-retrieval-index")
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    docs_path = os.environ.get("DOCS_PATH", "/root/testdata/sf0.001")
+    state_dir = os.environ.get("RETR_STATE_DIR", "/tmp/stream-cdc-spark-retr")
+    ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
+    drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
+    sink = sink_registry.create(
+        "retrieval_index",
+        state_dir=state_dir,
+        compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
+        major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+    )
+    default_glob = (
+        "documents.parquet"
+        if os.path.exists(os.path.join(docs_path, "documents.parquet"))
+        else "*.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", os.environ.get("DOCS_GLOB", default_glob))
+        .parquet(docs_path)
+        .select("doc_id", "text")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+    )
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
+
+    def _stop(signum, frame):
+        print(f"signal {signum}: stopping retrieval_index", file=sys.stderr)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    query.awaitTermination()
+    print(f"retrieval_index stopped; state at {state_dir}, checkpoint at {ckpt}")
+    return 0
+
+
 def main() -> int:
     cfg = AppConfig.load()
     pipeline = os.environ.get("PIPELINE", "cdc")
@@ -207,6 +262,8 @@ def main() -> int:
         return _curation_main(cfg, pipeline)
     if pipeline == "ann_index":
         return _ann_index_main(cfg)
+    if pipeline == "retrieval_index":
+        return _retrieval_index_main(cfg)
     spark = get_spark(app_name="stream-cdc-spark-pipeline")
     spark.sparkContext.setLogLevel(cfg.log_level)
 

@@ -395,7 +395,23 @@ def bm25_topk(
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return bm25_topk_from_postings(tf.join(dl, "doc_id"), corpus, top_k)
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame, corpus: DataFrame, top_k: int = 15
+) -> DataFrame:
+    """The BM25 scoring body shared by the one-shot scorer above and the
+    incremental retrieval index (streaming/retrieval_index.py) — equality
+    between the two paths is by construction because both route through
+    this exact integer recurrence.
+
+    ``postings``: (doc_id, word, tf, dl) already restricted to the query
+    terms. ``corpus``: one-row (n, l) — broadcast into the score.
+    """
+    df_ = postings.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
     idf = df_.join(F.broadcast(corpus)).select(
         "word",
         F.floor(
@@ -410,8 +426,7 @@ def bm25_topk(
         .alias("idf_q"),
     )
     scored = (
-        tf.join(F.broadcast(idf), "word")
-        .join(dl, "doc_id")
+        postings.join(F.broadcast(idf), "word")
         .join(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
@@ -424,6 +439,40 @@ def bm25_topk(
         scored.select("doc_id", F.col("score").cast("bigint").alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(top_k)
+    )
+
+
+def tfidf_top_terms_from_tf(tf: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """TF-IDF argmax-term-per-doc scoring body shared by the q54 one-shot
+    query and the incremental retrieval index. ``tf``: (doc_id, tok, tf)
+    with one row per distinct (doc, term); ``n_docs``: one-row (n_docs).
+    idf is ppm-floor-quantized so the score is hash-checkable."""
+    dfreq = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("tfidf_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_ppm").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "tfidf_ppm")
+        .orderBy("doc_id")
     )
 
 def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1792,33 +1792,12 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     d = ensure_parallelism(load(spark, sf, "documents"))
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     # Lazy doc count: broadcast one-row aggregate cross join (the oracle's
     # `CROSS JOIN n` CTE) — no job runs at plan-build time and the corpus
-    # is scanned once per stage graph, not twice.
+    # is scanned once per stage graph, not twice. Scoring body shared with
+    # the incremental retrieval index (streaming/retrieval_index.py).
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "tok",
-            F.floor(
-                F.lit(1000000.0)
-                * F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
-            )
-            .cast("bigint")
-            .alias("tfidf_ppm"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("tok"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "tok", "tfidf_ppm")
-        .orderBy("doc_id")
-    )
+    return text.tfidf_top_terms_from_tf(tf, n)
 
 
 @_register(
@@ -6019,6 +5998,63 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+@_register(
+    "q137_incremental_retrieval_index",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(t)) AS BIGINT) AS l FROM toks),
+    w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w WHERE word IN ('stream', 'vector', 'join')
+           GROUP BY doc_id, word),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    idf AS (SELECT word,
+                   CAST(FLOOR(1000000.0 *
+                        LN(1.0 + (c.n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                     AS idf_q
+            FROM df CROSS JOIN corpus c),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM((idf.idf_q * 22 * c.l * tf.tf)
+                 // (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n)) AS score
+      FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="INCREMENTAL retrieval-index maintenance (streaming/"
+    "retrieval_index.py bm25_topk_over_batches): the document corpus "
+    "arrives as three OVERLAPPING micro-batch slices (slice i owns "
+    "doc_id%3==i and redelivers doc_id%7==i) admitted one batch at a "
+    "time into the inverted index — redelivered ids dropped by the "
+    "exactly-once guard, per-doc tf/dl computed once at admission, "
+    "df/N/L maintained as mergeable integer monoids, idf re-quantized "
+    "at read. The oracle is q89's one-shot SQL over the WHOLE corpus, so "
+    "the driver check proves drain equality AND order/redelivery "
+    "insensitivity: batch-at-a-time admission reaches the exact one-shot "
+    "BM25 ranking. Both paths share text.bm25_topk_from_postings, and "
+    "the statedir-persisted twin (RetrievalIndexSnapshot — scheme stamp "
+    "guard, word-sorted commits, IN-pruned probes, stats partials) holds "
+    "the same equality across restarts, replays and folds in "
+    "tests/test_retrieval_index_stream.py.",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.retrieval_index import (
+        bm25_topk_over_batches,
+    )
+
+    d = load(spark, sf, "documents")
+    slices = [
+        d.filter((F.col("doc_id") % 3 == i) | (F.col("doc_id") % 7 == i))
+        for i in range(3)
+    ]
+    return bm25_topk_over_batches(slices, ["stream", "vector", "join"], top_k=15)
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -6436,12 +6472,84 @@ _DRIVER_WINDOW_R10 = [
 
 assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
 
+# Driver verification window, round 11 — rotation policy: nothing's
+# most-recent driver-green row older than two rounds.
+#  (1) the 38 queries whose latest driver-green dates to r8 (the
+#      round-10 verdict's task-2 cohort) lead the window;
+#  (2) the query NEW this round (q137 incremental retrieval index —
+#      never driver-green, so it must be in-window);
+#  (3) code-change anchors for this round's edits: q136 (ann_index
+#      deterministic intra-batch admission + stamp-before-compact),
+#      q89/q54 (BM25/TF-IDF scoring bodies refactored into the shared
+#      text.bm25_topk_from_postings / tfidf_top_terms_from_tf that the
+#      new retrieval index probes route through), q107 (SQ8 tier work
+#      on operators/similarity this round);
+#  (4) headline-bench continuity: q13/q14/q15/q24/q25/q27/q34.
+_DRIVER_WINDOW_R11 = [
+    # (1) 38 stale r8-green queries:
+    "q02_classify_count",
+    "q04_last_position",
+    "q05_batch_assembly",
+    "q08_delete_anti_join",
+    "q09_changed_keys_semi_join",
+    "q11_scalar_pipeline",
+    "q12_consumer_dedup",
+    "q16_top_k_orders",
+    "q17_set_intersect",
+    "q23_doc_fingerprint",
+    "q28_simhash_near_pairs",
+    "q29_ann_lsh_topk",
+    "q30_embedding_near_dup",
+    "q32_running_total",
+    "q33_lag_delta",
+    "q35_having_filter",
+    "q36_set_except",
+    "q37_pivot_counts",
+    "q38_discrete_percentiles",
+    "q39_near_dedup_filter",
+    "q40_token_frequencies",
+    "q41_regex_tokens",
+    "q42_vector_stats",
+    "q44_ivf_ann_topk",
+    "q45_date_rollup",
+    "q46_above_customer_avg",
+    "q50_string_pipeline",
+    "q52_range_join",
+    "q56_scd2_history",
+    "q64_dedup_components",
+    "q111_containment_pairs",
+    "q118_snapshot_as_of",
+    "q119_vocab_coverage",
+    "q120_quality_report",
+    "q121_snapshot_delta",
+    "q123_mixture_weights",
+    "q124_quality_percentile_gate",
+    "q129_phash_near_dup",
+    # (2) new this round:
+    "q137_incremental_retrieval_index",
+    # (3) round-11 code-change anchors:
+    "q136_incremental_ann_index",
+    "q89_bm25_topk",
+    "q54_tfidf_top_terms",
+    "q107_sq8_ann_topk",
+    # (4) headline-bench continuity:
+    "q13_tpch_q1",
+    "q14_tpch_q3",
+    "q15_star_join_revenue",
+    "q24_ngram_jaccard_pairs",
+    "q25_ann_bruteforce_topk",
+    "q27_minhash_lsh_pairs",
+    "q34_tpch_q6",
+]
+
+assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R10. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R11. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R10)
+_window = set(_DRIVER_WINDOW_R11)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R10},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R11},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -156,6 +156,19 @@ def _register_builtins() -> None:
     # feed — the streaming twin of q44's batch index build:
     # PIPELINE=ann_index CENTROIDS_PATH=... (streaming/ann_index.py)
     sink_registry.register("ann_index", _ann_index_sink)
+
+    def _retrieval_index_sink(state_dir, **kw):
+        from stream_cdc_spark.streaming.retrieval_index import (
+            RetrievalIndexSnapshot,
+        )
+
+        kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
+        return RetrievalIndexSnapshot(state_dir, **kw).foreach_batch
+
+    # Continuous inverted-index (BM25/TF-IDF) admission over a
+    # (doc_id, text) feed — the streaming twin of q89/q54's batch
+    # scorers: PIPELINE=retrieval_index (streaming/retrieval_index.py)
+    sink_registry.register("retrieval_index", _retrieval_index_sink)
     state_registry.register("parquet_kv", ParquetKVState)
 
 

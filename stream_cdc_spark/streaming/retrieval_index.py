@@ -1,0 +1,345 @@
+"""Incremental retrieval-index maintenance — the streaming twin of the
+batch BM25/TF-IDF scorers (text.bm25_topk / q89, tfidf_top_terms / q54),
+on the same batch-versioned statedir state as the LSH, media-dedup and
+ANN-index sinks.
+
+A production retrieval corpus arrives continuously, exactly like the
+embedding corpus the ANN sink (streaming/ann_index.py) admits — but the
+batch scorers recompute every corpus statistic (df, N, L = avgdl·N, idf)
+from scratch per query. This sink maintains the classic inverted-index
+decomposition as three append-only statedir states:
+
+    <root>/docs/      (doc_id, dl)            admission ledger + lengths
+    <root>/postings/  (doc_id, word, tf, dl)  the inverted index,
+                                              word-sorted commits
+    <root>/stats/     (n, l)                  per-batch integer partials
+
+``dl`` is denormalized into the postings rows (the standard
+search-engine layout): a probe then never joins the corpus-sized doc
+ledger — term postings carry everything the scorer needs.
+
+Everything the scorers derive is a mergeable integer monoid over the
+admitted union, which is what makes the index incrementally
+maintainable and fold/replay-proof:
+
+  - tf(doc, word): per-doc counts, computed once at admission (a doc is
+    immutable once admitted — first-wins, like the ANN sink's vec_ids);
+  - df(word) = COUNT of postings rows per word — count over a union;
+  - N, L: per-batch (count, sum-of-dl) partials summed at read — the
+    stats/ state is O(#batches) rows (folds re-aggregate to one row), so
+    corpus stats never scan the ledger;
+  - idf is NOT state: it is re-quantized at read from (df, N) with the
+    same FLOOR(1e6·LN(...)) rule as the batch scorer, so admitting one
+    batch "updates" every term's idf for free.
+
+Scale shape per trigger: tokenize + per-doc tf is a narrow map over the
+micro-batch; the admission anti-join feeds only the column-pruned
+doc_id of the ledger (8 bytes per admitted doc, never the postings);
+commits sort postings by word so parquet row-group min/max stats
+cluster each term's rows. ``bm25_topk(terms)`` pushes ``word IN
+(terms)`` into the postings scan (row-group pruning — the inverted-
+index lookup, expressed as a predicate), joins the broadcast
+re-quantized idf, and aggregates scores; the postings side never rides
+an Exchange wider than the matching rows (plan-asserted in
+tests/test_retrieval_index_stream.py).
+
+Equality contract (the standard set by tests/test_lsh_snapshot.py):
+after any drain — restarts, replays, overlapping redeliveries,
+compaction folds crossing the stream — ``bm25_topk`` is bit-equal to
+batch ``text.bm25_topk`` and ``tfidf_top_terms`` to q54's scorer, both
+over the union of all admitted batches. Both paths share
+``text.bm25_topk_from_postings`` / ``text.tfidf_top_terms_from_tf``
+verbatim, so equality is by construction once admission is
+exactly-once; the q137 registry entry value-checks the fold against the
+q89 SQL oracle.
+
+The index is self-describing: the postings ``word`` column carries a
+scheme stamp (tokenizer + scoring algebra version) as column metadata —
+the same guard as the ANN centroid digest. Postings built under a
+different tokenizer are not comparable (same text, different tf/dl);
+a mismatched stamp refuses all operation BEFORE any statedir
+restructuring, with rebuild guidance.
+
+Reference anchor: the coordinator's process-then-checkpoint admission
+loop (stream_cdc/coordinator.py:110-159).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from stream_cdc_spark.operators import text
+from stream_cdc_spark.streaming import statedir
+
+RETR_DOCS_SCHEMA = "doc_id bigint, dl bigint"
+RETR_POSTINGS_SCHEMA = "doc_id bigint, word string, tf bigint, dl bigint"
+RETR_STATS_SCHEMA = "n bigint, l bigint"
+
+# Versioned id of the tokenization + scoring algebra the persisted
+# postings bake in. A change here (different tokenizer, different idf
+# quantization) invalidates every persisted posting, exactly like
+# dedup.LSH_SCHEME / ann_index.ANN_SCHEME.
+RETR_SCHEME = "tok-whitespace/bm25-k1.2-b0.75-idfq1e6-int/tfidf-ppm/v1"
+
+
+class RetrievalIndexSnapshot:
+    """foreachBatch sink: continuous inverted-index admission over a
+    (doc_id, text) document stream, plus the BM25/TF-IDF probes over the
+    persisted index. See module doc."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        fs: statedir.LocalFS | None = None,
+    ):
+        self.state_dir = state_dir
+        self.docs_dir = os.path.join(state_dir, "docs")
+        self.postings_dir = os.path.join(state_dir, "postings")
+        self.stats_dir = os.path.join(state_dir, "stats")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.fs = fs
+        self._stamp = {"retr_scheme": RETR_SCHEME}
+
+    # -- state ------------------------------------------------------------
+    def _validate_stamp(self, state: DataFrame) -> None:
+        meta = dict(state.schema["word"].metadata or {})
+        if not meta:
+            return  # schema-fallback read of an empty state
+        got = {k: meta.get(k) for k in self._stamp}
+        if got != self._stamp:
+            raise ValueError(
+                f"retrieval index scheme mismatch: state at "
+                f"{self.postings_dir!r} was built with {got!r} but this "
+                f"sink/probe uses {self._stamp!r}. Postings are not "
+                f"comparable across tokenizers or scoring algebras — a "
+                f"probe would silently mis-score. Rebuild by replaying "
+                f"the corpus through a RetrievalIndexSnapshot over a "
+                f"fresh state dir."
+            )
+
+    def _postings(self, spark, batch_id: int) -> DataFrame:
+        state = statedir.read_state(
+            spark, self.postings_dir, RETR_POSTINGS_SCHEMA, batch_id, fs=self.fs
+        )
+        self._validate_stamp(state)
+        return state
+
+    def docs(self, spark) -> DataFrame:
+        """Every admitted (doc_id, dl) row — the admission ledger."""
+        return statedir.read_state(
+            spark, self.docs_dir, RETR_DOCS_SCHEMA, 1 << 62, fs=self.fs
+        )
+
+    def postings(self, spark) -> DataFrame:
+        """Every admitted (doc_id, word, tf, dl) row — the inverted index."""
+        return self._postings(spark, 1 << 62)
+
+    def corpus_stats(self, spark) -> DataFrame:
+        """One-row (n, l): total docs and total tokens, summed from the
+        O(#batches)-row integer partials — never scans the ledger."""
+        partials = statedir.read_state(
+            spark, self.stats_dir, RETR_STATS_SCHEMA, 1 << 62, fs=self.fs
+        )
+        return partials.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("l"), F.lit(0)).cast("bigint").alias("l"),
+        )
+
+    # -- probes -----------------------------------------------------------
+    def bm25_topk(
+        self, spark, query_terms: list[str], top_k: int = 15
+    ) -> DataFrame:
+        """BM25 top-k over the persisted index: bit-equal to batch
+        `text.bm25_topk` over the union of all admitted batches (shared
+        scoring body, idf re-quantized here from the maintained df/N)."""
+        matching = self.postings(spark).filter(
+            F.col("word").isin(list(query_terms))
+        )
+        return text.bm25_topk_from_postings(
+            matching, self.corpus_stats(spark), top_k
+        )
+
+    def tfidf_top_terms(self, spark) -> DataFrame:
+        """Per-doc argmax TF-IDF term: bit-equal to q54's scorer over the
+        union of all admitted batches (shared scoring body)."""
+        tf = self.postings(spark).select(
+            "doc_id", F.col("word").alias("tok"), "tf"
+        )
+        n = self.corpus_stats(spark).select(F.col("n").alias("n_docs"))
+        return text.tfidf_top_terms_from_tf(tf, n)
+
+    # -- the sink ---------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # refuse mismatched state BEFORE restructuring any statedir
+        # (ann_index round-11 hardening: the guard's contract is "no
+        # operation at all on mismatched state")
+        self._postings(spark, batch_id)
+        # fold committed prefixes — a replayed batch re-folds the
+        # identical prefix, so compaction inherits replay idempotence.
+        # postings re-sort by word on fold (row-preserving) so the
+        # probe's pushed IN filter keeps pruning row groups once most of
+        # the corpus lives in compacted snapshots; stats re-aggregate to
+        # one row (readers sum partials, so the reduction is
+        # read-equivalent — the counts/ pattern of lsh_snapshot.py).
+        statedir.maybe_compact(
+            spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            fs=self.fs,
+        )
+        statedir.maybe_compact(
+            spark, self.postings_dir, RETR_POSTINGS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=lambda df: df.sortWithinPartitions("word"),
+            fs=self.fs,
+        )
+        statedir.maybe_compact(
+            spark, self.stats_dir, RETR_STATS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=lambda df: df.agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("l").cast("bigint").alias("l"),
+            ),
+            fs=self.fs,
+        )
+        built = self._build(spark, batch_df, batch_id)
+        if built is None:
+            return  # empty trigger: commit nothing (missing == empty)
+        new_docs, new_postings = built
+        (
+            new_docs.select("doc_id", "dl")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.docs_dir, batch_id))
+        )
+        (
+            new_postings.coalesce(self.commit_files)
+            .sortWithinPartitions("word")
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.postings_dir, batch_id))
+        )
+        (
+            new_docs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("dl").cast("bigint").alias("l"),
+            )
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.stats_dir, batch_id))
+        )
+
+    def _build(self, spark, batch_df: DataFrame, batch_id: int):
+        """(new_docs, new_postings) for the micro-batch, or None when
+        effectively empty. Separated from the commits so plan tests can
+        assert scale shape on the exact relations written."""
+        docs = (
+            batch_df.select(
+                F.col(self.id_col).cast("long").alias("doc_id"),
+                F.col(self.text_col).cast("string").alias("text"),
+            )
+            # deterministic intra-batch tie-break: conflicting duplicate
+            # ids keep the lexicographically-smallest text, so a replay
+            # admits the same row (the ann_index round-11 rule)
+            .groupBy("doc_id")
+            .agg(F.min("text").alias("text"))
+        )
+        ledger = statedir.read_state(
+            spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id, fs=self.fs
+        )
+        # redelivery guard: an already-admitted doc_id is dropped whole.
+        # Only the ledger's doc_id column feeds the anti-join.
+        docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
+        toks = docs.select(
+            "doc_id", text.tokens(F.col("text")).alias("t")
+        )
+        new_docs = toks.select(
+            "doc_id", F.size("t").cast("bigint").alias("dl")
+        )
+        new_postings = (
+            toks.select(
+                "doc_id",
+                F.size("t").cast("bigint").alias("dl"),
+                F.explode("t").alias("w"),
+            )
+            .groupBy("doc_id", "dl", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .select(
+                "doc_id",
+                F.col("w").alias("word", metadata=self._stamp),
+                "tf",
+                "dl",
+            )
+        )
+        # pin: each feeds an emptiness probe plus one or two commit
+        # writes — unpinned, the tokenize (and the ledger anti-join
+        # behind it) would recompute per action
+        new_docs = new_docs.localCheckpoint(eager=True)
+        if not new_docs.take(1):
+            return None
+        return new_docs, new_postings.localCheckpoint(eager=True)
+
+
+def bm25_topk_over_batches(
+    doc_batches: list[DataFrame],
+    query_terms: list[str],
+    top_k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold document micro-batches through the incremental admission
+    (exactly-once per doc_id, overlapping redeliveries dropped) and score
+    the accumulated inverted index — the in-memory harness for the q137
+    registry entry and the equality tests. Bit-equal to `text.bm25_topk`
+    over the union of the batches (shared scoring body; df/N/L are the
+    maintained monoids, idf re-quantized at read)."""
+    if not doc_batches:
+        raise ValueError("bm25_topk_over_batches: no document batches given")
+    postings: DataFrame | None = None
+    ledger: DataFrame | None = None
+    for b in doc_batches:
+        docs = (
+            b.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(text_col).cast("string").alias("text"),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("text").alias("text"))
+        )
+        if ledger is not None:
+            docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
+        toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+        new_postings = (
+            toks.select(
+                "doc_id",
+                F.size("t").cast("bigint").alias("dl"),
+                F.explode("t").alias("word"),
+            )
+            .groupBy("doc_id", "dl", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .select("doc_id", "word", "tf", "dl")
+        )
+        new_docs = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+        ledger = (
+            ledger.unionByName(new_docs) if ledger is not None else new_docs
+        ).localCheckpoint(eager=True)
+        postings = (
+            postings.unionByName(new_postings)
+            if postings is not None
+            else new_postings
+        ).localCheckpoint(eager=True)
+    corpus = ledger.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("l"),
+    )
+    matching = postings.filter(F.col("word").isin(list(query_terms)))
+    return text.bm25_topk_from_postings(matching, corpus, top_k)

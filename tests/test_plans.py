@@ -79,50 +79,48 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round10_rotation():
+def test_driver_window_matches_round11_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-10 policy: the 40 queries whose latest driver-green row dates
-    to r7 lead (the round-9 verdict's task-3 cohort — it already carries
-    the five headliners q01/q07/q19/q31/q48 the r9 rotation promised
-    here), then the two queries NEW this round (q135 incremental
-    connected components, q136 incremental ANN index — never driver-
-    green, so they must be in-window), this round's code-change anchor
-    (q110 on the LSH signature-scheme stamp; q64 ceded its slot to q136
-    — it is r9-green and its batch code did not change), and seven
-    headline-bench continuity anchors (rationale above
-    _DRIVER_WINDOW_R10 in plans/queries.py).
-    Everything outside the window has an r8/r9 green driver row and
+    Round-11 policy: the 38 queries whose latest driver-green row dates
+    to r8 lead (the round-10 verdict's task-2 cohort), then the query
+    NEW this round (q137 incremental retrieval index — never driver-
+    green, so it must be in-window), this round's code-change anchors
+    (q136 on the deterministic-admission + stamp-before-compact
+    hardening; q89/q54 on the shared-scoring-body refactor; q107 on the
+    SQ8 tier work), and seven headline-bench continuity anchors
+    (rationale above _DRIVER_WINDOW_R11 in plans/queries.py).
+    Everything outside the window has an r9/r10 green driver row and
     stays value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R10
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R11
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R10) == 50
-    assert len(set(_DRIVER_WINDOW_R10)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R10
-    # the 40 stale r7-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R11) == 50
+    assert len(set(_DRIVER_WINDOW_R11)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R11
+    # the 38 stale r8-green queries all rotated in:
     stale_ids = (
-        [18, 43, 49, 53, 54, 55] + list(range(57, 64)) + list(range(69, 74))
-        + [88, 89] + list(range(100, 104)) + list(range(106, 110))
-        + [115, 116, 125, 126, 127, 128, 130, 1, 7, 19, 31, 48]
+        [2, 4, 5, 8, 9, 11, 12, 16, 17, 23, 28, 29, 30, 32, 33]
+        + list(range(35, 43)) + [44, 45, 46, 50, 52, 56, 64, 111]
+        + list(range(118, 122)) + [123, 124, 129]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 40, len(stale)
-    assert set(stale) <= set(_DRIVER_WINDOW_R10)
-    # the round-10 additions are in-window (never driver-green before r10):
+    assert len(stale) == 38, len(stale)
+    assert set(stale) <= set(_DRIVER_WINDOW_R11)
+    # the round-11 addition is in-window (never driver-green before r11):
+    assert "q137_incremental_retrieval_index" in _DRIVER_WINDOW_R11
+    # this round's code-change anchors are inside the window:
     assert {
-        "q135_incremental_components",
         "q136_incremental_ann_index",
-    } <= set(_DRIVER_WINDOW_R10)
-    # this round's code-change anchor is inside the window:
-    assert "q110_incremental_dedup" in _DRIVER_WINDOW_R10
-    # headline continuity: the six r8-green headliners (two rounds old
-    # at this gate, including the heaviest bench plans q24/q27) plus
-    # q13; every headliner missing from this window is r9-green (one
-    # round old) and rotates back in r11 with the r8 cohort
+        "q89_bm25_topk",
+        "q54_tfidf_top_terms",
+        "q107_sq8_ann_topk",
+    } <= set(_DRIVER_WINDOW_R11)
+    # headline continuity: the heaviest bench plans stay pinned; every
+    # headliner missing from this window is r10-green (one round old)
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
@@ -130,18 +128,21 @@ def test_driver_window_matches_round10_rotation():
         "q13_tpch_q1", "q14_tpch_q3", "q15_star_join_revenue",
         "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
         "q27_minhash_lsh_pairs", "q34_tpch_q6",
-    } <= set(_DRIVER_WINDOW_R10)
-    missing = headline - set(_DRIVER_WINDOW_R10)
+    } <= set(_DRIVER_WINDOW_R11)
+    missing = headline - set(_DRIVER_WINDOW_R11)
     assert missing <= {
-        "q02_classify_count",
+        "q01_envelope_filter_project",
         "q03_log_compaction",
-        "q05_batch_assembly",
+        "q07_cdc_apply_join",
         "q10_hourly_window",
+        "q19_exact_dedup",
+        "q31_sessionization",
+        "q48_cdc_merge_apply",
         "q51_asof_join",
         "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 136
+    assert len(names) == len(set(names)) == 137
 
 
 def test_q69_q70_dims_broadcast(spark):

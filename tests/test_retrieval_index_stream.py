@@ -1,0 +1,245 @@
+"""Incremental retrieval-index maintenance (streaming/retrieval_index.py):
+drain equality with the batch BM25/TF-IDF scorers, exactly-once admission
+under overlapping redelivery, restart/replay/fold invariance, the scheme
+stamp guard, and the probe's scale shape (pushed IN filter, broadcast
+stats, no corpus-side sort-merge join)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import text
+from stream_cdc_spark.streaming import statedir
+from stream_cdc_spark.streaming.retrieval_index import (
+    RetrievalIndexSnapshot,
+    bm25_topk_over_batches,
+)
+from stream_cdc_spark.tables import load
+from tests.conftest import SF_SMALL
+
+TERMS = ["stream", "vector", "join"]
+
+
+def _docs(spark):
+    return load(spark, SF_SMALL, "documents")
+
+
+def _slices(spark):
+    """Overlapping micro-batches: slice i redelivers every doc_id that is
+    i mod 7 as well as owning i mod 3 — the union covers the corpus and
+    the overlaps exercise the exactly-once admission guard."""
+    d = _docs(spark)
+    return [
+        d.filter((F.col("doc_id") % 3 == i) | (F.col("doc_id") % 7 == i))
+        for i in range(3)
+    ]
+
+
+def _batch_bm25(spark):
+    return sorted(
+        map(tuple, text.bm25_topk(_docs(spark), TERMS, top_k=15).collect())
+    )
+
+
+def _batch_tfidf(spark):
+    d = _docs(spark)
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return sorted(map(tuple, text.tfidf_top_terms_from_tf(tf, n).collect()))
+
+
+def _snap_bm25(snap, spark):
+    return sorted(map(tuple, snap.bm25_topk(spark, TERMS, top_k=15).collect()))
+
+
+def test_drained_probes_equal_batch_scorers(spark, tmp_path):
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    assert (
+        sorted(map(tuple, snap.tfidf_top_terms(spark).collect()))
+        == _batch_tfidf(spark)
+    )
+
+
+def test_overlapping_batches_admit_exactly_once(spark, tmp_path):
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"))
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    n = _docs(spark).count()
+    docs = snap.docs(spark)
+    assert docs.count() == n  # redelivered ids admitted once
+    assert docs.select("doc_id").distinct().count() == n
+    # maintained monoids equal the from-scratch aggregates
+    n_l = snap.corpus_stats(spark).collect()[0]
+    want = (
+        _docs(spark)
+        .select(F.size(text.tokens(F.col("text"))).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    assert (n_l["n"], n_l["l"]) == (want[0], want[1])
+
+
+def test_replay_and_restart_preserve_equality(spark, tmp_path):
+    """Replaying the in-flight batch (torn-write crash model) and
+    continuing through a fresh sink object over the same state dir — the
+    checkpoint-restart shape — changes nothing."""
+    slices = _slices(spark)
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    snap.foreach_batch(slices[1], 1)  # replay of the last in-flight batch
+    snap2 = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    snap2.foreach_batch(slices[2], 2)
+    assert _snap_bm25(snap2, spark) == _batch_bm25(spark)
+
+
+def test_empty_batch_commits_nothing(spark, tmp_path):
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(_slices(spark)[0], 0)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    snap.foreach_batch(empty, 1)
+    for sub in ("docs", "postings", "stats"):
+        c = statedir.dir_counts(os.path.join(str(tmp_path / "s"), sub))
+        assert c["batch"] == 1, (sub, c)
+
+
+def test_conflicting_intra_batch_duplicates_admit_deterministically(
+    spark, tmp_path
+):
+    """The same doc_id carrying DIFFERENT texts inside one batch admits
+    the lexicographically-smallest text; a later re-ingest of an admitted
+    id is dropped whole (first-wins)."""
+    conflicted = spark.createDataFrame(
+        [(1, "zebra zebra"), (1, "apple pie"), (2, "apple pie")],
+        "doc_id bigint, text string",
+    )
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(conflicted, 0)
+    got = {
+        (r["doc_id"], r["word"]): (r["tf"], r["dl"])
+        for r in snap.postings(spark).collect()
+    }
+    assert got == {
+        (1, "apple"): (1, 2), (1, "pie"): (1, 2),
+        (2, "apple"): (1, 2), (2, "pie"): (1, 2),
+    }
+    snap.foreach_batch(
+        spark.createDataFrame([(2, "zebra")], "doc_id bigint, text string"), 1
+    )
+    assert snap.docs(spark).count() == 2  # re-ingest dropped
+
+
+def test_scheme_drift_refused_before_restructuring_statedir(spark, tmp_path):
+    """A probe or sink with a different tokenizer/scoring scheme must
+    refuse — and must refuse BEFORE maybe_compact touches the statedir."""
+    slices = _slices(spark)
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=10**9)
+    for i in range(2):
+        snap.foreach_batch(slices[i], i)
+    roots = [os.path.join(str(tmp_path / "s"), d) for d in
+             ("docs", "postings", "stats")]
+    before = [statedir.dir_counts(r) for r in roots]
+    drifted = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    drifted._stamp = {"retr_scheme": "tok-bpe/other/v9"}
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        drifted.foreach_batch(slices[2], 2)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        drifted.bm25_topk(spark, TERMS)
+    assert [statedir.dir_counts(r) for r in roots] == before
+    # the matching sink keeps working, across a fold too
+    ok = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    ok.foreach_batch(slices[2], 2)
+    assert _snap_bm25(ok, spark) == _batch_bm25(spark)
+
+
+def test_probe_plan_pushes_terms_and_never_shuffles_postings_wide(
+    spark, tmp_path
+):
+    """The probe's scale shape: the query-term set reaches the postings
+    scan as a pushed IN filter (row-group pruning on the word-sorted
+    index — the inverted-index lookup as a predicate), corpus stats and
+    idf enter as broadcasts, and nothing joins the corpus-sized ledger
+    (dl rides the postings rows)."""
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"))
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    out = snap.bm25_topk(spark, TERMS)
+    out.collect()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "In(word" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "docs" not in plan.split("== Physical Plan ==")[-1].replace(
+        str(tmp_path), ""
+    ), "probe must not scan the doc ledger"
+
+
+def test_compaction_keeps_postings_word_sorted(spark, tmp_path):
+    """Folds must keep the compacted postings word-sorted within every
+    file (row-group stats keep pruning) and must re-aggregate the stats
+    partials to one row; equality and the stamp survive the fold."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    for i, b in enumerate(_slices(spark)):
+        snap.foreach_batch(b, i)
+    compact_dirs = [
+        p
+        for p in glob.glob(str(tmp_path / "s" / "postings" / "compact=*"))
+        if os.path.isdir(p)  # skip the .commit manifest markers
+    ]
+    assert compact_dirs, "compact_every=1 must have folded"
+    files = glob.glob(os.path.join(sorted(compact_dirs)[-1], "*.parquet"))
+    assert files
+    for f in files:
+        words = pq.read_table(f, columns=["word"])["word"].to_pylist()
+        assert words == sorted(words), f
+    stats_files = [
+        f
+        for d in glob.glob(str(tmp_path / "s" / "stats" / "compact=*"))
+        if os.path.isdir(d)
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    ]
+    folded_rows = sum(pq.read_table(f).num_rows for f in stats_files)
+    assert folded_rows == 1, "stats fold must re-aggregate partials"
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+
+
+def test_retrieval_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+    """PIPELINE=retrieval_index entrypoint: one availableNow drain over
+    the sf0.001 documents admits the whole corpus into the persisted
+    inverted index and the probe equals the batch scorer — the sink wired
+    through the registry + env config exactly like the ann_index mode."""
+    from stream_cdc_spark import main as M
+
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "retrieval_index")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("RETR_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    snap = RetrievalIndexSnapshot(state)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+
+
+def test_in_memory_fold_matches_batch(spark):
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk_over_batches(_slices(spark), TERMS, top_k=15).collect(),
+        )
+    )
+    assert got == _batch_bm25(spark)

@@ -21,6 +21,17 @@ appended to the persisted cell-assigned vector table:
 
     <root>/vectors/   (vec_id, vv, cell)   admitted vectors, cell-sorted
 
+Two storage tiers (``storage=``): ``float32`` (default) persists raw
+``array<float>`` vectors — 4 B/dim forever; ``sq8`` persists int8 codes
+(vec_id, code, cell) under an offline-trained per-dimension affine
+quantizer (``train_sq_ranges`` — the SQ8 tier every vector store ships:
+faiss IndexScalarQuantizer / Milvus SQ8), quartering index state and
+probe scan bandwidth at 100 TB. Cells are always assigned from the
+full-precision vectors, so the two tiers share the exact cell geometry;
+probes dequantize in a narrow codegen'd map and run the same scoring
+body. The quantizer ranges are stamped (digest) like the centroids —
+codes are meaningless under different ranges, so mismatches refuse.
+
 Scale shape per trigger: the centroid relation broadcasts (num_cells ~
 sqrt(corpus) rows by the usual IVF sizing — a planning relation), the
 assignment argmin is a narrow map over the micro-batch, and the commit
@@ -67,12 +78,21 @@ from stream_cdc_spark.operators import similarity
 from stream_cdc_spark.streaming import statedir
 
 ANN_VECTORS_SCHEMA = "vec_id bigint, vv array<float>, cell bigint"
+ANN_VECTORS_SCHEMA_SQ8 = "vec_id bigint, code array<tinyint>, cell bigint"
 
 # Versioned id of the assignment/scoring math the persisted cells bake
 # in: argmin of FLOOR(10000 * squared distance) with min-cid ties, cosine
 # scoring. A change here (different quantization, different tie rule)
 # invalidates every persisted assignment, exactly like dedup.LSH_SCHEME.
 ANN_SCHEME = "ivf-argmin-sqdist-bp10000-mincid/cosine/v1"
+
+# Storage-tier ids. float32 stores raw vectors (4 B/dim); sq8 stores
+# int8 codes under a per-dimension affine quantizer trained offline
+# (1 B/dim — quartering index state), with the (min, max) ranges stamped
+# into the index like the centroid digest.
+ANN_STORAGE_FLOAT = "float32"
+ANN_STORAGE_SQ8 = "sq8-dimrange/v1"
+_STAMP_DEFAULTS = {"ann_storage": ANN_STORAGE_FLOAT, "ann_sq_digest": "-"}
 
 
 def centroid_digest(centroids: list[tuple[int, list[float]]]) -> str:
@@ -84,6 +104,78 @@ def centroid_digest(centroids: list[tuple[int, list[float]]]) -> str:
         for cid, vec in sorted(centroids, key=lambda t: int(t[0]))
     )
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
+def sq_ranges_digest(ranges: list[tuple[float, float]]) -> str:
+    """Deterministic digest of the per-dim (min, max) quantizer ranges —
+    codes are only comparable under the exact same affine map."""
+    canon = ";".join(
+        f"{float(lo).hex()},{float(hi).hex()}" for lo, hi in ranges
+    )
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
+def train_sq_ranges(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Train per-dimension (min, max) ranges for the SQ8 tier from a
+    sample corpus — the offline quantizer-training step, exactly like
+    k-means for the centroids. One distributed agg; the collect is d
+    rows (a planning collect, never corpus-sized)."""
+    v = df.select(F.col(vec_col).cast("array<float>").alias("vv"))
+    rows = (
+        v.select(F.posexplode("vv").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def _sq8_encode(vec, ranges: list[tuple[float, float]]):
+    """code_i = round((x_i - lo_i) / (hi_i - lo_i) * 254) - 127, clamped
+    to [-127, 127] (out-of-range arrivals saturate); a degenerate dim
+    (hi == lo) encodes 0. Pure narrow expression, whole-stage codegen."""
+    los = F.array(*[F.lit(float(lo)) for lo, _ in ranges])
+    invs = F.array(
+        *[
+            F.lit(254.0 / (float(hi) - float(lo)) if hi > lo else 0.0)
+            for lo, hi in ranges
+        ]
+    )
+    return F.transform(
+        vec,
+        lambda x, i: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                (
+                    F.round(
+                        (x.cast("double") - F.element_at(los, i + 1))
+                        * F.element_at(invs, i + 1)
+                    )
+                    - F.lit(127)
+                ).cast("int"),
+            ),
+        ).cast("tinyint"),
+    )
+
+
+def _sq8_decode(code, ranges: list[tuple[float, float]]):
+    """x̂_i = lo_i + (code_i + 127) * (hi_i - lo_i) / 254 — the affine
+    inverse, again a pure narrow expression."""
+    los = F.array(*[F.lit(float(lo)) for lo, _ in ranges])
+    steps = F.array(
+        *[F.lit((float(hi) - float(lo)) / 254.0) for lo, hi in ranges]
+    )
+    return F.transform(
+        code,
+        lambda c, i: (
+            F.element_at(los, i + 1)
+            + (c.cast("double") + F.lit(127.0)) * F.element_at(steps, i + 1)
+        ).cast("float"),
+    )
 
 
 class AnnIndexSnapshot:
@@ -106,10 +198,28 @@ class AnnIndexSnapshot:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        storage: str = "float32",
+        sq_ranges: list[tuple[float, float]] | None = None,
         fs: statedir.LocalFS | None = None,
     ):
         if not centroids:
             raise ValueError("AnnIndexSnapshot needs a non-empty centroid set")
+        if storage not in ("float32", "sq8"):
+            raise ValueError(
+                f"storage must be 'float32' or 'sq8', got {storage!r}"
+            )
+        if storage == "sq8":
+            if not sq_ranges:
+                raise ValueError(
+                    "sq8 storage needs sq_ranges — the offline-trained "
+                    "per-dim (min, max) quantizer (train_sq_ranges)"
+                )
+            dim = len(centroids[0][1])
+            if len(sq_ranges) != dim:
+                raise ValueError(
+                    f"sq_ranges has {len(sq_ranges)} dims but centroids "
+                    f"have {dim}"
+                )
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
         self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
@@ -119,12 +229,27 @@ class AnnIndexSnapshot:
         self.compact_every = compact_every
         self.major_every = major_every
         self.commit_files = commit_files
+        self.storage = storage
+        self.sq_ranges = (
+            [(float(lo), float(hi)) for lo, hi in sq_ranges]
+            if sq_ranges
+            else None
+        )
         self.fs = fs
+        self._schema = (
+            ANN_VECTORS_SCHEMA_SQ8 if storage == "sq8" else ANN_VECTORS_SCHEMA
+        )
         self._stamp = {
             "ann_scheme": ANN_SCHEME,
             "ann_centroid_digest": centroid_digest(self.centroids),
             "ann_num_cells": len(self.centroids),
             "ann_quantize_bp": -1 if quantize_bp is None else int(quantize_bp),
+            "ann_storage": (
+                ANN_STORAGE_SQ8 if storage == "sq8" else ANN_STORAGE_FLOAT
+            ),
+            "ann_sq_digest": (
+                sq_ranges_digest(self.sq_ranges) if self.sq_ranges else "-"
+            ),
         }
 
     # -- state ------------------------------------------------------------
@@ -139,7 +264,9 @@ class AnnIndexSnapshot:
             # schema-fallback read of an empty state: nothing persisted
             # yet, nothing to contradict
             return
-        got = {k: meta.get(k) for k in self._stamp}
+        # pre-storage-tier state (round 10) carries no ann_storage key;
+        # it is float32 by construction
+        got = {k: meta.get(k, _STAMP_DEFAULTS.get(k)) for k in self._stamp}
         if got != self._stamp:
             raise ValueError(
                 f"ANN index parameter mismatch: state at "
@@ -154,23 +281,45 @@ class AnnIndexSnapshot:
 
     def _state(self, spark, batch_id: int) -> DataFrame:
         state = statedir.read_state(
-            spark, self.vectors_dir, ANN_VECTORS_SCHEMA, batch_id, fs=self.fs
+            spark, self.vectors_dir, self._schema, batch_id, fs=self.fs
         )
         self._validate_stamp(state)
         return state
 
     def vectors(self, spark) -> DataFrame:
-        """Every admitted (vec_id, vv, cell) row — the persisted index."""
+        """Every admitted row as stored — (vec_id, vv, cell) on the
+        float32 tier, (vec_id, code, cell) on the sq8 tier."""
         return self._state(spark, 1 << 62)
+
+    def _probe_relation(self, spark) -> DataFrame:
+        """The index as (vec_id, vv, cell) float vectors. The sq8 tier
+        scans 1 B/dim codes and dequantizes in a narrow codegen'd map —
+        the disk/network read (what dominates a 100 TB probe) is a
+        quarter of the float tier's; the cell column (and its pushed IN
+        pruning) is identical across tiers."""
+        state = self.vectors(spark)
+        if self.storage != "sq8":
+            return state
+        return state.select(
+            "vec_id",
+            _sq8_decode(F.col("code"), self.sq_ranges).alias("vv"),
+            "cell",
+        )
 
     def topk(
         self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
     ) -> DataFrame:
-        """ANN top-k over the persisted index: bit-equal to batch
-        `similarity.ivf_ann_topk` over the union of all admitted batches
-        (same probe body, same centroids, same quantization)."""
+        """ANN top-k over the persisted index: on the float32 tier,
+        bit-equal to batch `similarity.ivf_ann_topk` over the union of
+        all admitted batches (same probe body, same centroids, same
+        quantization). On the sq8 tier the same probe body runs over the
+        dequantized codes — deterministic and fold/restart-invariant,
+        equal to the float tier's ranking whenever the per-element
+        quantization error (≤ half a step of (hi-lo)/254) does not
+        reorder neighbors (tests/test_ann_index_stream.py measures this
+        on the real corpus)."""
         return similarity.ivf_probe_topk(
-            self.vectors(spark),
+            self._probe_relation(spark),
             queries,
             self._centroids_df(spark),
             k=k,
@@ -198,7 +347,7 @@ class AnnIndexSnapshot:
         # pushed IN filter would stop pruning exactly when most of the
         # corpus lives in compacted snapshots
         statedir.maybe_compact(
-            spark, self.vectors_dir, ANN_VECTORS_SCHEMA, batch_id,
+            spark, self.vectors_dir, self._schema, batch_id,
             every=self.compact_every,
             major_every=self.major_every,
             transform=lambda df: df.sortWithinPartitions("cell"),
@@ -237,9 +386,21 @@ class AnnIndexSnapshot:
         vecs = vecs.join(state.select("vec_id"), "vec_id", "left_anti")
         assigned = similarity.ivf_assign(
             vecs, self._centroids_df(spark), id_col="vec_id", vec_col="vv"
-        ).select(
-            "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
         )
+        if self.storage == "sq8":
+            # cells are assigned from the FULL-precision vectors (same
+            # geometry as the float tier); only the stored payload is
+            # quantized — 1 B/dim on disk
+            assigned = assigned.select(
+                "vec_id",
+                _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
+                F.col("cell").alias("cell", metadata=self._stamp),
+            )
+        else:
+            assigned = assigned.select(
+                "vec_id", "vv",
+                F.col("cell").alias("cell", metadata=self._stamp),
+            )
         # pin: feeds both the emptiness probe and the commit write —
         # unpinned, the assignment (and the state anti-join behind it)
         # would recompute per action

@@ -277,6 +277,92 @@ def test_ann_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     assert _snap_topk(snap, spark) == _batch_topk(spark)
 
 
+def _sq_ranges(spark):
+    from stream_cdc_spark.streaming.ann_index import train_sq_ranges
+
+    return train_sq_ranges(_emb(spark))
+
+
+def test_sq8_tier_matches_float_tier_ranking(spark, tmp_path):
+    """The sq8 storage tier (int8 codes, quartered state) must reach the
+    float tier's exact (q_id, c_id, rank) ranking on the real corpus —
+    the margin test: per-element quantization error is <= half a step of
+    (hi-lo)/254, far below the corpus's neighbor separation — and must
+    be fold/restart-bit-invariant on its own scores."""
+    cents, ranges = _centroids(spark), _sq_ranges(spark)
+    slices = _slices(spark)
+    f32 = AnnIndexSnapshot(str(tmp_path / "f"), cents, compact_every=2)
+    sq8 = AnnIndexSnapshot(
+        str(tmp_path / "q"), cents, compact_every=2,
+        storage="sq8", sq_ranges=ranges,
+    )
+    for i, b in enumerate(slices):
+        f32.foreach_batch(b, i)
+        sq8.foreach_batch(b, i)
+    rank_f = {(r["q_id"], r["c_id"], r["rank"])
+              for r in f32.topk(spark, _queries(spark)).collect()}
+    got = sorted(map(tuple, sq8.topk(spark, _queries(spark)).collect()))
+    rank_q = {(q, c, rk) for q, c, _, rk in got}
+    assert rank_q == rank_f
+    # replay + restart through a fresh sink: scores bit-equal
+    sq8.foreach_batch(slices[2], 2)
+    again = AnnIndexSnapshot(
+        str(tmp_path / "q"), cents, compact_every=2,
+        storage="sq8", sq_ranges=ranges,
+    )
+    assert sorted(map(tuple, again.topk(spark, _queries(spark)).collect())) == got
+
+
+def test_sq8_tier_quarters_state_bytes(spark, tmp_path):
+    """The point of the tier: on-disk vector payload ~1 B/dim instead of
+    4 B/dim. Assert the sq8 state dir is well under half the float one
+    (parquet framing overhead keeps it above a pure 4x)."""
+    cents, ranges = _centroids(spark), _sq_ranges(spark)
+    f32 = AnnIndexSnapshot(str(tmp_path / "f"), cents, compact_every=1)
+    sq8 = AnnIndexSnapshot(
+        str(tmp_path / "q"), cents, compact_every=1,
+        storage="sq8", sq_ranges=ranges,
+    )
+    for i, b in enumerate(_slices(spark)):
+        f32.foreach_batch(b, i)
+        sq8.foreach_batch(b, i)
+
+    def _bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fn in os.walk(root)
+            for f in fn
+            if f.endswith(".parquet")
+        )
+
+    nf, nq = _bytes(str(tmp_path / "f")), _bytes(str(tmp_path / "q"))
+    assert nq < nf / 2, (nq, nf)
+
+
+def test_sq8_stamp_guards_tier_and_ranges(spark, tmp_path):
+    """Cross-tier probes and drifted quantizer ranges must refuse; a
+    pre-tier (round-10) stamp without the storage key reads as float32."""
+    cents, ranges = _centroids(spark), _sq_ranges(spark)
+    slices = _slices(spark)
+    sq8 = AnnIndexSnapshot(
+        str(tmp_path / "s"), cents, storage="sq8", sq_ranges=ranges
+    )
+    sq8.foreach_batch(slices[0], 0)
+    f32 = AnnIndexSnapshot(str(tmp_path / "s"), cents)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        f32.topk(spark, _queries(spark))
+    drifted = AnnIndexSnapshot(
+        str(tmp_path / "s"), cents, storage="sq8",
+        sq_ranges=[(lo - 1.0, hi + 1.0) for lo, hi in ranges],
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        drifted.foreach_batch(slices[1], 1)
+    with pytest.raises(ValueError):
+        AnnIndexSnapshot(str(tmp_path / "x"), cents, storage="sq8")
+    with pytest.raises(ValueError, match="storage"):
+        AnnIndexSnapshot(str(tmp_path / "x"), cents, storage="int4")
+
+
 def test_ann_index_sink_rejects_misnamed_centroid_columns(spark, tmp_path):
     """A centroids parquet with the wrong column names must fail with the
     descriptive ValueError, not a bare KeyError deep in the row loop."""

@@ -85,6 +85,92 @@ ISOLATED_PATH = os.path.join(
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
+SWEEP_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
+)
+
+
+def _load_sweep() -> dict | None:
+    """The most recent `bench.py --sweep` record (full-registry walls).
+    Embedded (summary only) into BENCH_DETAIL.json by the default run,
+    with the same provenance/staleness rule as the isolated block."""
+    try:
+        with open(SWEEP_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def run_sweep() -> None:
+    """Once-per-round full-registry timing sweep (round-10 verdict task
+    5): the headline bench times 15/137 queries — the other 122 had
+    correctness rows but no recorded wall, so a regression there was
+    undecidable. One repeat per query at sf0.01 (coarse by design: the
+    gate is the 1.5x + 0.3 s band, not the noise floor), drift compared
+    against the PRIOR round's committed BENCH_SWEEP.json before this run
+    overwrites it."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.01")
+    prev = _load_sweep()
+    spark = get_spark(app_name="stream-cdc-spark-bench-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # same warm-up as the headline path: JVM/JIT, parquet footers, and
+    # the reusable Python/Arrow worker pool
+    names = list(QUERIES)
+    QUERIES[names[0]].builder(spark, sf_dir).collect()
+
+    def _identity(it):
+        yield from it
+
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        _identity, schema="id long"
+    ).count()
+
+    walls: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name].builder(spark, sf_dir).collect()
+        walls[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    rec = {
+        "metric": "full_registry_sweep",
+        "source_round": _current_round(),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": 1,
+        "n_queries": len(walls),
+        "total": round(sum(walls.values()), 3),
+        "queries": walls,
+    }
+    if prev and str(prev.get("sf")) == str(rec["sf"]):
+        pq = prev.get("queries") or {}
+        shared = [n for n in walls if n in pq]
+        rec["drift"] = {
+            "vs_round": prev.get("source_round"),
+            "n_shared": len(shared),
+            # single-repeat sf0.01 walls are noisy; the band is wide on
+            # purpose — anything inside it is session noise, anything
+            # outside is a plan change worth reading
+            "flagged": sorted(
+                n for n in shared if walls[n] > 1.5 * pq[n] + 0.3
+            ),
+            "improved": sorted(
+                n for n in shared if walls[n] < pq[n] / 1.5 - 0.3
+            ),
+        }
+    with open(SWEEP_PATH, "w") as f:
+        json.dump(rec, f, indent=1)
+    summary = {
+        k: rec[k]
+        for k in ("metric", "source_round", "sf", "n_queries", "total")
+    }
+    if "drift" in rec:
+        summary["drift"] = rec["drift"]
+    line = json.dumps(summary)
+    assert len(line) < 1950, f"sweep stdout line {len(line)} chars"
+    print(line)
+    spark.stop()
 
 
 def _current_round() -> int | None:
@@ -112,6 +198,9 @@ def _load_isolated() -> dict | None:
 
 
 def main() -> None:
+    if "--sweep" in sys.argv[1:]:
+        run_sweep()
+        return
     isolated = "--isolated" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="stream-cdc-spark-bench")
@@ -298,6 +387,22 @@ def main() -> None:
         detail["drift_ratios"] = out["drift"].pop("min_over_prev_median")
     if iso:
         detail["isolated_queries"] = iso.get("queries")
+    sweep = None if isolated else _load_sweep()
+    if sweep:
+        # full-registry sweep summary with the isolated block's
+        # provenance rule: source_round + stale flag; the per-query
+        # walls stay in the committed BENCH_SWEEP.json it points at
+        sweep_round = sweep.get("source_round")
+        detail["sweep"] = {
+            "file": os.path.basename(SWEEP_PATH),
+            "source_round": sweep_round,
+            "sf": sweep.get("sf"),
+            "n_queries": sweep.get("n_queries"),
+            "total": sweep.get("total"),
+            "drift": sweep.get("drift"),
+            "stale": sweep_round is None
+            or (this_round is not None and sweep_round < this_round),
+        }
     order = [
         "unit", "sf", "repeats", "metric", "detail_file", "drift",
         "isolated", "queries", "value_min", "value", "vs_baseline",

@@ -20,6 +20,13 @@ What can be migrated without the original corpus:
     of signature slices, and the signatures are in the state, so
     re-banding recomputes (band, key) from sigs/ alone.
 
+  - Retrieval index → vacuum: physically drop tombstoned docs (the
+    erasure half of the right-to-be-forgotten path — tombstones hide a
+    doc from every probe instantly; vacuum reclaims the bytes and hard-
+    erases the content) by rewriting only the LIVE rows of docs/ and
+    postings/ plus a re-aggregated stats partial into a fresh statedir
+    with an empty tombstone set.
+
 What CANNOT: anything that changes the underlying sketch — LSH k /
 num_hashes / hash-scheme version, a different ANN assignment scheme, a
 different retrieval tokenizer. Those need the original corpus replayed
@@ -160,3 +167,64 @@ def rebuild_lsh_snapshot(spark, src, dst) -> int:
         dst.counts_dir,
     )
     return n
+
+
+def vacuum_retrieval_index(spark, src, dst) -> int:
+    """Physically remove tombstoned documents from the retrieval index at
+    ``src`` (a RetrievalIndexSnapshot) by rewriting only the LIVE rows
+    into the fresh statedir of ``dst``. Returns the number of live docs.
+
+    Tombstones make a deleted doc invisible to every probe instantly but
+    its postings stay on disk; vacuum is the erasure/reclaim half —
+    docs/ and postings/ are anti-joined against the tombstone set (one
+    distributed pass, postings re-sorted by word so row-group pruning
+    survives), stats/ is re-aggregated from the live ledger, and the
+    destination starts with an empty tombstone set. Probes against the
+    vacuumed index are bit-equal to the tombstone-aware probes of the
+    source (tests assert it).
+
+    ``dst`` must share ``src``'s scheme stamp (a vacuum is not a
+    re-tokenization — that path is a corpus replay), must be a different
+    state dir, and must be empty.
+    """
+    if src.state_dir == dst.state_dir:
+        raise ValueError(
+            "vacuum_retrieval_index: src and dst share a state dir — a "
+            "vacuum writes a FRESH statedir (an in-place rewrite that "
+            "crashes halfway would drop admitted documents)"
+        )
+    if src._stamp != dst._stamp:
+        raise ValueError(
+            f"vacuum_retrieval_index: scheme mismatch (src "
+            f"{src._stamp!r}, dst {dst._stamp!r}) — a vacuum preserves "
+            f"the index scheme; re-tokenization needs a corpus replay"
+        )
+    if dst.docs(spark).take(1):
+        raise ValueError(
+            f"vacuum_retrieval_index: destination {dst.state_dir!r} is "
+            f"not empty — sweep it (or pick a fresh dir) before vacuuming"
+        )
+    dead = src.tombstones(spark).localCheckpoint(eager=True)
+    live_docs = (
+        src.docs(spark).join(dead, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    live_postings = src.postings(spark).join(dead, "doc_id", "left_anti")
+
+    def commit(df: DataFrame, root: str) -> None:
+        df.coalesce(dst.commit_files).write.mode("overwrite").parquet(
+            statedir.batch_dir(root, 0)
+        )
+
+    commit(live_docs.select("doc_id", "dl"), dst.docs_dir)
+    commit(
+        live_postings.sortWithinPartitions("word"), dst.postings_dir
+    )
+    commit(
+        live_docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
+        ),
+        dst.stats_dir,
+    )
+    return live_docs.count()

@@ -6482,8 +6482,8 @@ assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
 #      deterministic intra-batch admission + stamp-before-compact),
 #      q89/q54 (BM25/TF-IDF scoring bodies refactored into the shared
 #      text.bm25_topk_from_postings / tfidf_top_terms_from_tf that the
-#      new retrieval index probes route through), q107 (SQ8 tier work
-#      on operators/similarity this round);
+#      new retrieval index probes route through), q107 (the batch SQ8
+#      scorer whose scheme the new ann_index sq8 storage tier extends);
 #  (4) headline-bench continuity: q13/q14/q15/q24/q25/q27/q34.
 _DRIVER_WINDOW_R11 = [
     # (1) 38 stale r8-green queries:

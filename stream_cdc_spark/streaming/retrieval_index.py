@@ -53,6 +53,27 @@ verbatim, so equality is by construction once admission is
 exactly-once; the q137 registry entry value-checks the fold against the
 q89 SQL oracle.
 
+Deletions (the right-to-be-forgotten path a production training-data
+corpus needs): ``delete_batch`` is a second foreachBatch sink over a
+(doc_id) stream that appends to a fourth state,
+
+    <root>/tombstones/  (doc_id)              deleted ids, append-only
+
+Tombstones affect READS ONLY — the admit path never consults them, so
+the two streams share no write-path coupling and every replay/fold/
+restart proof of the admit path stands untouched; ``delete_batch``
+itself does no cross-state read at all (a replayed delete batch
+overwrites its own dir with identical rows). Probes exclude tombstoned
+docs with a slim anti-join on the term-pruned matching set and correct
+(N, L) by joining tombstones against the ledger — both one-slim-column
+relations; at read time the live corpus is always exactly
+(admitted minus tombstoned) regardless of how the two streams
+interleaved.
+A deleted doc_id stays deleted forever: re-ingesting it is blocked by
+the first-wins ledger (re-add content under a new doc_id). Physical
+removal (space reclaim + hard erasure) is the offline
+``operators/migration.vacuum_retrieval_index`` rebuild.
+
 The index is self-describing: the postings ``word`` column carries a
 scheme stamp (tokenizer + scoring algebra version) as column metadata —
 the same guard as the ANN centroid digest. Postings built under a
@@ -76,6 +97,7 @@ from stream_cdc_spark.streaming import statedir
 RETR_DOCS_SCHEMA = "doc_id bigint, dl bigint"
 RETR_POSTINGS_SCHEMA = "doc_id bigint, word string, tf bigint, dl bigint"
 RETR_STATS_SCHEMA = "n bigint, l bigint"
+RETR_TOMBSTONES_SCHEMA = "doc_id bigint"
 
 # Versioned id of the tokenization + scoring algebra the persisted
 # postings bake in. A change here (different tokenizer, different idf
@@ -103,6 +125,7 @@ class RetrievalIndexSnapshot:
         self.docs_dir = os.path.join(state_dir, "docs")
         self.postings_dir = os.path.join(state_dir, "postings")
         self.stats_dir = os.path.join(state_dir, "stats")
+        self.tombstones_dir = os.path.join(state_dir, "tombstones")
         self.id_col = id_col
         self.text_col = text_col
         self.compact_every = compact_every
@@ -145,15 +168,53 @@ class RetrievalIndexSnapshot:
         """Every admitted (doc_id, word, tf, dl) row — the inverted index."""
         return self._postings(spark, 1 << 62)
 
+    def tombstones(self, spark) -> DataFrame:
+        """Every deleted doc_id, distinct (a doc may be deleted from
+        several consumers; readers dedupe, folds dedupe too)."""
+        return statedir.read_state(
+            spark, self.tombstones_dir, RETR_TOMBSTONES_SCHEMA, 1 << 62,
+            fs=self.fs,
+        ).distinct()
+
+    def _tombstones_or_none(self, spark) -> DataFrame | None:
+        """None when no deletion was ever committed — the common case —
+        so probes skip the exclusion join entirely and keep the exact
+        pre-deletion plan (an anti-join against a provably-empty relation
+        still costs a join stage)."""
+        if not statedir.state_paths(self.tombstones_dir, 1 << 62, self.fs):
+            return None
+        return self.tombstones(spark)
+
+    def _without_tombstoned(self, spark, df: DataFrame) -> DataFrame:
+        dead = self._tombstones_or_none(spark)
+        return df if dead is None else df.join(dead, "doc_id", "left_anti")
+
     def corpus_stats(self, spark) -> DataFrame:
-        """One-row (n, l): total docs and total tokens, summed from the
-        O(#batches)-row integer partials — never scans the ledger."""
+        """One-row (n, l) of the LIVE corpus: the admitted totals (summed
+        from the O(#batches)-row integer partials) minus the tombstoned
+        docs' contribution (tombstones joined against the slim ledger —
+        two one/two-column relations; the postings are never touched)."""
         partials = statedir.read_state(
             spark, self.stats_dir, RETR_STATS_SCHEMA, 1 << 62, fs=self.fs
         )
-        return partials.agg(
+        admitted = partials.agg(
             F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
             F.coalesce(F.sum("l"), F.lit(0)).cast("bigint").alias("l"),
+        )
+        tomb = self._tombstones_or_none(spark)
+        if tomb is None:
+            return admitted
+        dead = (
+            self.docs(spark)
+            .join(tomb, "doc_id", "left_semi")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("dn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("dll"),
+            )
+        )
+        return admitted.crossJoin(F.broadcast(dead)).select(
+            (F.col("n") - F.col("dn")).alias("n"),
+            (F.col("l") - F.col("dll")).alias("l"),
         )
 
     # -- probes -----------------------------------------------------------
@@ -161,10 +222,13 @@ class RetrievalIndexSnapshot:
         self, spark, query_terms: list[str], top_k: int = 15
     ) -> DataFrame:
         """BM25 top-k over the persisted index: bit-equal to batch
-        `text.bm25_topk` over the union of all admitted batches (shared
-        scoring body, idf re-quantized here from the maintained df/N)."""
-        matching = self.postings(spark).filter(
-            F.col("word").isin(list(query_terms))
+        `text.bm25_topk` over the LIVE corpus (admitted \\ tombstoned) —
+        shared scoring body, idf re-quantized here from the maintained
+        df/N, tombstoned docs excluded by a slim anti-join on the
+        term-pruned matching set."""
+        matching = self._without_tombstoned(
+            spark,
+            self.postings(spark).filter(F.col("word").isin(list(query_terms))),
         )
         return text.bm25_topk_from_postings(
             matching, self.corpus_stats(spark), top_k
@@ -172,12 +236,41 @@ class RetrievalIndexSnapshot:
 
     def tfidf_top_terms(self, spark) -> DataFrame:
         """Per-doc argmax TF-IDF term: bit-equal to q54's scorer over the
-        union of all admitted batches (shared scoring body)."""
-        tf = self.postings(spark).select(
+        LIVE corpus (shared scoring body)."""
+        tf = self._without_tombstoned(spark, self.postings(spark)).select(
             "doc_id", F.col("word").alias("tok"), "tf"
         )
         n = self.corpus_stats(spark).select(F.col("n").alias("n_docs"))
         return text.tfidf_top_terms_from_tf(tf, n)
+
+    # -- the delete sink ----------------------------------------------------
+    def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over a (doc_id) deletion stream. Appends the
+        batch's distinct ids to tombstones/ — no cross-state read at all,
+        so a replayed batch rewrites identical rows and the admit stream's
+        exactly-once proofs are untouched. Deleting a never-admitted id is
+        a harmless no-op at read time (the ledger join finds nothing); a
+        deleted id can never be re-admitted (first-wins ledger)."""
+        spark = batch_df.sparkSession
+        statedir.maybe_compact(
+            spark, self.tombstones_dir, RETR_TOMBSTONES_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            # readers dedupe, so the fold may too (read-equivalent)
+            transform=lambda df: df.distinct(),
+            fs=self.fs,
+        )
+        ids = (
+            batch_df.select(F.col(self.id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not ids.take(1):
+            return  # empty trigger: commit nothing (missing == empty)
+        (
+            ids.coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.tombstones_dir, batch_id))
+        )
 
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:

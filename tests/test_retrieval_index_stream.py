@@ -243,3 +243,89 @@ def test_in_memory_fold_matches_batch(spark):
         )
     )
     assert got == _batch_bm25(spark)
+
+
+def _live_bm25(spark, live_docs):
+    return sorted(
+        map(tuple, text.bm25_topk(live_docs, TERMS, top_k=15).collect())
+    )
+
+
+def test_deletions_hide_docs_from_every_probe(spark, tmp_path):
+    """Tombstoned docs vanish from BM25 (scores, df, N, L all move),
+    TF-IDF and corpus_stats — bit-equal to the batch scorers over the
+    LIVE corpus (admitted \\ deleted). Deleting an unknown id is a
+    no-op; interleaving with admission and replaying a delete batch
+    changes nothing."""
+    d = _docs(spark)
+    slices = _slices(spark)
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    snap.foreach_batch(slices[0], 0)
+    snap.foreach_batch(slices[1], 1)
+    # delete every doc_id % 5 == 0, plus ids far outside the corpus
+    dead = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    snap.delete_batch(
+        dead.unionByName(
+            spark.createDataFrame([(10**12,)], "doc_id bigint")
+        ),
+        0,
+    )
+    snap.foreach_batch(slices[2], 2)  # admission after deletion
+    snap.delete_batch(dead, 0)  # replay of the delete batch
+    live = d.join(dead, "doc_id", "left_anti")
+    assert _snap_bm25(snap, spark) == _live_bm25(spark, live)
+    toks = live.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = live.agg(F.count(F.lit(1)).alias("n_docs"))
+    assert (
+        sorted(map(tuple, snap.tfidf_top_terms(spark).collect()))
+        == sorted(map(tuple, text.tfidf_top_terms_from_tf(tf, n).collect()))
+    )
+    n_l = snap.corpus_stats(spark).collect()[0]
+    want = (
+        live.select(F.size(text.tokens(F.col("text"))).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    assert (n_l["n"], n_l["l"]) == (want[0], want[1])
+    # a deleted id can never be re-admitted (first-wins ledger)
+    snap.foreach_batch(d.filter(F.col("doc_id") % 5 == 0), 3)
+    assert _snap_bm25(snap, spark) == _live_bm25(spark, live)
+
+
+def test_vacuum_physically_removes_tombstoned_docs(spark, tmp_path):
+    """vacuum_retrieval_index rewrites only the live rows into a fresh
+    statedir: probes bit-equal the tombstone-aware source, the deleted
+    docs' postings are physically gone, stats re-aggregate, and the
+    destination carries no tombstones. Scheme/occupancy guards refuse."""
+    from stream_cdc_spark.operators.migration import vacuum_retrieval_index
+
+    d = _docs(spark)
+    src = RetrievalIndexSnapshot(str(tmp_path / "src"), compact_every=2)
+    for i, b in enumerate(_slices(spark)):
+        src.foreach_batch(b, i)
+    dead = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    src.delete_batch(dead, 0)
+    dst = RetrievalIndexSnapshot(str(tmp_path / "dst"))
+    n = vacuum_retrieval_index(spark, src, dst)
+    live = d.join(dead, "doc_id", "left_anti")
+    assert n == live.count()
+    assert _snap_bm25(dst, spark) == _snap_bm25(src, spark)
+    # physically gone, not just hidden
+    assert dst.postings(spark).join(dead, "doc_id", "left_semi").count() == 0
+    assert dst.tombstones(spark).count() == 0
+    n_l = dst.corpus_stats(spark).collect()[0]
+    assert (n_l["n"], n_l["l"]) == tuple(
+        src.corpus_stats(spark).collect()[0]
+    )
+    # guards
+    with pytest.raises(ValueError, match="share a state dir"):
+        vacuum_retrieval_index(spark, src, src)
+    with pytest.raises(ValueError, match="not\\s+empty"):
+        vacuum_retrieval_index(spark, src, dst)
+    drifted = RetrievalIndexSnapshot(str(tmp_path / "x"))
+    drifted._stamp = {"retr_scheme": "tok-bpe/other/v9"}
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        vacuum_retrieval_index(spark, src, drifted)

@@ -54,10 +54,12 @@ def rebuild_ann_index(spark, src, dst, slices: int = 1) -> int:
     centroids, new storage tier, or both). Returns the number of vectors
     migrated.
 
-    The admitted vectors are read from the source state (dequantized
-    through the stamped affine map when the source is the sq8 tier),
-    split into ``slices`` deterministic batches (vec_id mod slices) to
-    bound any single commit, and fed through ``dst.foreach_batch`` — the
+    The LIVE vectors are read from the source state (tombstoned ids
+    excluded — a same-parameter rebuild is therefore also the vacuum
+    that physically erases deleted vectors; dequantized through the
+    stamped affine map when the source is the sq8 tier), split into
+    ``slices`` deterministic batches (vec_id mod slices) to bound any
+    single commit, and fed through ``dst.foreach_batch`` — the
     destination assigns cells against ITS centroids, quantizes for ITS
     tier, stamps ITS digests, so the result is bit-equal to a
     from-scratch drain of the same vectors (tests assert it) and passes

@@ -20,6 +20,10 @@ operators/clustering's k-means — exactly like a FAISS IVF index) and
 appended to the persisted cell-assigned vector table:
 
     <root>/vectors/   (vec_id, vv, cell)   admitted vectors, cell-sorted
+    <root>/tombstones/ (vec_id)            deleted ids (delete_batch —
+                                           reads-only exclusion, same
+                                           design as the retrieval
+                                           index's; rebuild = vacuum)
 
 Two storage tiers (``storage=``): ``float32`` (default) persists raw
 ``array<float>`` vectors — 4 B/dim forever; ``sq8`` persists int8 codes
@@ -79,6 +83,7 @@ from stream_cdc_spark.streaming import statedir
 
 ANN_VECTORS_SCHEMA = "vec_id bigint, vv array<float>, cell bigint"
 ANN_VECTORS_SCHEMA_SQ8 = "vec_id bigint, code array<tinyint>, cell bigint"
+ANN_TOMBSTONES_SCHEMA = "vec_id bigint"
 
 # Versioned id of the assignment/scoring math the persisted cells bake
 # in: argmin of FLOOR(10000 * squared distance) with min-cid ties, cosine
@@ -222,6 +227,7 @@ class AnnIndexSnapshot:
                 )
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
+        self.tombstones_dir = os.path.join(state_dir, "tombstones")
         self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
         self.id_col = id_col
         self.vec_col = vec_col
@@ -288,16 +294,36 @@ class AnnIndexSnapshot:
 
     def vectors(self, spark) -> DataFrame:
         """Every admitted row as stored — (vec_id, vv, cell) on the
-        float32 tier, (vec_id, code, cell) on the sq8 tier."""
+        float32 tier, (vec_id, code, cell) on the sq8 tier. Includes
+        tombstoned rows (this is the raw state; probes exclude them)."""
         return self._state(spark, 1 << 62)
 
+    def tombstones(self, spark) -> DataFrame:
+        """Every deleted vec_id, distinct."""
+        return statedir.read_state(
+            spark, self.tombstones_dir, ANN_TOMBSTONES_SCHEMA, 1 << 62,
+            fs=self.fs,
+        ).distinct()
+
+    def _tombstones_or_none(self, spark) -> DataFrame | None:
+        """None when no deletion was ever committed — the common case —
+        so probes skip the exclusion join entirely and keep the exact
+        pre-deletion plan."""
+        if not statedir.state_paths(self.tombstones_dir, 1 << 62, self.fs):
+            return None
+        return self.tombstones(spark)
+
     def _probe_relation(self, spark) -> DataFrame:
-        """The index as (vec_id, vv, cell) float vectors. The sq8 tier
-        scans 1 B/dim codes and dequantizes in a narrow codegen'd map —
-        the disk/network read (what dominates a 100 TB probe) is a
-        quarter of the float tier's; the cell column (and its pushed IN
-        pruning) is identical across tiers."""
+        """The LIVE index as (vec_id, vv, cell) float vectors: tombstoned
+        rows excluded (slim anti-join, skipped when no deletion exists).
+        The sq8 tier scans 1 B/dim codes and dequantizes in a narrow
+        codegen'd map — the disk/network read (what dominates a 100 TB
+        probe) is a quarter of the float tier's; the cell column (and its
+        pushed IN pruning) is identical across tiers."""
         state = self.vectors(spark)
+        dead = self._tombstones_or_none(spark)
+        if dead is not None:
+            state = state.join(dead, "vec_id", "left_anti")
         if self.storage != "sq8":
             return state
         return state.select(
@@ -306,12 +332,45 @@ class AnnIndexSnapshot:
             "cell",
         )
 
+    def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over a (vec_id) deletion stream — the
+        right-to-be-forgotten path for the embedding corpus, mirroring
+        RetrievalIndexSnapshot.delete_batch: tombstones affect READS
+        ONLY (the admit path never consults them — no write-path
+        coupling, every admit-side replay/fold proof stands), and the
+        delete sink does no cross-state read (a replayed batch rewrites
+        identical rows). A deleted vec_id can never be re-admitted
+        (first-wins ledger); physical erasure is the offline
+        `operators/migration.rebuild_ann_index` (which reads only the
+        live set, so a same-parameter rebuild IS the vacuum)."""
+        spark = batch_df.sparkSession
+        statedir.maybe_compact(
+            spark, self.tombstones_dir, ANN_TOMBSTONES_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            # readers dedupe, so the fold may too (read-equivalent)
+            transform=lambda df: df.distinct(),
+            fs=self.fs,
+        )
+        ids = (
+            batch_df.select(F.col(self.id_col).cast("long").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not ids.take(1):
+            return  # empty trigger: commit nothing (missing == empty)
+        (
+            ids.coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.tombstones_dir, batch_id))
+        )
+
     def topk(
         self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
     ) -> DataFrame:
         """ANN top-k over the persisted index: on the float32 tier,
-        bit-equal to batch `similarity.ivf_ann_topk` over the union of
-        all admitted batches (same probe body, same centroids, same
+        bit-equal to batch `similarity.ivf_ann_topk` over the LIVE set
+        (admitted minus tombstoned — the union of all admitted batches
+        when nothing was deleted; same probe body, same centroids, same
         quantization). On the sq8 tier the same probe body runs over the
         dequantized codes — deterministic and fold/restart-invariant,
         equal to the float tier's ranking whenever the per-element

@@ -363,6 +363,62 @@ def test_sq8_stamp_guards_tier_and_ranges(spark, tmp_path):
         AnnIndexSnapshot(str(tmp_path / "x"), cents, storage="int4")
 
 
+def test_deletions_hide_vectors_from_probes(spark, tmp_path):
+    """Tombstoned vec_ids vanish from topk — bit-equal to the batch
+    operator over the LIVE set; delete replay, unknown ids and the
+    never-readmit rule behave like the retrieval index's."""
+    emb = _emb(spark)
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark),
+                            compact_every=2)
+    snap.foreach_batch(slices[0], 0)
+    snap.foreach_batch(slices[1], 1)
+    dead = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    snap.delete_batch(
+        dead.unionByName(
+            spark.createDataFrame([(10**12,)], "vec_id bigint")
+        ),
+        0,
+    )
+    snap.foreach_batch(slices[2], 2)  # admission after deletion
+    snap.delete_batch(dead, 0)  # replay of the delete batch
+    live = emb.join(dead, "vec_id", "left_anti")
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                live, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert _snap_topk(snap, spark) == want
+    # a deleted id can never be re-admitted (first-wins ledger)
+    snap.foreach_batch(emb.filter(F.col("vec_id") % 5 == 0), 3)
+    assert _snap_topk(snap, spark) == want
+
+
+def test_rebuild_is_the_vacuum_for_deleted_vectors(spark, tmp_path):
+    """A same-parameter rebuild_ann_index reads only the live set, so
+    the destination physically lacks the deleted vectors and carries no
+    tombstones — the erasure half of delete_batch."""
+    from stream_cdc_spark.operators.migration import rebuild_ann_index
+
+    emb = _emb(spark)
+    cents = _centroids(spark)
+    src = AnnIndexSnapshot(str(tmp_path / "src"), cents)
+    for i, b in enumerate(_slices(spark)):
+        src.foreach_batch(b, i)
+    dead = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    src.delete_batch(dead, 0)
+    dst = AnnIndexSnapshot(str(tmp_path / "dst"), cents)
+    n = rebuild_ann_index(spark, src, dst)
+    assert n == emb.count() - dead.count()
+    assert dst.vectors(spark).join(dead, "vec_id", "left_semi").count() == 0
+    assert not dst._tombstones_or_none(spark)
+    assert _snap_topk(dst, spark) == _snap_topk(src, spark)
+
+
 def test_ann_index_sink_rejects_misnamed_centroid_columns(spark, tmp_path):
     """A centroids parquet with the wrong column names must fail with the
     descriptive ValueError, not a bare KeyError deep in the row loop."""

@@ -9,17 +9,28 @@ what the new parameters need, and writes a FRESH statedir that passes
 the new stamp guard, never mutating the source (an in-place migration
 that crashes halfway would leave a state that passes neither stamp).
 
+Migrated state is published as the destination's ``compact=0`` base
+snapshot (statedir.publish_snapshot), NOT as batch dirs: a stream
+resumed into the destination with a fresh checkpoint starts at
+batch_id 0, whose read bound excludes every batch dir — batch-dir
+publishes would be invisible to its first-wins guard (everything
+re-admitted) and then OVERWRITTEN by its commit, silently destroying
+the migration. compact=0 is visible to every reader and is never a
+batch-commit target, so the destination is immediately safe to stream
+into.
+
 What can be migrated without the original corpus:
 
   - ANN index → new centroids and/or a different storage tier: the
     admitted vectors are in the state (sq8 codes dequantize through the
     stamped affine map — a rebuild FROM the sq8 tier re-assigns cells
     from the reconstructed vectors, documented loss ≤ half a
-    quantization step per element).
+    quantization step per element). The rebuild reads only the LIVE
+    set (tombstoned ids excluded), so a same-parameter rebuild is also
+    the vacuum that physically erases deleted vectors.
   - LSH dedup snapshot → a different band count: band keys are hashes
     of signature slices, and the signatures are in the state, so
     re-banding recomputes (band, key) from sigs/ alone.
-
   - Retrieval index → vacuum: physically drop tombstoned docs (the
     erasure half of the right-to-be-forgotten path — tombstones hide a
     doc from every probe instantly; vacuum reclaims the bytes and hard-
@@ -33,12 +44,12 @@ different retrieval tokenizer. Those need the original corpus replayed
 through a fresh sink; the operators below refuse with that guidance
 rather than writing an index that looks valid and scores garbage.
 
-Scale shape: both rebuilds are one distributed pass over the source
-state (optionally sliced into several commits to bound any single
-write), routed through the destination sink's own foreach_batch — so
-cell-sorting, word-sorting, stamping, admission caps and the statedir
-commit protocol are the production code paths, not re-implementations,
-and equality to a from-scratch build is by construction.
+Scale shape: every rebuild is one distributed pass over the source
+state; assignment/banding/sorting run through the destination sink's
+own helpers (AnnIndexSnapshot._assign, dedup.band_buckets, the word/
+cell sort rules), so equality to a from-scratch build is by
+construction and the row-group-clustering invariants the probes rely
+on survive the migration.
 """
 
 from __future__ import annotations
@@ -48,7 +59,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 from stream_cdc_spark.streaming import statedir
 
 
-def rebuild_ann_index(spark, src, dst, slices: int = 1) -> int:
+def _require_empty(snapshotish: str, roots: dict[str, str]) -> None:
+    """Refuse a destination with ANY pre-existing state — including
+    auxiliary states the publish itself would not touch (stale
+    tombstones in dst would silently hide freshly-migrated rows)."""
+    dirty = sorted(
+        name
+        for name, root in roots.items()
+        if statedir.state_paths(root, 1 << 62)
+    )
+    if dirty:
+        raise ValueError(
+            f"{snapshotish}: destination state dir is not empty "
+            f"({', '.join(dirty)} hold state) — sweep it (or pick a "
+            f"fresh dir) before migrating"
+        )
+
+
+def rebuild_ann_index(spark, src, dst) -> int:
     """Rebuild the persisted ANN index at ``src`` (an AnnIndexSnapshot)
     into the fresh statedir of ``dst`` (another AnnIndexSnapshot — new
     centroids, new storage tier, or both). Returns the number of vectors
@@ -57,38 +85,30 @@ def rebuild_ann_index(spark, src, dst, slices: int = 1) -> int:
     The LIVE vectors are read from the source state (tombstoned ids
     excluded — a same-parameter rebuild is therefore also the vacuum
     that physically erases deleted vectors; dequantized through the
-    stamped affine map when the source is the sq8 tier), split into
-    ``slices`` deterministic batches (vec_id mod slices) to bound any
-    single commit, and fed through ``dst.foreach_batch`` — the
-    destination assigns cells against ITS centroids, quantizes for ITS
-    tier, stamps ITS digests, so the result is bit-equal to a
-    from-scratch drain of the same vectors (tests assert it) and passes
-    ``dst``'s stamp guard by construction.
-
-    ``dst`` must be empty (a partial previous migration must be swept,
-    not silently unioned into) and must not share ``src``'s state dir.
-    """
+    stamped affine map when the source is the sq8 tier) and re-assigned
+    through ``dst._assign`` — the destination's own per-trigger
+    assignment body, so cells, quantization and the stamp are bit-equal
+    to a from-scratch drain of the same vectors (tests assert it) and
+    the result passes ``dst``'s stamp guard by construction. Published
+    as dst's compact=0 snapshot, cell-sorted within every file (module
+    doc)."""
     if src.state_dir == dst.state_dir:
         raise ValueError(
             "rebuild_ann_index: src and dst share a state dir — a "
             "migration writes a FRESH statedir (in-place rebuild would "
             "mix assignments from two quantizers under one stamp)"
         )
-    if dst.vectors(spark).take(1):
-        raise ValueError(
-            f"rebuild_ann_index: destination {dst.state_dir!r} is not "
-            f"empty — sweep it (or pick a fresh dir) before migrating"
-        )
-    vecs = src._probe_relation(spark).select(
-        F.col("vec_id").alias(dst.id_col),
-        F.col("vv").alias(dst.vec_col),
+    _require_empty(
+        "rebuild_ann_index",
+        {"vectors": dst.vectors_dir, "tombstones": dst.tombstones_dir},
     )
-    n = vecs.count()
-    for i in range(max(1, slices)):
-        dst.foreach_batch(
-            vecs.filter(F.col(dst.id_col) % max(1, slices) == i), i
-        )
-    return n
+    vecs = src._probe_relation(spark).select("vec_id", "vv")
+    assigned = dst._assign(spark, vecs)
+    statedir.publish_snapshot(
+        spark, dst.vectors_dir, assigned.sortWithinPartitions("cell"),
+        fs=dst.fs,
+    )
+    return dst.vectors(spark).count()
 
 
 def rebuild_lsh_snapshot(spark, src, dst) -> int:
@@ -111,7 +131,7 @@ def rebuild_lsh_snapshot(spark, src, dst) -> int:
     log is NOT migrated: historical emissions are a consumer-facing
     stream, not index state, and a different banding would have
     surfaced a different candidate set — consumers keep their own copy.
-    """
+    All three states publish as compact=0 snapshots (module doc)."""
     from stream_cdc_spark.operators.dedup import band_buckets
 
     if src.state_dir == dst.state_dir:
@@ -133,11 +153,15 @@ def rebuild_lsh_snapshot(spark, src, dst) -> int:
             f"rebuild_lsh_snapshot: num_hashes {dst.num_hashes} not "
             f"divisible by dst bands {dst.bands}"
         )
-    if dst.processed(spark).take(1):
-        raise ValueError(
-            f"rebuild_lsh_snapshot: destination {dst.state_dir!r} is not "
-            f"empty — sweep it (or pick a fresh dir) before migrating"
-        )
+    _require_empty(
+        "rebuild_lsh_snapshot",
+        {
+            "sigs": dst.sigs_dir,
+            "index": dst.index_dir,
+            "counts": dst.counts_dir,
+            "matches": dst.matches_dir,
+        },
+    )
     sigs = src.processed(spark).localCheckpoint(eager=True)
     n = sigs.count()
     keyed = band_buckets(
@@ -154,19 +178,17 @@ def rebuild_lsh_snapshot(spark, src, dst) -> int:
         .select("doc_id", "band", "key")
         .localCheckpoint(eager=True)
     )
-
-    def commit(df: DataFrame, root: str) -> None:
-        df.coalesce(dst.commit_files).write.mode("overwrite").parquet(
-            statedir.batch_dir(root, 0)
-        )
-
-    commit(sigs.select("doc_id", "signature"), dst.sigs_dir)
-    commit(admitted, dst.index_dir)
-    commit(
+    statedir.publish_snapshot(
+        spark, dst.sigs_dir, sigs.select("doc_id", "signature"), fs=dst.fs
+    )
+    statedir.publish_snapshot(spark, dst.index_dir, admitted, fs=dst.fs)
+    statedir.publish_snapshot(
+        spark,
+        dst.counts_dir,
         admitted.groupBy("band", "key").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
         ),
-        dst.counts_dir,
+        fs=dst.fs,
     )
     return n
 
@@ -179,11 +201,12 @@ def vacuum_retrieval_index(spark, src, dst) -> int:
     Tombstones make a deleted doc invisible to every probe instantly but
     its postings stay on disk; vacuum is the erasure/reclaim half —
     docs/ and postings/ are anti-joined against the tombstone set (one
-    distributed pass, postings re-sorted by word so row-group pruning
-    survives), stats/ is re-aggregated from the live ledger, and the
-    destination starts with an empty tombstone set. Probes against the
-    vacuumed index are bit-equal to the tombstone-aware probes of the
-    source (tests assert it).
+    distributed pass, postings word-sorted within every published file
+    so row-group pruning survives), stats/ is re-aggregated from the
+    live ledger, and the destination starts with an empty tombstone set.
+    Probes against the vacuumed index are bit-equal to the
+    tombstone-aware probes of the source (tests assert it). All states
+    publish as compact=0 snapshots (module doc).
 
     ``dst`` must share ``src``'s scheme stamp (a vacuum is not a
     re-tokenization — that path is a corpus replay), must be a different
@@ -201,32 +224,37 @@ def vacuum_retrieval_index(spark, src, dst) -> int:
             f"{src._stamp!r}, dst {dst._stamp!r}) — a vacuum preserves "
             f"the index scheme; re-tokenization needs a corpus replay"
         )
-    if dst.docs(spark).take(1):
-        raise ValueError(
-            f"vacuum_retrieval_index: destination {dst.state_dir!r} is "
-            f"not empty — sweep it (or pick a fresh dir) before vacuuming"
-        )
+    _require_empty(
+        "vacuum_retrieval_index",
+        {
+            "docs": dst.docs_dir,
+            "postings": dst.postings_dir,
+            "stats": dst.stats_dir,
+            "tombstones": dst.tombstones_dir,
+        },
+    )
     dead = src.tombstones(spark).localCheckpoint(eager=True)
     live_docs = (
         src.docs(spark).join(dead, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     live_postings = src.postings(spark).join(dead, "doc_id", "left_anti")
-
-    def commit(df: DataFrame, root: str) -> None:
-        df.coalesce(dst.commit_files).write.mode("overwrite").parquet(
-            statedir.batch_dir(root, 0)
-        )
-
-    commit(live_docs.select("doc_id", "dl"), dst.docs_dir)
-    commit(
-        live_postings.sortWithinPartitions("word"), dst.postings_dir
+    statedir.publish_snapshot(
+        spark, dst.docs_dir, live_docs.select("doc_id", "dl"), fs=dst.fs
     )
-    commit(
+    statedir.publish_snapshot(
+        spark,
+        dst.postings_dir,
+        live_postings.sortWithinPartitions("word"),
+        fs=dst.fs,
+    )
+    statedir.publish_snapshot(
+        spark,
+        dst.stats_dir,
         live_docs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
         ),
-        dst.stats_dir,
+        fs=dst.fs,
     )
     return live_docs.count()

@@ -141,7 +141,9 @@ def train_sq_ranges(
 def _sq8_encode(vec, ranges: list[tuple[float, float]]):
     """code_i = round((x_i - lo_i) / (hi_i - lo_i) * 254) - 127, clamped
     to [-127, 127] (out-of-range arrivals saturate); a degenerate dim
-    (hi == lo) encodes 0. Pure narrow expression, whole-stage codegen."""
+    (hi == lo) encodes -127 (decode returns lo for it regardless of the
+    code, so scores are unaffected). Pure narrow expression, whole-stage
+    codegen."""
     los = F.array(*[F.lit(float(lo)) for lo, _ in ranges])
     invs = F.array(
         *[
@@ -227,7 +229,16 @@ class AnnIndexSnapshot:
                 )
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
-        self.tombstones_dir = os.path.join(state_dir, "tombstones")
+        self._tomb = statedir.TombstoneLog(
+            os.path.join(state_dir, "tombstones"),
+            store_col="vec_id",
+            source_col=id_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.tombstones_dir = self._tomb.root
         self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
         self.id_col = id_col
         self.vec_col = vec_col
@@ -300,18 +311,7 @@ class AnnIndexSnapshot:
 
     def tombstones(self, spark) -> DataFrame:
         """Every deleted vec_id, distinct."""
-        return statedir.read_state(
-            spark, self.tombstones_dir, ANN_TOMBSTONES_SCHEMA, 1 << 62,
-            fs=self.fs,
-        ).distinct()
-
-    def _tombstones_or_none(self, spark) -> DataFrame | None:
-        """None when no deletion was ever committed — the common case —
-        so probes skip the exclusion join entirely and keep the exact
-        pre-deletion plan."""
-        if not statedir.state_paths(self.tombstones_dir, 1 << 62, self.fs):
-            return None
-        return self.tombstones(spark)
+        return self._tomb.read(spark)
 
     def _probe_relation(self, spark) -> DataFrame:
         """The LIVE index as (vec_id, vv, cell) float vectors: tombstoned
@@ -320,10 +320,7 @@ class AnnIndexSnapshot:
         codegen'd map — the disk/network read (what dominates a 100 TB
         probe) is a quarter of the float tier's; the cell column (and its
         pushed IN pruning) is identical across tiers."""
-        state = self.vectors(spark)
-        dead = self._tombstones_or_none(spark)
-        if dead is not None:
-            state = state.join(dead, "vec_id", "left_anti")
+        state = self._tomb.exclude(spark, self.vectors(spark))
         if self.storage != "sq8":
             return state
         return state.select(
@@ -335,34 +332,13 @@ class AnnIndexSnapshot:
     def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch sink over a (vec_id) deletion stream — the
         right-to-be-forgotten path for the embedding corpus, mirroring
-        RetrievalIndexSnapshot.delete_batch: tombstones affect READS
-        ONLY (the admit path never consults them — no write-path
-        coupling, every admit-side replay/fold proof stands), and the
-        delete sink does no cross-state read (a replayed batch rewrites
-        identical rows). A deleted vec_id can never be re-admitted
-        (first-wins ledger); physical erasure is the offline
-        `operators/migration.rebuild_ann_index` (which reads only the
-        live set, so a same-parameter rebuild IS the vacuum)."""
-        spark = batch_df.sparkSession
-        statedir.maybe_compact(
-            spark, self.tombstones_dir, ANN_TOMBSTONES_SCHEMA, batch_id,
-            every=self.compact_every, major_every=self.major_every,
-            # readers dedupe, so the fold may too (read-equivalent)
-            transform=lambda df: df.distinct(),
-            fs=self.fs,
-        )
-        ids = (
-            batch_df.select(F.col(self.id_col).cast("long").alias("vec_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if not ids.take(1):
-            return  # empty trigger: commit nothing (missing == empty)
-        (
-            ids.coalesce(self.commit_files)
-            .write.mode("overwrite")
-            .parquet(statedir.batch_dir(self.tombstones_dir, batch_id))
-        )
+        RetrievalIndexSnapshot.delete_batch (shared
+        statedir.TombstoneLog: reads-only exclusion, no write-path
+        coupling, replay rewrites identical rows). A deleted vec_id can
+        never be re-admitted (first-wins ledger); physical erasure is
+        the offline `operators/migration.rebuild_ann_index` (which reads
+        only the live set, so a same-parameter rebuild IS the vacuum)."""
+        self._tomb.append(batch_df, batch_id)
 
     def topk(
         self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
@@ -443,23 +419,7 @@ class AnnIndexSnapshot:
         # Only the admitted-id column feeds the anti-join (column-pruned
         # slim scan — 8 bytes/row of the index, never the vectors).
         vecs = vecs.join(state.select("vec_id"), "vec_id", "left_anti")
-        assigned = similarity.ivf_assign(
-            vecs, self._centroids_df(spark), id_col="vec_id", vec_col="vv"
-        )
-        if self.storage == "sq8":
-            # cells are assigned from the FULL-precision vectors (same
-            # geometry as the float tier); only the stored payload is
-            # quantized — 1 B/dim on disk
-            assigned = assigned.select(
-                "vec_id",
-                _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
-                F.col("cell").alias("cell", metadata=self._stamp),
-            )
-        else:
-            assigned = assigned.select(
-                "vec_id", "vv",
-                F.col("cell").alias("cell", metadata=self._stamp),
-            )
+        assigned = self._assign(spark, vecs)
         # pin: feeds both the emptiness probe and the commit write —
         # unpinned, the assignment (and the state anti-join behind it)
         # would recompute per action
@@ -467,6 +427,26 @@ class AnnIndexSnapshot:
         if not assigned.take(1):
             return None
         return assigned
+
+    def _assign(self, spark, vecs: DataFrame) -> DataFrame:
+        """(vec_id, vv) -> this sink's stamped storage relation: cells
+        assigned from the FULL-precision vectors (same geometry on both
+        tiers), payload quantized only for sq8 storage (1 B/dim on
+        disk). Shared by the per-trigger _build and the offline
+        migration publish (operators/migration.rebuild_ann_index), so
+        the two paths cannot drift."""
+        assigned = similarity.ivf_assign(
+            vecs, self._centroids_df(spark), id_col="vec_id", vec_col="vv"
+        )
+        if self.storage == "sq8":
+            return assigned.select(
+                "vec_id",
+                _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
+                F.col("cell").alias("cell", metadata=self._stamp),
+            )
+        return assigned.select(
+            "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
+        )
 
 
 def ann_topk_over_batches(

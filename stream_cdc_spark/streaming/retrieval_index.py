@@ -125,7 +125,16 @@ class RetrievalIndexSnapshot:
         self.docs_dir = os.path.join(state_dir, "docs")
         self.postings_dir = os.path.join(state_dir, "postings")
         self.stats_dir = os.path.join(state_dir, "stats")
-        self.tombstones_dir = os.path.join(state_dir, "tombstones")
+        self._tomb = statedir.TombstoneLog(
+            os.path.join(state_dir, "tombstones"),
+            store_col="doc_id",
+            source_col=id_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.tombstones_dir = self._tomb.root
         self.id_col = id_col
         self.text_col = text_col
         self.compact_every = compact_every
@@ -171,23 +180,7 @@ class RetrievalIndexSnapshot:
     def tombstones(self, spark) -> DataFrame:
         """Every deleted doc_id, distinct (a doc may be deleted from
         several consumers; readers dedupe, folds dedupe too)."""
-        return statedir.read_state(
-            spark, self.tombstones_dir, RETR_TOMBSTONES_SCHEMA, 1 << 62,
-            fs=self.fs,
-        ).distinct()
-
-    def _tombstones_or_none(self, spark) -> DataFrame | None:
-        """None when no deletion was ever committed — the common case —
-        so probes skip the exclusion join entirely and keep the exact
-        pre-deletion plan (an anti-join against a provably-empty relation
-        still costs a join stage)."""
-        if not statedir.state_paths(self.tombstones_dir, 1 << 62, self.fs):
-            return None
-        return self.tombstones(spark)
-
-    def _without_tombstoned(self, spark, df: DataFrame) -> DataFrame:
-        dead = self._tombstones_or_none(spark)
-        return df if dead is None else df.join(dead, "doc_id", "left_anti")
+        return self._tomb.read(spark)
 
     def corpus_stats(self, spark) -> DataFrame:
         """One-row (n, l) of the LIVE corpus: the admitted totals (summed
@@ -201,7 +194,7 @@ class RetrievalIndexSnapshot:
             F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
             F.coalesce(F.sum("l"), F.lit(0)).cast("bigint").alias("l"),
         )
-        tomb = self._tombstones_or_none(spark)
+        tomb = self._tomb.read_or_none(spark)
         if tomb is None:
             return admitted
         dead = (
@@ -226,7 +219,7 @@ class RetrievalIndexSnapshot:
         shared scoring body, idf re-quantized here from the maintained
         df/N, tombstoned docs excluded by a slim anti-join on the
         term-pruned matching set."""
-        matching = self._without_tombstoned(
+        matching = self._tomb.exclude(
             spark,
             self.postings(spark).filter(F.col("word").isin(list(query_terms))),
         )
@@ -237,7 +230,7 @@ class RetrievalIndexSnapshot:
     def tfidf_top_terms(self, spark) -> DataFrame:
         """Per-doc argmax TF-IDF term: bit-equal to q54's scorer over the
         LIVE corpus (shared scoring body)."""
-        tf = self._without_tombstoned(spark, self.postings(spark)).select(
+        tf = self._tomb.exclude(spark, self.postings(spark)).select(
             "doc_id", F.col("word").alias("tok"), "tf"
         )
         n = self.corpus_stats(spark).select(F.col("n").alias("n_docs"))
@@ -352,9 +345,16 @@ class RetrievalIndexSnapshot:
         # redelivery guard: an already-admitted doc_id is dropped whole.
         # Only the ledger's doc_id column feeds the anti-join.
         docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
-        toks = docs.select(
-            "doc_id", text.tokens(F.col("text")).alias("t")
-        )
+        # emptiness decided on the LAZY plan first (take(1) early-exits,
+        # so an idle trigger never pays a materialization), then pin
+        # ONCE at the tokenized batch: all three commits (docs, postings,
+        # stats) derive from the pinned relation with cheap maps, so the
+        # ledger anti-join + tokenize run once per trigger (pinning the
+        # derived relations separately re-executed this pipeline per pin)
+        toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+        if not toks.take(1):
+            return None
+        toks = toks.localCheckpoint(eager=True)
         new_docs = toks.select(
             "doc_id", F.size("t").cast("bigint").alias("dl")
         )
@@ -373,13 +373,7 @@ class RetrievalIndexSnapshot:
                 "dl",
             )
         )
-        # pin: each feeds an emptiness probe plus one or two commit
-        # writes — unpinned, the tokenize (and the ledger anti-join
-        # behind it) would recompute per action
-        new_docs = new_docs.localCheckpoint(eager=True)
-        if not new_docs.take(1):
-            return None
-        return new_docs, new_postings.localCheckpoint(eager=True)
+        return new_docs, new_postings
 
 
 def bm25_topk_over_batches(
@@ -410,7 +404,12 @@ def bm25_topk_over_batches(
         )
         if ledger is not None:
             docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
-        toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+        # pinned once per batch: the ledger and postings checkpoints
+        # below both derive from it, so the anti-join + tokenize run
+        # once per batch (same rule as _build)
+        toks = docs.select(
+            "doc_id", text.tokens(F.col("text")).alias("t")
+        ).localCheckpoint(eager=True)
         new_postings = (
             toks.select(
                 "doc_id",

@@ -912,3 +912,115 @@ def dir_counts(root: str, fs: LocalFS | None = None) -> dict[str, int]:
         "batch": len(batches),
         "files": _count_files(fs, root),
     }
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    fs: LocalFS | None = None,
+) -> None:
+    """Publish ``df`` as the ``compact=0`` base snapshot of a FRESH
+    state root — the offline-migration publish path
+    (operators/migration.py). compact=0 is visible to EVERY reader,
+    including a destination stream's very first trigger (whose read
+    bound excludes all batch dirs), and is never the target of a
+    batch-commit overwrite — so state published here survives a stream
+    resuming into the destination from a fresh checkpoint. Publishing
+    as batch=N dirs instead would be both invisible to trigger N's read
+    (first-wins guards would re-admit everything) and OVERWRITTEN by
+    its commit, silently destroying the migration.
+
+    Caller shapes ``df`` (partitioning / sort order) before the call;
+    the write lands at the final path and becomes readable only when
+    the manifest commits it, like every fold. Refuses a non-empty root."""
+    fs = fs or _DEFAULT_FS
+    compacts, batches, deltas = _scan(root, fs)
+    if compacts or batches or deltas:
+        raise ValueError(
+            f"publish_snapshot: state root {root!r} is not empty — "
+            f"sweep it (or pick a fresh root) before publishing"
+        )
+    dest = os.path.join(root, f"compact={0:09d}")
+    df.write.mode("overwrite").parquet(dest)
+    _publish_manifest(fs, dest)
+
+
+class TombstoneLog:
+    """Append-only deleted-id log shared by the deletion paths of the
+    ANN and retrieval index sinks (streaming/ann_index.py,
+    streaming/retrieval_index.py). Tombstones affect READS ONLY: the
+    owning sink's admit path never consults them (no write-path
+    coupling — every admit-side replay/fold proof stands), and
+    ``append`` does no cross-state read at all, so a replayed delete
+    batch rewrites identical rows. Readers dedupe; folds dedupe too
+    (read-equivalent).
+
+    ``source_col`` names the id column on incoming delete batches;
+    ``store_col`` the persisted (and joinable) name."""
+
+    def __init__(
+        self,
+        root: str,
+        store_col: str,
+        source_col: str | None = None,
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        fs: LocalFS | None = None,
+    ):
+        self.root = root
+        self.store_col = store_col
+        self.source_col = source_col or store_col
+        self.schema = f"{store_col} bigint"
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.fs = fs
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Every deleted id, distinct."""
+        return read_state(
+            spark, self.root, self.schema, 1 << 62, fs=self.fs
+        ).distinct()
+
+    def read_or_none(self, spark: SparkSession) -> DataFrame | None:
+        """None when no deletion was ever committed — the common case —
+        so probes skip the exclusion join entirely and keep the exact
+        pre-deletion plan (an anti-join against a provably-empty
+        relation still costs a join stage)."""
+        if not state_paths(self.root, 1 << 62, self.fs):
+            return None
+        return self.read(spark)
+
+    def exclude(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """``df`` minus tombstoned ids (joined on ``store_col``); the
+        exact input relation when nothing was ever deleted."""
+        dead = self.read_or_none(spark)
+        return df if dead is None else df.join(dead, self.store_col, "left_anti")
+
+    def append(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink body over an id stream."""
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        maybe_compact(
+            spark, self.root, self.schema, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=lambda df: df.distinct(),
+            fs=self.fs,
+        )
+        ids = (
+            batch_df.select(
+                F.col(self.source_col).cast("long").alias(self.store_col)
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not ids.take(1):
+            return  # empty trigger: commit nothing (missing == empty)
+        (
+            ids.coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(batch_dir(self.root, batch_id))
+        )

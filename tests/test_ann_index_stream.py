@@ -415,7 +415,7 @@ def test_rebuild_is_the_vacuum_for_deleted_vectors(spark, tmp_path):
     n = rebuild_ann_index(spark, src, dst)
     assert n == emb.count() - dead.count()
     assert dst.vectors(spark).join(dead, "vec_id", "left_semi").count() == 0
-    assert not dst._tombstones_or_none(spark)
+    assert not dst._tomb.read_or_none(spark)
     assert _snap_topk(dst, spark) == _snap_topk(src, spark)
 
 

@@ -60,7 +60,7 @@ def test_ann_rebuild_under_new_centroids_equals_fresh_drain(spark, tmp_path):
     for i, b in enumerate(_emb_slices(spark)):
         src.foreach_batch(b, i)
     dst = AnnIndexSnapshot(str(tmp_path / "dst"), new_c)
-    n = rebuild_ann_index(spark, src, dst, slices=2)
+    n = rebuild_ann_index(spark, src, dst)
     assert n == _emb(spark).count()
     fresh = AnnIndexSnapshot(str(tmp_path / "fresh"), new_c)
     fresh.foreach_batch(_emb(spark).select("vec_id", "embedding"), 0)
@@ -73,6 +73,37 @@ def test_ann_rebuild_under_new_centroids_equals_fresh_drain(spark, tmp_path):
     stale = AnnIndexSnapshot(str(tmp_path / "dst"), old_c)
     with pytest.raises(ValueError, match="parameter mismatch"):
         stale.topk(spark, _queries(spark))
+
+
+def test_migrated_state_survives_a_stream_resuming_at_batch_zero(
+    spark, tmp_path
+):
+    """THE migration-publish hazard: a stream resumed into the
+    destination with a fresh checkpoint runs its first trigger at
+    batch_id 0, whose read bound excludes every batch dir — state
+    published as batch dirs would be invisible to the first-wins guard
+    (everything re-admitted) and then OVERWRITTEN by the trigger's own
+    batch=0 commit. The compact=0 publish must make the migrated state
+    visible to that very first trigger and survive its commit."""
+    cents = _cents(spark, 100)
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    src = AnnIndexSnapshot(str(tmp_path / "src"), cents)
+    src.foreach_batch(old.select("vec_id", "embedding"), 0)
+    dst = AnnIndexSnapshot(str(tmp_path / "dst"), cents)
+    rebuild_ann_index(spark, src, dst)
+    # resumed stream, batch 0: redelivers half the migrated ids plus
+    # the genuinely-new odd ids
+    incoming = emb.filter(
+        (F.col("vec_id") % 2 == 1) | (F.col("vec_id") % 4 == 0)
+    )
+    dst.foreach_batch(incoming.select("vec_id", "embedding"), 0)
+    vecs = dst.vectors(spark)
+    assert vecs.count() == emb.count()  # nothing lost, nothing doubled
+    assert vecs.select("vec_id").distinct().count() == emb.count()
+    fresh = AnnIndexSnapshot(str(tmp_path / "fresh"), cents)
+    fresh.foreach_batch(emb.select("vec_id", "embedding"), 0)
+    assert _topk(dst, spark) == _topk(fresh, spark)
 
 
 def test_ann_rebuild_migrates_storage_tier_both_ways(spark, tmp_path):
@@ -162,12 +193,15 @@ def test_lsh_rebanding_equals_fresh_one_batch_drain(spark, tmp_path):
     di, dc, ds = _lsh_state(dst, spark)
     fi, fc, fs = _lsh_state(fresh, spark)
     assert di and (di, dc, ds) == (fi, fc, fs)
-    # continue admission from both states: identical future emissions
-    # (dst's matches log starts empty — migration does not copy history —
-    # so after one batch it holds exactly the batch-1 emissions; fresh's
-    # batch-1 emissions are its log minus the batch-0 snapshot)
+    # continue admission from both states: identical future emissions.
+    # dst resumes at batch_id 0 — the fresh-checkpoint shape — so this
+    # also proves the compact=0 publish is visible to (and survives)
+    # the destination's very first trigger. dst's matches log starts
+    # empty (migration does not copy history), so after one batch it
+    # holds exactly that batch's emissions; fresh's are its log minus
+    # the pre-existing snapshot.
     m0 = sorted(map(tuple, fresh.matches(spark).collect()))
-    dst.foreach_batch(slices[2], 1)
+    dst.foreach_batch(slices[2], 0)
     fresh.foreach_batch(slices[2], 1)
     m_dst = sorted(map(tuple, dst.matches(spark).collect()))
     m_all = sorted(map(tuple, fresh.matches(spark).collect()))

@@ -320,6 +320,16 @@ def test_vacuum_physically_removes_tombstoned_docs(spark, tmp_path):
     assert (n_l["n"], n_l["l"]) == tuple(
         src.corpus_stats(spark).collect()[0]
     )
+    # a stream resuming into the vacuumed dir at batch_id 0 (fresh
+    # checkpoint) sees the compact=0 ledger: redelivered live ids drop,
+    # only the genuinely-new doc admits, nothing is overwritten
+    new_doc = spark.createDataFrame(
+        [(10**9, "brand new document")], "doc_id bigint, text string"
+    )
+    dst.foreach_batch(
+        live.select("doc_id", "text").limit(5).unionByName(new_doc), 0
+    )
+    assert dst.docs(spark).count() == live.count() + 1
     # guards
     with pytest.raises(ValueError, match="share a state dir"):
         vacuum_retrieval_index(spark, src, src)

@@ -119,6 +119,8 @@ class RetrievalIndexSnapshot:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        bucketed: bool = False,
+        num_buckets: int = 32,
         fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
@@ -140,6 +142,14 @@ class RetrievalIndexSnapshot:
         self.compact_every = compact_every
         self.major_every = major_every
         self.commit_files = commit_files
+        # bucketed=True folds the docs/ admission ledger into a
+        # doc_id-bucketed snapshot table, so the per-trigger redelivery
+        # anti-join keeps the ledger side Exchange-free once the corpus
+        # outgrows broadcast (statedir.state_relations; plan-asserted) —
+        # the 100 TB shape. Off by default: below broadcast size the
+        # plain path is the same plan with less metadata.
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
         self.fs = fs
         self._stamp = {"retr_scheme": RETR_SCHEME}
 
@@ -282,6 +292,10 @@ class RetrievalIndexSnapshot:
         statedir.maybe_compact(
             spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
+            # bucketed ledger snapshot: the admission anti-join's
+            # Exchange-free side at corpus scale (constructor doc)
+            bucket_cols=["doc_id"] if self.bucketed else None,
+            num_buckets=self.num_buckets,
             fs=self.fs,
         )
         statedir.maybe_compact(
@@ -339,12 +353,26 @@ class RetrievalIndexSnapshot:
             .groupBy("doc_id")
             .agg(F.min("text").alias("text"))
         )
-        ledger = statedir.read_state(
-            spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id, fs=self.fs
-        )
         # redelivery guard: an already-admitted doc_id is dropped whole.
-        # Only the ledger's doc_id column feeds the anti-join.
-        docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
+        # Only the ledger's doc_id column feeds the anti-join. With
+        # bucketed=True the ledger arrives as separate relations —
+        # bucketed snapshot first, plain tail second — and the chained
+        # anti-joins keep the snapshot side Exchange-free (anti-joins
+        # compose over union; statedir.state_relations doc).
+        if self.bucketed:
+            ledger_rels = statedir.state_relations(
+                spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id,
+                ["doc_id"], self.num_buckets, fs=self.fs,
+            )
+        else:
+            ledger_rels = [
+                statedir.read_state(
+                    spark, self.docs_dir, RETR_DOCS_SCHEMA, batch_id,
+                    fs=self.fs,
+                )
+            ]
+        for rel in ledger_rels:
+            docs = docs.join(rel.select("doc_id"), "doc_id", "left_anti")
         # emptiness decided on the LAZY plan first (take(1) early-exits,
         # so an idle trigger never pays a materialization), then pin
         # ONCE at the tokenized batch: all three commits (docs, postings,

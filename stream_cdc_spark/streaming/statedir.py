@@ -1024,3 +1024,54 @@ class TombstoneLog:
             .write.mode("overwrite")
             .parquet(batch_dir(self.root, batch_id))
         )
+
+
+def state_relations(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_id: int,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    table_name: str | None = None,
+    fs: LocalFS | None = None,
+) -> list[DataFrame]:
+    """The read set for ``batch_id`` as SEPARATE relations whose union is
+    row-equal to ``read_state``: the latest bucket-aligned compacted
+    snapshot as its registered bucketed table first, then everything
+    above it (batch tail + any deltas) as one plain relation.
+
+    The point is join shape at scale: a join against ``read_state``'s
+    path-union cannot use the snapshot's bucketing (a union has no
+    distribution), so past broadcast size the ENTIRE state shuffles per
+    join — per trigger, for an admission guard. Joins chained per
+    relation keep the big snapshot side Exchange-free (anti-joins
+    compose over union: A minus (B U C) == (A minus B) minus C) while
+    only the small tail pays a plain join.
+
+    Falls back to a single plain ``read_state`` relation when no
+    bucket-aligned snapshot exists (fresh state, unbucketed history, or
+    a snapshot beyond ``batch_id`` — only possible outside the owning
+    sink's own trigger sequence, where correctness beats shape)."""
+    fs = fs or _DEFAULT_FS
+    compacts, _, _ = _scan(root, fs)
+    eligible = [w for w in compacts if w <= batch_id]
+    if not eligible or max(eligible) != max(compacts):
+        return [read_state(spark, root, schema, batch_id, fs)]
+    snap_dir = compacts[max(eligible)]
+    if not _bucket_aligned(fs, snap_dir, list(bucket_cols), num_buckets):
+        return [read_state(spark, root, schema, batch_id, fs)]
+    rel = bucketed_relation(
+        spark, root, schema, list(bucket_cols), num_buckets, table_name, fs
+    )
+    snap_files = set(_data_paths(fs, snap_dir))
+    tail = [p for p in state_paths(root, batch_id, fs) if p not in snap_files]
+    out = [rel]
+    if tail:
+        try:
+            out.append(spark.read.parquet(*tail))
+        except Exception:
+            # file-less legacy empty-batch dirs: schema fallback, like
+            # read_state
+            out.append(spark.read.schema(schema).parquet(*tail))
+    return out

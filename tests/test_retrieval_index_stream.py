@@ -235,6 +235,64 @@ def test_retrieval_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     assert _snap_bm25(snap, spark) == _batch_bm25(spark)
 
 
+def test_bucketed_ledger_equality_and_shuffle_free_admission(
+    spark, tmp_path
+):
+    """bucketed=True folds the admission ledger into a doc_id-bucketed
+    snapshot: (1) everything stays bit-equal through bucketed folds,
+    replays and restarts; (2) the redelivery anti-join against the
+    snapshot is a SortMergeJoin whose LEDGER side reads the bucketed
+    table with NO Exchange — only the incoming batch shuffles (the
+    100 TB shape: the corpus-sized side of the per-trigger guard never
+    moves)."""
+    import re
+
+    slices = _slices(spark)
+    snap = RetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1, bucketed=True, num_buckets=4
+    )
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    snap.foreach_batch(slices[1], 1)  # replay across a bucketed fold
+    snap2 = RetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1, bucketed=True, num_buckets=4
+    )
+    snap2.foreach_batch(slices[2], 2)
+    assert _snap_bm25(snap2, spark) == _batch_bm25(spark)
+    # fold once more so the ledger is snapshot-only (no batch tail),
+    # then inspect the admission join plan with broadcast disabled —
+    # at real scale the ledger exceeds broadcast, so SMJ is the shape
+    # that matters
+    statedir.compact(
+        spark, snap2.docs_dir, "doc_id bigint, dl bigint", 3,
+        bucket_cols=["doc_id"], num_buckets=4,
+    )
+    rels = statedir.state_relations(
+        spark, snap2.docs_dir, "doc_id bigint, dl bigint", 3,
+        ["doc_id"], 4,
+    )
+    assert len(rels) == 1  # snapshot only, no tail
+    probe = _docs(spark).select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.join(rels[0].select("doc_id"), "doc_id", "left_anti")
+        j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    tree = plan.split("== Initial Plan ==")[0]  # the executed final plan
+    assert "SortMergeJoin" in tree, plan
+    assert "Bucketed: true" in plan, plan  # ledger read as bucketed table
+    # exactly ONE Exchange in the executed tree: the probe side; the
+    # bucketed ledger scan must not shuffle
+    n_exchanges = len(re.findall(r"Exchange \(\d+\)", tree))
+    assert n_exchanges == 1, plan
+
+
 def test_in_memory_fold_matches_batch(spark):
     got = sorted(
         map(

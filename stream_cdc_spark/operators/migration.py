@@ -100,13 +100,26 @@ def rebuild_ann_index(spark, src, dst) -> int:
         )
     _require_empty(
         "rebuild_ann_index",
-        {"vectors": dst.vectors_dir, "tombstones": dst.tombstones_dir},
+        {
+            "vectors": dst.vectors_dir,
+            "ledger": dst.ledger_dir,
+            "tombstones": dst.tombstones_dir,
+        },
     )
     vecs = src._probe_relation(spark).select("vec_id", "vv")
-    assigned = dst._assign(spark, vecs)
+    # pinned: feeds both the vectors and ledger publishes (unpinned, the
+    # source scan + re-assignment would run twice)
+    assigned = dst._assign(spark, vecs).localCheckpoint(eager=True)
     statedir.publish_snapshot(
         spark, dst.vectors_dir, assigned.sortWithinPartitions("cell"),
         fs=dst.fs,
+    )
+    # the destination's admission ledger: the migrated (live) ids. Like
+    # the retrieval vacuum, the rebuild erases deletion history — dst
+    # starts with no tombstones, and a physically-erased id CAN be
+    # re-admitted there (the erasure half of right-to-be-forgotten).
+    statedir.publish_snapshot(
+        spark, dst.ledger_dir, assigned.select("vec_id"), fs=dst.fs
     )
     return dst.vectors(spark).count()
 

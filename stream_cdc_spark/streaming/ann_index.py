@@ -20,10 +20,42 @@ operators/clustering's k-means — exactly like a FAISS IVF index) and
 appended to the persisted cell-assigned vector table:
 
     <root>/vectors/   (vec_id, vv, cell)   admitted vectors, cell-sorted
+    <root>/ledger/    (vec_id)             admission ledger — the slim
+                                           relation the redelivery guard
+                                           reads (bucketable by vec_id)
     <root>/tombstones/ (vec_id)            deleted ids (delete_batch —
                                            reads-only exclusion, same
                                            design as the retrieval
                                            index's; rebuild = vacuum)
+
+The ledger/ state closes the sink's own round-11 scale boundary
+(SCALE_BENCH_r11.md §1): vectors/ used to double as the admission
+ledger, and bucketing IT by vec_id would destroy the cell clustering
+the probe's pushed IN pruning needs — so past broadcast size the
+per-trigger redelivery anti-join fell to a sort-merge join that
+shuffled the admitted-id column every trigger. The retrieval sink's
+separate-relations design applies instead: admission reads ONLY the
+slim ledger (``bucketed=True`` folds it into a vec_id-bucketed
+snapshot via statedir, and ``statedir.state_relations`` hands the
+guard the bucketed snapshot + plain tail as separate relations whose
+chained anti-joins keep the corpus-sized side Exchange-free —
+plan-asserted in tests/test_ann_index_stream.py), while vectors/
+stays cell-sorted for the probes. A pre-ledger state root (r11 and
+earlier: vectors/ only) is SEEDED on the next trigger: the admitted
+ids visible to that batch publish once as the ledger's compact=0 base
+snapshot — one column-pruned O(state) pass, after which admission
+never touches vectors/ again.
+
+Because admission never reads vectors/, compaction folds of vectors/
+can apply tombstones: folded tiers keep LIVE rows only (the read-path
+exclusion still covers the un-folded batch tail), so physical erasure
+of deleted vectors is eventual — every fold is a partial vacuum — and
+fold cost drops with the delete ratio. Fold-applied exclusion is
+read-equivalent by construction: probes already exclude tombstoned
+ids, tombstones are append-only (never un-deleted), and the ledger —
+which MUST keep deleted ids so they are never re-admitted — is never
+tombstone-folded. The offline rebuild remains the immediate-erasure
+path.
 
 Two storage tiers (``storage=``): ``float32`` (default) persists raw
 ``array<float>`` vectors — 4 B/dim forever; ``sq8`` persists int8 codes
@@ -83,6 +115,7 @@ from stream_cdc_spark.streaming import statedir
 
 ANN_VECTORS_SCHEMA = "vec_id bigint, vv array<float>, cell bigint"
 ANN_VECTORS_SCHEMA_SQ8 = "vec_id bigint, code array<tinyint>, cell bigint"
+ANN_LEDGER_SCHEMA = "vec_id bigint"
 ANN_TOMBSTONES_SCHEMA = "vec_id bigint"
 
 # Versioned id of the assignment/scoring math the persisted cells bake
@@ -207,6 +240,8 @@ class AnnIndexSnapshot:
         commit_files: int = 1,
         storage: str = "float32",
         sq_ranges: list[tuple[float, float]] | None = None,
+        bucketed: bool = False,
+        num_buckets: int = 32,
         fs: statedir.LocalFS | None = None,
     ):
         if not centroids:
@@ -229,6 +264,7 @@ class AnnIndexSnapshot:
                 )
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
+        self.ledger_dir = os.path.join(state_dir, "ledger")
         self._tomb = statedir.TombstoneLog(
             os.path.join(state_dir, "tombstones"),
             store_col="vec_id",
@@ -252,6 +288,13 @@ class AnnIndexSnapshot:
             if sq_ranges
             else None
         )
+        # bucketed=True folds the ledger/ admission state into a
+        # vec_id-bucketed snapshot table, so the per-trigger redelivery
+        # anti-join keeps the ledger side Exchange-free once the corpus
+        # outgrows broadcast (statedir.state_relations; plan-asserted) —
+        # the 100 TB shape, same switch as RetrievalIndexSnapshot's.
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
         self.fs = fs
         self._schema = (
             ANN_VECTORS_SCHEMA_SQ8 if storage == "sq8" else ANN_VECTORS_SCHEMA
@@ -305,9 +348,59 @@ class AnnIndexSnapshot:
 
     def vectors(self, spark) -> DataFrame:
         """Every admitted row as stored — (vec_id, vv, cell) on the
-        float32 tier, (vec_id, code, cell) on the sq8 tier. Includes
-        tombstoned rows (this is the raw state; probes exclude them)."""
+        float32 tier, (vec_id, code, cell) on the sq8 tier. Tombstoned
+        rows persist in the un-folded tail until a compaction fold
+        applies the tombstones (probes exclude them either way)."""
         return self._state(spark, 1 << 62)
+
+    def ledger(self, spark) -> DataFrame:
+        """Every admitted vec_id — the slim admission ledger the
+        redelivery guard reads. Keeps tombstoned ids forever (a deleted
+        id must never be re-admitted), so it is a superset of the
+        post-fold vectors/ id set whenever deletions exist."""
+        return statedir.read_state(
+            spark, self.ledger_dir, ANN_LEDGER_SCHEMA, 1 << 62, fs=self.fs
+        )
+
+    def _maybe_seed_ledger(self, spark, batch_id: int) -> None:
+        """Upgrade a pre-ledger state root (r11 and earlier: vectors/
+        doubled as the admission ledger) by publishing the admitted ids
+        VISIBLE TO THIS BATCH as the ledger's compact=0 base snapshot —
+        one column-pruned pass, once. Reading at ``batch_id`` (not the
+        unbounded watermark) keeps replays exact: a replayed batch must
+        not find its own first-attempt rows in the ledger, or the
+        anti-join would drop them and overwrite the batch dir empty.
+        Runs BEFORE any vectors/ fold of this trigger, so fold-time
+        tombstone application can never erase an admitted id ahead of
+        its seeding."""
+        if statedir.state_paths(self.ledger_dir, 1 << 62, self.fs):
+            return  # ledger exists (normal path after the first trigger)
+        if not statedir.state_paths(self.vectors_dir, batch_id, self.fs):
+            return  # fresh root: nothing to seed
+        statedir.publish_snapshot(
+            spark,
+            self.ledger_dir,
+            self._state(spark, batch_id).select("vec_id"),
+            fs=self.fs,
+        )
+
+    def _ledger_relations(self, spark, batch_id: int) -> list[DataFrame]:
+        """The admission ledger visible to ``batch_id``, as the relation
+        list the redelivery guard chains anti-joins over: with
+        ``bucketed=True`` the vec_id-bucketed snapshot arrives as its
+        registered bucketed table (Exchange-free join side) plus the
+        plain tail; otherwise one plain relation."""
+        if self.bucketed:
+            return statedir.state_relations(
+                spark, self.ledger_dir, ANN_LEDGER_SCHEMA, batch_id,
+                ["vec_id"], self.num_buckets, fs=self.fs,
+            )
+        return [
+            statedir.read_state(
+                spark, self.ledger_dir, ANN_LEDGER_SCHEMA, batch_id,
+                fs=self.fs,
+            )
+        ]
 
     def tombstones(self, spark) -> DataFrame:
         """Every deleted vec_id, distinct."""
@@ -335,9 +428,11 @@ class AnnIndexSnapshot:
         RetrievalIndexSnapshot.delete_batch (shared
         statedir.TombstoneLog: reads-only exclusion, no write-path
         coupling, replay rewrites identical rows). A deleted vec_id can
-        never be re-admitted (first-wins ledger); physical erasure is
-        the offline `operators/migration.rebuild_ann_index` (which reads
-        only the live set, so a same-parameter rebuild IS the vacuum)."""
+        never be re-admitted (first-wins ledger). Physical erasure is
+        eventual — every vectors/ compaction fold drops tombstoned rows
+        from the folded tier (module doc) — or immediate via the offline
+        `operators/migration.rebuild_ann_index` (which reads only the
+        live set, so a same-parameter rebuild IS the vacuum)."""
         self._tomb.append(batch_df, batch_id)
 
     def topk(
@@ -374,18 +469,38 @@ class AnnIndexSnapshot:
         # read-equivalent, but the guard's contract is "no operation at
         # all on mismatched state")
         self._state(spark, batch_id)
+        # pre-ledger state roots seed their admission ledger before any
+        # fold of this trigger can apply tombstones to vectors/
+        self._maybe_seed_ledger(spark, batch_id)
+        statedir.maybe_compact(
+            spark, self.ledger_dir, ANN_LEDGER_SCHEMA, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            # bucketed ledger snapshot: the admission anti-join's
+            # Exchange-free side at corpus scale (constructor doc)
+            bucket_cols=["vec_id"] if self.bucketed else None,
+            num_buckets=self.num_buckets,
+            fs=self.fs,
+        )
         # fold committed prefix first — a replayed batch re-folds the
-        # identical prefix, so compaction inherits replay idempotence
-        # folds re-sort by cell (row-preserving, so read-equivalent):
+        # identical prefix, so compaction inherits replay idempotence.
+        # Folds re-sort by cell (row-preserving, so read-equivalent):
         # batch commits are cell-sorted, and without this a fold would
         # interleave cells across its output row groups — the probe's
         # pushed IN filter would stop pruning exactly when most of the
-        # corpus lives in compacted snapshots
+        # corpus lives in compacted snapshots. Folds also APPLY the
+        # tombstones (live rows only in the folded tier — eventual
+        # physical erasure, module doc): read-equivalent because probes
+        # already exclude tombstoned ids and tombstones are append-only,
+        # and admission-safe because the guard reads ledger/, never
+        # vectors/.
         statedir.maybe_compact(
             spark, self.vectors_dir, self._schema, batch_id,
             every=self.compact_every,
             major_every=self.major_every,
-            transform=lambda df: df.sortWithinPartitions("cell"),
+            transform=lambda df: self._tomb.exclude(
+                df.sparkSession, df
+            ).sortWithinPartitions("cell"),
             fs=self.fs,
         )
         assigned = self._build(spark, batch_df, batch_id)
@@ -396,6 +511,12 @@ class AnnIndexSnapshot:
             .sortWithinPartitions("cell")
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
+        )
+        (
+            assigned.select("vec_id")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
         )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
@@ -414,11 +535,14 @@ class AnnIndexSnapshot:
             .groupBy("vec_id")
             .agg(F.min("vv").alias("vv"))
         )
-        state = self._state(spark, batch_id)
         # redelivery guard: an already-admitted vec_id is dropped whole.
-        # Only the admitted-id column feeds the anti-join (column-pruned
-        # slim scan — 8 bytes/row of the index, never the vectors).
-        vecs = vecs.join(state.select("vec_id"), "vec_id", "left_anti")
+        # The guard reads ONLY the slim ledger/ state (8 bytes/row, never
+        # the vectors); with bucketed=True it arrives as separate
+        # relations — bucketed snapshot first, plain tail second — and
+        # the chained anti-joins keep the snapshot side Exchange-free
+        # (anti-joins compose over union; statedir.state_relations doc).
+        for rel in self._ledger_relations(spark, batch_id):
+            vecs = vecs.join(rel.select("vec_id"), "vec_id", "left_anti")
         assigned = self._assign(spark, vecs)
         # pin: feeds both the emptiness probe and the commit write —
         # unpinned, the assignment (and the state anti-join behind it)

@@ -71,7 +71,14 @@ relations; at read time the live corpus is always exactly
 interleaved.
 A deleted doc_id stays deleted forever: re-ingesting it is blocked by
 the first-wins ledger (re-add content under a new doc_id). Physical
-removal (space reclaim + hard erasure) is the offline
+removal is EVENTUAL: compaction folds of postings/ apply the
+tombstones (live rows only in the folded tier — read-equivalent
+because probes already exclude tombstoned docs and tombstones are
+append-only; fold cost drops with the delete ratio). The docs/ ledger
+and its per-batch stats partials are never tombstone-folded — the
+ledger must keep deleted ids so they are never re-admitted, and the
+dead (n, l) correction joins tombstones against it at read. Immediate
+reclaim + hard erasure of the ledger rows too is the offline
 ``operators/migration.vacuum_retrieval_index`` rebuild.
 
 The index is self-describing: the postings ``word`` column carries a
@@ -298,10 +305,17 @@ class RetrievalIndexSnapshot:
             num_buckets=self.num_buckets,
             fs=self.fs,
         )
+        # postings folds APPLY the tombstones (live rows only in the
+        # folded tier — eventual physical erasure, module doc):
+        # read-equivalent because probes already exclude tombstoned
+        # docs, and admission-safe because the guard reads docs/, which
+        # is never tombstone-folded
         statedir.maybe_compact(
             spark, self.postings_dir, RETR_POSTINGS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
-            transform=lambda df: df.sortWithinPartitions("word"),
+            transform=lambda df: self._tomb.exclude(
+                df.sparkSession, df
+            ).sortWithinPartitions("word"),
             fs=self.fs,
         )
         statedir.maybe_compact(

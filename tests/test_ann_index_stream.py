@@ -440,3 +440,134 @@ def test_centroid_digest_is_order_insensitive_and_exact():
     assert centroid_digest(a) != centroid_digest([(1, [0.5, 0.25]), (2, [1.0, -0.999999])])
     with pytest.raises(ValueError):
         AnnIndexSnapshot("/tmp/x", [])
+
+
+def test_bucketed_ledger_equality_and_shuffle_free_admission(
+    spark, tmp_path
+):
+    """bucketed=True folds the slim ledger/ admission state into a
+    vec_id-bucketed snapshot (vectors/ stays cell-sorted for the probe):
+    (1) everything stays bit-equal through bucketed folds, replays and
+    restarts; (2) the redelivery anti-join against the snapshot is a
+    SortMergeJoin whose LEDGER side reads the bucketed table with NO
+    Exchange — only the incoming batch shuffles (the 100 TB shape the
+    round-11 boundary note asked for: the corpus-sized side of the
+    per-trigger guard never moves, and the probe's cell clustering is
+    untouched because admission never reads vectors/)."""
+    import re
+
+    from stream_cdc_spark.streaming.ann_index import ANN_LEDGER_SCHEMA
+
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1,
+        bucketed=True, num_buckets=4,
+    )
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    snap.foreach_batch(slices[1], 1)  # replay across a bucketed fold
+    snap2 = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1,
+        bucketed=True, num_buckets=4,
+    )
+    snap2.foreach_batch(slices[2], 2)
+    assert _snap_topk(snap2, spark) == _batch_topk(spark)
+    # fold once more so the ledger is snapshot-only (no batch tail),
+    # then inspect the admission join plan with broadcast disabled —
+    # at real scale the ledger exceeds broadcast, so SMJ is the shape
+    # that matters
+    statedir.compact(
+        spark, snap2.ledger_dir, ANN_LEDGER_SCHEMA, 3,
+        bucket_cols=["vec_id"], num_buckets=4,
+    )
+    rels = snap2._ledger_relations(spark, 3)
+    assert len(rels) == 1  # snapshot only, no tail
+    probe = _emb(spark).select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.join(rels[0].select("vec_id"), "vec_id", "left_anti")
+        j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    tree = plan.split("== Initial Plan ==")[0]  # the executed final plan
+    assert "SortMergeJoin" in tree, plan
+    assert "Bucketed: true" in plan, plan  # ledger read as bucketed table
+    # exactly ONE Exchange in the executed tree: the probe side; the
+    # bucketed ledger scan must not shuffle
+    n_exchanges = len(re.findall(r"Exchange \(\d+\)", tree))
+    assert n_exchanges == 1, plan
+
+
+def test_pre_ledger_state_seeds_ledger_and_keeps_first_wins(spark, tmp_path):
+    """An r11-layout state root (vectors/ only — it doubled as the
+    admission ledger) must upgrade in place: the next trigger seeds
+    ledger/ from the admitted ids visible to it, redelivered ids stay
+    dropped, new ids admit, and a replay of the seeding trigger is
+    exact (the seed reads at batch_id, never the unbounded watermark,
+    so a replayed batch cannot anti-join against its own first-attempt
+    rows and commit an empty dir)."""
+    import shutil
+
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    # forge the pre-r12 layout: drop the ledger state entirely
+    shutil.rmtree(snap.ledger_dir)
+    resumed = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
+    resumed.foreach_batch(slices[1], 1)  # replay of the in-flight batch
+    assert statedir.state_paths(resumed.ledger_dir, 1 << 62)  # seeded
+    # the replayed batch's own rows survived (not dropped by its seed)
+    union01 = slices[0].unionByName(slices[1]).select("vec_id").distinct()
+    assert resumed.vectors(spark).count() == union01.count()
+    resumed.foreach_batch(slices[2], 2)
+    assert _snap_topk(resumed, spark) == _batch_topk(spark)
+    assert resumed.ledger(spark).count() == _emb(spark).count()
+
+
+def test_folds_apply_tombstones_to_vectors(spark, tmp_path):
+    """Compaction folds of vectors/ keep LIVE rows only — eventual
+    physical erasure without an operator-initiated vacuum. The folded
+    state is probe-equal to the tombstone-aware read, the deleted rows
+    are physically gone from the compacted tier, never-readmit holds
+    (the ledger keeps deleted ids through folds), and a replay across
+    the tombstone-applying fold changes nothing."""
+    emb = _emb(spark)
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    snap.foreach_batch(slices[0], 0)
+    snap.foreach_batch(slices[1], 1)
+    dead = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    snap.delete_batch(dead, 0)
+    snap.foreach_batch(slices[2], 2)   # compact_every=1: folds 0..1
+    snap.foreach_batch(slices[2], 2)   # replay across the applying fold
+    # one more trigger so batch=2 itself folds under the tombstones
+    snap.foreach_batch(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"), 3
+    )
+    live = emb.join(dead, "vec_id", "left_anti")
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                live, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert _snap_topk(snap, spark) == want
+    # physically gone from the folded tier (raw state, before the
+    # read-path exclusion): every admitted-but-deleted row was folded
+    assert snap.vectors(spark).join(dead, "vec_id", "left_semi").count() == 0
+    # the ledger still remembers them: never-readmit
+    assert snap.ledger(spark).join(dead, "vec_id", "left_semi").count() == dead.count()
+    snap.foreach_batch(emb.filter(F.col("vec_id") % 5 == 0), 4)
+    assert _snap_topk(snap, spark) == want
+    assert snap.vectors(spark).join(dead, "vec_id", "left_semi").count() == 0

@@ -397,3 +397,42 @@ def test_vacuum_physically_removes_tombstoned_docs(spark, tmp_path):
     drifted._stamp = {"retr_scheme": "tok-bpe/other/v9"}
     with pytest.raises(ValueError, match="scheme mismatch"):
         vacuum_retrieval_index(spark, src, drifted)
+
+
+def test_folds_apply_tombstones_to_postings(spark, tmp_path):
+    """Compaction folds of postings/ keep LIVE rows only — eventual
+    physical erasure without an operator-initiated vacuum. Probe
+    equality to the live-corpus batch scorer holds across the applying
+    fold (including a replay over it), the deleted docs' postings are
+    physically gone from the folded tier, and the docs/ ledger still
+    carries the deleted ids (never-readmit + the dead (n, l) stats
+    correction both need them)."""
+    d = _docs(spark)
+    slices = _slices(spark)
+    snap = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    snap.foreach_batch(slices[0], 0)
+    snap.foreach_batch(slices[1], 1)
+    dead = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    snap.delete_batch(dead, 0)
+    snap.foreach_batch(slices[2], 2)   # compact_every=1: folds 0..1
+    snap.foreach_batch(slices[2], 2)   # replay across the applying fold
+    # one more trigger so batch=2 itself folds under the tombstones
+    snap.foreach_batch(
+        spark.createDataFrame([], "doc_id bigint, text string"), 3
+    )
+    live = d.join(dead, "doc_id", "left_anti")
+    assert _snap_bm25(snap, spark) == _live_bm25(spark, live)
+    # physically gone from the folded tier (raw state, before the
+    # read-path exclusion)
+    assert snap.postings(spark).join(dead, "doc_id", "left_semi").count() == 0
+    # the ledger still remembers them: never-readmit + stats correction
+    assert snap.docs(spark).join(dead, "doc_id", "left_semi").count() == dead.count()
+    n_l = snap.corpus_stats(spark).collect()[0]
+    want = (
+        live.select(F.size(text.tokens(F.col("text"))).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    assert (n_l["n"], n_l["l"]) == (want[0], want[1])
+    snap.foreach_batch(d.filter(F.col("doc_id") % 5 == 0), 4)
+    assert _snap_bm25(snap, spark) == _live_bm25(spark, live)

@@ -60,6 +60,8 @@ import re
 import signal
 import sys
 
+from pyspark.sql import functions as F
+
 from stream_cdc_spark.config import AppConfig
 from stream_cdc_spark.filters import FilterChain
 from stream_cdc_spark.session import get_spark
@@ -209,20 +211,25 @@ def _ann_index_main(cfg) -> int:
     return 0
 
 
-def _retrieval_index_main(cfg) -> int:
+def _retrieval_index_main(cfg, versioned: bool = False) -> int:
     """PIPELINE=retrieval_index: continuous inverted-index (BM25/TF-IDF)
     admission over a (doc_id, text) parquet feed — same streaming
-    scaffold as the ann_index mode (streaming/retrieval_index.py)."""
+    scaffold as the ann_index mode (streaming/retrieval_index.py).
+    PIPELINE=retrieval_index_versioned: the CDC-native variant over a
+    (doc_id, version, text) UPSERT feed (updates supersede prior images
+    under the version-max read rule). A versioned feed without a version
+    column streams with version=0 (insert-only until updates appear)."""
     from stream_cdc_spark.sources import sink_registry
 
-    spark = get_spark(app_name="stream-cdc-spark-retrieval-index")
+    mode = "retrieval_index_versioned" if versioned else "retrieval_index"
+    spark = get_spark(app_name="stream-cdc-spark-" + mode.replace("_", "-"))
     spark.sparkContext.setLogLevel(cfg.log_level)
     docs_path = os.environ.get("DOCS_PATH", "/root/testdata/sf0.001")
     state_dir = os.environ.get("RETR_STATE_DIR", "/tmp/stream-cdc-spark-retr")
     ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
     drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
     sink = sink_registry.create(
-        "retrieval_index",
+        mode,
         state_dir=state_dir,
         compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
         major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
@@ -238,6 +245,23 @@ def _retrieval_index_main(cfg) -> int:
         .parquet(docs_path)
         .select("doc_id", "text")
     )
+    if versioned:
+        ver = os.environ.get("RETR_VERSION_COL", "version")
+        feed_schema = f"doc_id bigint, {ver} bigint, text string"
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option(
+                "pathGlobFilter", os.environ.get("DOCS_GLOB", default_glob)
+            )
+            .parquet(docs_path)
+            .select(
+                "doc_id",
+                F.coalesce(F.col(ver).cast("long"), F.lit(0)).alias(
+                    "version"
+                ),
+                "text",
+            )
+        )
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -264,6 +288,8 @@ def main() -> int:
         return _ann_index_main(cfg)
     if pipeline == "retrieval_index":
         return _retrieval_index_main(cfg)
+    if pipeline == "retrieval_index_versioned":
+        return _retrieval_index_main(cfg, versioned=True)
     spark = get_spark(app_name="stream-cdc-spark-pipeline")
     spark.sparkContext.setLogLevel(cfg.log_level)
 

@@ -5965,6 +5965,7 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     ) WHERE rank <= 5
     ORDER BY q_id, rank
     """,
+    headline=True,
     doc="INCREMENTAL ANN index maintenance (streaming/ann_index.py "
     "ann_topk_over_batches): the embedding corpus arrives as three "
     "OVERLAPPING micro-batch slices (slice i owns vec_id%3==i and "
@@ -6026,6 +6027,7 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
     FROM scored ORDER BY score DESC, doc_id LIMIT 15
     """,
+    headline=True,
     doc="INCREMENTAL retrieval-index maintenance (streaming/"
     "retrieval_index.py bm25_topk_over_batches): the document corpus "
     "arrives as three OVERLAPPING micro-batch slices (slice i owns "
@@ -6053,6 +6055,98 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(3)
     ]
     return bm25_topk_over_batches(slices, ["stream", "vector", "join"], top_k=15)
+
+
+@_register(
+    "q138_versioned_retrieval_updates",
+    """
+    WITH v1 AS (SELECT doc_id, 1 AS version, text FROM documents),
+    v2 AS (SELECT doc_id, 2 AS version, text || ' vector stream' AS text
+           FROM documents WHERE doc_id % 4 = 1),
+    allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    live AS (SELECT * FROM allv WHERE doc_id % 10 <> 3),
+    latest AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC)
+                 AS rn
+        FROM live
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM latest),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(t)) AS BIGINT) AS l FROM toks),
+    w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w WHERE word IN ('stream', 'vector', 'join')
+           GROUP BY doc_id, word),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    idf AS (SELECT word,
+                   CAST(FLOOR(1000000.0 *
+                        LN(1.0 + (c.n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                     AS idf_q
+            FROM df CROSS JOIN corpus c),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM((idf.idf_q * 22 * c.l * tf.tf)
+                 // (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n)) AS score
+      FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="VERSIONED retrieval-index maintenance with document UPDATES — "
+    "the CDC-native widening (streaming/retrieval_index.py "
+    "versioned_bm25_over_events / VersionedRetrievalIndexSnapshot): the "
+    "corpus arrives as interleaved insert/update/delete events — every "
+    "doc_id%4==1 doc is UPDATED to a version-2 image (two query terms "
+    "appended), every doc_id%10==3 doc is deleted mid-stream (and the "
+    "delete replayed), version 2 of some docs arrives BEFORE version 1 "
+    "(out-of-order), and both versions are redelivered — folded through "
+    "versioned first-wins admission (exactly-once per (doc_id, version), "
+    "append-only writes, version-max read rule) and scored with BM25 "
+    "over only the LATEST LIVE image of each doc. The oracle composes "
+    "q03-style latest-image compaction (ROW_NUMBER over version DESC) "
+    "with q89's exact integer BM25 recurrence over the compacted corpus, "
+    "so the driver check proves update supersession, delete permanence, "
+    "and order/redelivery insensitivity in one hash. The statedir-"
+    "persisted twin holds the same equality across restarts, replays, "
+    "bucketed folds and tombstone-applying folds in "
+    "tests/test_versioned_retrieval.py.",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.retrieval_index import (
+        versioned_bm25_over_events,
+    )
+
+    d = load(spark, sf, "documents")
+    v1 = d.select("doc_id", F.lit(1).cast("bigint").alias("version"), "text")
+    v2 = d.filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id",
+        F.lit(2).cast("bigint").alias("version"),
+        F.concat(F.col("text"), F.lit(" vector stream")).alias("text"),
+    )
+    dead = d.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    events = [
+        ("upsert", v1.filter(F.col("doc_id") % 3 != 2)),
+        # v2 precedes v1 for %3==2 docs (out-of-order); redelivered v1s
+        ("upsert", v2.unionByName(
+            v1.filter((F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 7 == 0))
+        )),
+        ("delete", dead),
+        # late v1 images (must not displace v2 or resurrect deletes);
+        # redelivered v2s
+        ("upsert", v1.filter(F.col("doc_id") % 3 == 2).unionByName(
+            v2.filter(F.col("doc_id") % 7 == 1)
+        )),
+        ("delete", dead),  # delete replay
+    ]
+    return versioned_bm25_over_events(
+        events, ["stream", "vector", "join"], top_k=15
+    )
 
 
 # Driver verification window, round 6 — the rotation policy (round-5
@@ -6544,12 +6638,91 @@ _DRIVER_WINDOW_R11 = [
 
 assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
 
+# Driver verification window, round 12 — rotation policy: nothing's
+# most-recent driver-green row older than two rounds.
+#  (1) the 48 queries whose latest driver-green dates to r9 (the
+#      round-11 verdict's task-3 cohort — after the r11 rotation the
+#      latest-green distribution was 50 r11 / 39 r10 / 48 r9, and the
+#      r9 block is the staleness frontier) lead the window; they
+#      include three headliners (q03, q10, q51) and q66, the heaviest
+#      headline plan — timed and value-verified in the same round;
+#  (2) the query NEW this round (q138 versioned retrieval updates —
+#      never driver-green, so it must be in-window);
+#  (3) code-change anchor for this round's edits: q136 (the ANN sink
+#      gained the separate vec_id-bucketed admission ledger, legacy
+#      seeding, and tombstone-applying folds). q137's module changed
+#      too (postings folds apply tombstones; the versioned sink lives
+#      beside it) but its slot went to q138, which exercises the new
+#      versioned admission directly; q137 itself is r11-green (one
+#      round old) and its changed fold path is unit-covered by
+#      tests/test_retrieval_index_stream.py, rotating back by r13.
+#  The remaining r10/r11-green families (including headliners q13/q14/
+#  q15/q24/q25/q27/q34, all r11-green) stay value-checked every session
+#  by tests/test_queries_oracle.py and rotate back next round.
+_DRIVER_WINDOW_R12 = [
+    # (1) 48 stale r9-green queries:
+    "q03_log_compaction",
+    "q06_claim_check_routing",
+    "q10_hourly_window",
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_lang_id",
+    "q26_multimodal_meta",
+    "q47_cube_counts",
+    "q51_asof_join",
+    "q65_kmeans_assign",
+    "q66_winnow_fingerprints",
+    "q67_approx_distinct_bounded",
+    "q68_approx_percentile_bounded",
+    "q74_tpch_q8_market_share",
+    "q75_tpch_q14_promo_effect",
+    "q76_tpch_q15_top_supplier",
+    "q77_tpch_q19_disjunctive_filter",
+    "q78_tpch_q20_heavy_shippers",
+    "q79_stratified_sample",
+    "q80_doc_repetition",
+    "q81_pii_redaction",
+    "q82_sequence_packing",
+    "q83_decontamination",
+    "q84_sliding_window",
+    "q85_full_outer_reconcile",
+    "q86_except_all_multiset",
+    "q87_incremental_agg",
+    "q90_incremental_distinct_hll",
+    "q91_funnel_conversion",
+    "q92_retention_cohorts",
+    "q93_duplicated_spans",
+    "q94_bigram_lm",
+    "q95_shard_balance",
+    "q96_json_field_rollup",
+    "q97_window_rank_zoo",
+    "q98_column_profile",
+    "q99_curation_decisions",
+    "q104_semantic_dedup",
+    "q105_segment_removal",
+    "q112_gram_matrix",
+    "q113_fuzzy_prefix_pairs",
+    "q114_leakage_safe_split",
+    "q117_soft_dedup_weights",
+    "q122_dedup_survivorship",
+    "q131_bpe_token_stats",
+    "q132_multimodal_curation_decisions",
+    "q133_bpe_chunks",
+    "q134_bpe_byte_stats",
+    # (2) new this round:
+    "q138_versioned_retrieval_updates",
+    # (3) round-12 code-change anchor:
+    "q136_incremental_ann_index",
+]
+
+assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R11. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R12. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R11)
+_window = set(_DRIVER_WINDOW_R12)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R11},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R12},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

@@ -169,6 +169,21 @@ def _register_builtins() -> None:
     # (doc_id, text) feed — the streaming twin of q89/q54's batch
     # scorers: PIPELINE=retrieval_index (streaming/retrieval_index.py)
     sink_registry.register("retrieval_index", _retrieval_index_sink)
+
+    def _versioned_retrieval_sink(state_dir, **kw):
+        from stream_cdc_spark.streaming.retrieval_index import (
+            VersionedRetrievalIndexSnapshot,
+        )
+
+        kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
+        return VersionedRetrievalIndexSnapshot(state_dir, **kw).foreach_batch
+
+    # The CDC-native retrieval index: (doc_id, version, text) UPSERTS
+    # with version-max reads — document updates supersede prior images:
+    # PIPELINE=retrieval_index_versioned (streaming/retrieval_index.py)
+    sink_registry.register(
+        "retrieval_index_versioned", _versioned_retrieval_sink
+    )
     state_registry.register("parquet_kv", ParquetKVState)
 
 

@@ -477,3 +477,486 @@ def bm25_topk_over_batches(
     )
     matching = postings.filter(F.col("word").isin(list(query_terms)))
     return text.bm25_topk_from_postings(matching, corpus, top_k)
+
+
+# ---------------------------------------------------------------------------
+# Versioned admission: document UPDATES — the CDC-native widening.
+# ---------------------------------------------------------------------------
+
+RETR_VDOCS_SCHEMA = "doc_id bigint, version bigint, dl bigint"
+RETR_VPOSTINGS_SCHEMA = (
+    "doc_id bigint, version bigint, word string, tf bigint, dl bigint"
+)
+
+# The versioned index extends the scheme id: its postings carry a version
+# column and its read rule is latest-image, so the two layouts are NOT
+# interchangeable — a plain RetrievalIndexSnapshot probing versioned
+# state (or vice versa) would silently score every version of every doc.
+# The distinct stamp makes the cross-mode read refuse like any drift.
+RETR_SCHEME_VERSIONED = RETR_SCHEME + "+versioned-latest/v1"
+
+
+class VersionedRetrievalIndexSnapshot:
+    """foreachBatch sink: continuous inverted-index maintenance over a
+    (doc_id, version, text) UPSERT stream — the CDC-native retrieval
+    index. The reference's central event is the Update carrying row
+    images (stream_cdc/datasources/mysql.py:416-426, update fixtures
+    tests/unit/datasources/test_mysql.py:354-359); this sink is what
+    those updates feed once the plain first-wins index is not enough:
+    re-ingesting a changed document must supersede its prior image, not
+    be dropped.
+
+    Design: VERSION-MAX READ RULE over an append-only write path, so
+    every replay/fold/restart proof of the insert-only sink carries
+    over unchanged.
+
+      - Admission is first-wins per (doc_id, version) — the version
+        (a CDC sequence number / GTID order) is part of the identity,
+        so redelivered (doc_id, version) rows drop exactly-once while a
+        NEW version of an admitted doc admits append-only. Out-of-order
+        versions admit in any order (nothing is ever rewritten).
+      - Probes score only the LATEST LIVE image: the slim docs ledger
+        (doc_id, version, dl) reduces to max(version) per live doc and
+        the term-pruned postings join that one-row-per-doc relation on
+        (doc_id, version). Superseded images become invisible the
+        instant the newer version commits — "updating" idf/df/N/L is
+        free, exactly like the insert-only index's re-quantized idf.
+      - Deletes are doc-level tombstones (shared statedir.TombstoneLog;
+        reads-only, never-readmit: a deleted doc stays deleted even if
+        later versions arrive — they admit to the ledger but can never
+        be read).
+
+    State (no stats/ table — see below):
+
+        <root>/docs/      (doc_id, version, dl)            ledger
+        <root>/postings/  (doc_id, version, word, tf, dl)  index
+        <root>/tombstones/ (doc_id)
+
+    Corpus stats (N, L) cannot be per-batch integer partials here: a
+    new version REPLACES its predecessor's dl, and with out-of-order
+    arrival a batch cannot know locally whether its rows are latest.
+    They are instead computed at read from the latest-live reduction of
+    the ledger — a slim (3 int columns) relation ~1/1000 the postings'
+    bytes, one aggregation per probe, Exchange-free up to the groupBy
+    on the bucketed tier's doc_id clustering. That is the price of
+    update semantics and it is paid at probe time, never per trigger.
+
+    Scale shape per trigger (the hot path): identical to the
+    insert-only sink — tokenize + per-doc tf is a narrow map over the
+    micro-batch, and the redelivery anti-join feeds only the ledger's
+    (doc_id, version) columns. ``bucketed=True`` folds the ledger into
+    a (doc_id, version)-bucketed snapshot, so the anti-join (whose keys
+    are exactly the bucket columns) keeps the corpus-sized side
+    Exchange-free past broadcast size (statedir.state_relations;
+    plan-asserted in tests/test_versioned_retrieval.py).
+
+    Equality contract: after any drain — any interleaving of upserts,
+    updates, deletes, replays, restarts, folds, out-of-order and
+    redelivered versions — ``bm25_topk`` is bit-equal to batch
+    ``text.bm25_topk`` over the latest live image of every admitted
+    doc. Shared scoring body (text.bm25_topk_from_postings), so the
+    equality is by construction once the latest-live reduction is
+    exact. The q138 registry entry value-checks an interleaved
+    insert/update/delete drain against q89's SQL over the compacted
+    latest images — q03-style latest-image compaction composed with
+    q89's scorer, per the round-11 verdict.
+
+    Reference anchor: the coordinator's process-then-checkpoint loop
+    (stream_cdc/coordinator.py:110-159) carrying mysql.py's Update
+    envelopes.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        id_col: str = "doc_id",
+        version_col: str = "version",
+        text_col: str = "text",
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        bucketed: bool = False,
+        num_buckets: int = 32,
+        fs: statedir.LocalFS | None = None,
+    ):
+        self.state_dir = state_dir
+        self.docs_dir = os.path.join(state_dir, "docs")
+        self.postings_dir = os.path.join(state_dir, "postings")
+        self._tomb = statedir.TombstoneLog(
+            os.path.join(state_dir, "tombstones"),
+            store_col="doc_id",
+            source_col=id_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.tombstones_dir = self._tomb.root
+        self.id_col = id_col
+        self.version_col = version_col
+        self.text_col = text_col
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
+        self.fs = fs
+        self._stamp = {"retr_scheme": RETR_SCHEME_VERSIONED}
+
+    # -- state ------------------------------------------------------------
+    def _validate_stamp(self, state: DataFrame) -> None:
+        meta = dict(state.schema["word"].metadata or {})
+        if not meta:
+            return  # schema-fallback read of an empty state
+        got = {k: meta.get(k) for k in self._stamp}
+        if got != self._stamp:
+            raise ValueError(
+                f"retrieval index scheme mismatch: state at "
+                f"{self.postings_dir!r} was built with {got!r} but this "
+                f"sink/probe uses {self._stamp!r}. Versioned and plain "
+                f"postings layouts (and different tokenizers) are not "
+                f"comparable — a probe would silently mis-score. Rebuild "
+                f"by replaying the corpus through a matching sink over a "
+                f"fresh state dir."
+            )
+
+    def _postings(self, spark, batch_id: int) -> DataFrame:
+        state = statedir.read_state(
+            spark, self.postings_dir, RETR_VPOSTINGS_SCHEMA, batch_id,
+            fs=self.fs,
+        )
+        self._validate_stamp(state)
+        return state
+
+    def docs(self, spark) -> DataFrame:
+        """Every admitted (doc_id, version, dl) row — the ledger."""
+        return statedir.read_state(
+            spark, self.docs_dir, RETR_VDOCS_SCHEMA, 1 << 62, fs=self.fs
+        )
+
+    def postings(self, spark) -> DataFrame:
+        """Every admitted (doc_id, version, word, tf, dl) row."""
+        return self._postings(spark, 1 << 62)
+
+    def tombstones(self, spark) -> DataFrame:
+        return self._tomb.read(spark)
+
+    def _latest_live(self, spark) -> DataFrame:
+        """(doc_id, version, dl) of the LATEST version of every LIVE doc
+        — the version-max read rule. One aggregation over the slim
+        ledger (class doc)."""
+        live = self._tomb.exclude(spark, self.docs(spark))
+        return live.groupBy("doc_id").agg(
+            F.max("version").alias("version"),
+            # (doc_id, version) is unique by first-wins admission, so
+            # max_by has no ties to break
+            F.max_by("dl", "version").alias("dl"),
+        )
+
+    def corpus_stats(self, spark) -> DataFrame:
+        """One-row (n, l) over the latest live images."""
+        return self._latest_live(spark).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
+        )
+
+    # -- probes -----------------------------------------------------------
+    def _latest_matching(self, spark, query_terms: list[str]) -> DataFrame:
+        """Term-pruned postings restricted to latest live images: the
+        pushed IN filter prunes the postings scan to the matching rows
+        (small), the max-version lookup touches only the matching docs'
+        ledger rows (semi-join against the broadcast matching-id set),
+        and the final (doc_id, version) equi-join broadcasts that
+        one-row-per-matching-doc relation — the corpus-sized states
+        never ride an Exchange wider than the matching rows."""
+        matching = self._tomb.exclude(
+            spark,
+            self.postings(spark).filter(
+                F.col("word").isin(list(query_terms))
+            ),
+        )
+        ids = matching.select("doc_id").distinct()
+        mx = (
+            self.docs(spark)
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.max("version").alias("version"))
+        )
+        return matching.join(F.broadcast(mx), ["doc_id", "version"])
+
+    def bm25_topk(
+        self, spark, query_terms: list[str], top_k: int = 15
+    ) -> DataFrame:
+        """BM25 top-k over the latest live images: bit-equal to batch
+        `text.bm25_topk` over the compacted corpus (one row per live
+        doc, its max-version text) — shared scoring body."""
+        return text.bm25_topk_from_postings(
+            self._latest_matching(spark, query_terms).select(
+                "doc_id", "word", "tf", "dl"
+            ),
+            self.corpus_stats(spark),
+            top_k,
+        )
+
+    def tfidf_top_terms(self, spark) -> DataFrame:
+        """Per-doc argmax TF-IDF term over the latest live images —
+        bit-equal to q54's scorer over the compacted corpus. Unlike the
+        term-pruned BM25 probe this scans all postings (so does the
+        batch scorer); the latest filter is the (doc_id, version) join
+        against the slim latest-live relation."""
+        latest = self._latest_live(spark).select("doc_id", "version")
+        tf = (
+            self._tomb.exclude(spark, self.postings(spark))
+            .join(latest, ["doc_id", "version"], "left_semi")
+            .select("doc_id", F.col("word").alias("tok"), "tf")
+        )
+        n = self.corpus_stats(spark).select(F.col("n").alias("n_docs"))
+        return text.tfidf_top_terms_from_tf(tf, n)
+
+    # -- the delete sink ----------------------------------------------------
+    def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over a (doc_id) deletion stream: doc-level
+        tombstones kill EVERY version, present and future — a deleted
+        doc stays deleted even when late versions arrive afterwards
+        (they admit append-only but can never be read)."""
+        self._tomb.append(batch_df, batch_id)
+
+    # -- the sink ---------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # refuse mismatched state BEFORE restructuring any statedir
+        self._postings(spark, batch_id)
+        statedir.maybe_compact(
+            spark, self.docs_dir, RETR_VDOCS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            # bucketed by the ADMISSION KEY (doc_id, version): the
+            # anti-join's keys are exactly the bucket columns, so the
+            # per-trigger guard reads the snapshot Exchange-free. The
+            # probe-side latest-live groupBy(doc_id) pays one slim
+            # shuffle instead — per probe, never per trigger (class doc)
+            bucket_cols=["doc_id", "version"] if self.bucketed else None,
+            num_buckets=self.num_buckets,
+            fs=self.fs,
+        )
+        # postings folds apply tombstones (live rows only — the same
+        # eventual-erasure rule as the insert-only sink; doc-level, so
+        # every version of a deleted doc folds away). Superseded-but-
+        # live versions are NOT folded away: the fold would need the
+        # cross-state version-max, and unlike tombstones that rule is
+        # cheap to apply at read. Their physical removal is the offline
+        # vacuum/rebuild.
+        statedir.maybe_compact(
+            spark, self.postings_dir, RETR_VPOSTINGS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=lambda df: self._tomb.exclude(
+                df.sparkSession, df
+            ).sortWithinPartitions("word"),
+            fs=self.fs,
+        )
+        built = self._build(spark, batch_df, batch_id)
+        if built is None:
+            return  # empty trigger: commit nothing (missing == empty)
+        new_docs, new_postings = built
+        (
+            new_docs.select("doc_id", "version", "dl")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.docs_dir, batch_id))
+        )
+        (
+            new_postings.coalesce(self.commit_files)
+            .sortWithinPartitions("word")
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.postings_dir, batch_id))
+        )
+
+    def _ledger_relations(self, spark, batch_id: int) -> list[DataFrame]:
+        if self.bucketed:
+            return statedir.state_relations(
+                spark, self.docs_dir, RETR_VDOCS_SCHEMA, batch_id,
+                ["doc_id", "version"], self.num_buckets, fs=self.fs,
+            )
+        return [
+            statedir.read_state(
+                spark, self.docs_dir, RETR_VDOCS_SCHEMA, batch_id,
+                fs=self.fs,
+            )
+        ]
+
+    def _build(self, spark, batch_df: DataFrame, batch_id: int):
+        docs = (
+            batch_df.select(
+                F.col(self.id_col).cast("long").alias("doc_id"),
+                F.col(self.version_col).cast("long").alias("version"),
+                F.col(self.text_col).cast("string").alias("text"),
+            )
+            # deterministic intra-batch tie-break on the FULL admission
+            # key: conflicting duplicate (doc_id, version) rows keep the
+            # lexicographically-smallest text, so replays admit the same
+            # row (the ann_index round-11 rule)
+            .groupBy("doc_id", "version")
+            .agg(F.min("text").alias("text"))
+        )
+        # redelivery guard: an admitted (doc_id, version) drops whole; a
+        # NEW version of an admitted doc passes — that is the update
+        for rel in self._ledger_relations(spark, batch_id):
+            docs = docs.join(
+                rel.select("doc_id", "version"),
+                ["doc_id", "version"],
+                "left_anti",
+            )
+        # lazy emptiness probe first, then pin ONCE at the tokenized
+        # batch (both commits derive from it — retrieval _build rule)
+        toks = docs.select(
+            "doc_id", "version", text.tokens(F.col("text")).alias("t")
+        )
+        if not toks.take(1):
+            return None
+        toks = toks.localCheckpoint(eager=True)
+        new_docs = toks.select(
+            "doc_id", "version", F.size("t").cast("bigint").alias("dl")
+        )
+        new_postings = (
+            toks.select(
+                "doc_id",
+                "version",
+                F.size("t").cast("bigint").alias("dl"),
+                F.explode("t").alias("w"),
+            )
+            .groupBy("doc_id", "version", "dl", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .select(
+                "doc_id",
+                "version",
+                F.col("w").alias("word", metadata=self._stamp),
+                "tf",
+                "dl",
+            )
+        )
+        return new_docs, new_postings
+
+
+def versioned_bm25_over_events(
+    events: list[tuple[str, DataFrame]],
+    query_terms: list[str],
+    top_k: int = 15,
+    id_col: str = "doc_id",
+    version_col: str = "version",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold an interleaved upsert/delete event sequence through the
+    versioned admission (exactly-once per (doc_id, version), version-max
+    read, doc-level deletes) and score the latest live images — the
+    in-memory harness for the q138 registry entry and the equality
+    tests. ``events``: [('upsert', df(doc_id, version, text)) |
+    ('delete', df(doc_id)), ...] applied in order (though the final
+    ranking is order-insensitive by construction — that is what the
+    oracle check proves). Bit-equal to `text.bm25_topk` over the
+    compacted corpus (latest version per non-deleted doc)."""
+    if not events:
+        raise ValueError("versioned_bm25_over_events: no events given")
+    ledger: DataFrame | None = None
+    postings: DataFrame | None = None
+    tombs: DataFrame | None = None
+    for kind, b in events:
+        if kind == "delete":
+            ids = b.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+            tombs = (
+                tombs.unionByName(ids).distinct() if tombs is not None else ids
+            ).localCheckpoint(eager=True)
+            continue
+        if kind != "upsert":
+            raise ValueError(f"unknown event kind {kind!r}")
+        docs = (
+            b.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(version_col).cast("long").alias("version"),
+                F.col(text_col).cast("string").alias("text"),
+            )
+            .groupBy("doc_id", "version")
+            .agg(F.min("text").alias("text"))
+        )
+        if ledger is not None:
+            docs = docs.join(
+                ledger.select("doc_id", "version"),
+                ["doc_id", "version"],
+                "left_anti",
+            )
+        toks = docs.select(
+            "doc_id", "version", text.tokens(F.col("text")).alias("t")
+        ).localCheckpoint(eager=True)
+        new_docs = toks.select(
+            "doc_id", "version", F.size("t").cast("bigint").alias("dl")
+        )
+        new_postings = (
+            toks.select(
+                "doc_id",
+                "version",
+                F.size("t").cast("bigint").alias("dl"),
+                F.explode("t").alias("word"),
+            )
+            .groupBy("doc_id", "version", "dl", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .select("doc_id", "version", "word", "tf", "dl")
+        )
+        ledger = (
+            ledger.unionByName(new_docs) if ledger is not None else new_docs
+        ).localCheckpoint(eager=True)
+        postings = (
+            postings.unionByName(new_postings)
+            if postings is not None
+            else new_postings
+        ).localCheckpoint(eager=True)
+    if ledger is None:
+        raise ValueError("versioned_bm25_over_events: no upsert events")
+    live = (
+        ledger if tombs is None else ledger.join(tombs, "doc_id", "left_anti")
+    )
+    latest = live.groupBy("doc_id").agg(
+        F.max("version").alias("version"),
+        F.max_by("dl", "version").alias("dl"),
+    )
+    corpus = latest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
+    )
+    matching = postings.filter(F.col("word").isin(list(query_terms)))
+    if tombs is not None:
+        matching = matching.join(tombs, "doc_id", "left_anti")
+    matching = matching.join(
+        F.broadcast(latest.select("doc_id", "version")),
+        ["doc_id", "version"],
+    )
+    return text.bm25_topk_from_postings(
+        matching.select("doc_id", "word", "tf", "dl"), corpus, top_k
+    )
+
+
+def cdc_upserts_and_deletes(
+    envelopes: DataFrame,
+    id_field: str = "doc_id",
+    text_field: str = "text",
+    event_type_col: str = "event_type",
+    version_col: str = "gtid_seq",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a typed CDC envelope stream (operators/envelope.py shapes:
+    event_type in Insert/Update/Delete, a monotone sequence column, a
+    struct content image) into the versioned sink's two input streams:
+    upserts (doc_id, version, text) from Insert/Update after-images and
+    deletes (doc_id) from Delete before-images. The version is the CDC
+    sequence (GTID order / binlog position — reference mysql.py's
+    gtid), which is exactly what makes out-of-order redelivery safe:
+    the version-max read rule recovers commit order regardless of
+    arrival order."""
+    upserts = envelopes.filter(
+        F.col(event_type_col).isin("Insert", "Update")
+    ).select(
+        F.col(f"{content_col}.{id_field}").cast("long").alias("doc_id"),
+        F.col(version_col).cast("long").alias("version"),
+        F.col(f"{content_col}.{text_field}").cast("string").alias("text"),
+    )
+    deletes = envelopes.filter(F.col(event_type_col) == "Delete").select(
+        F.col(f"{content_col}.{id_field}").cast("long").alias("doc_id")
+    )
+    return upserts, deletes

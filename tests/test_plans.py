@@ -79,70 +79,68 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round11_rotation():
+def test_driver_window_matches_round12_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-11 policy: the 38 queries whose latest driver-green row dates
-    to r8 lead (the round-10 verdict's task-2 cohort), then the query
-    NEW this round (q137 incremental retrieval index — never driver-
-    green, so it must be in-window), this round's code-change anchors
-    (q136 on the deterministic-admission + stamp-before-compact
-    hardening; q89/q54 on the shared-scoring-body refactor; q107 on the
-    SQ8 tier work), and seven headline-bench continuity anchors
-    (rationale above _DRIVER_WINDOW_R11 in plans/queries.py).
-    Everything outside the window has an r9/r10 green driver row and
-    stays value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R11
+    Round-12 policy: the 48 queries whose latest driver-green row dates
+    to r9 lead (the round-11 verdict's task-3 cohort), then the query
+    NEW this round (q138 versioned retrieval updates — never driver-
+    green, so it must be in-window) and this round's code-change anchor
+    (q136 on the ANN admission-ledger + tombstone-applying-fold work);
+    rationale above _DRIVER_WINDOW_R12 in plans/queries.py. Everything
+    outside the window has an r10/r11 green driver row and stays
+    value-checked by the repo oracle suite."""
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R12
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R11) == 50
-    assert len(set(_DRIVER_WINDOW_R11)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R11
-    # the 38 stale r8-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R12) == 50
+    assert len(set(_DRIVER_WINDOW_R12)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R12
+    # the 48 stale r9-green queries all rotated in:
     stale_ids = (
-        [2, 4, 5, 8, 9, 11, 12, 16, 17, 23, 28, 29, 30, 32, 33]
-        + list(range(35, 43)) + [44, 45, 46, 50, 52, 56, 64, 111]
-        + list(range(118, 122)) + [123, 124, 129]
+        [3, 6, 10, 20, 21, 22, 26, 47, 51, 65, 66, 67, 68]
+        + list(range(74, 88)) + list(range(90, 100))
+        + [104, 105, 112, 113, 114, 117, 122, 131, 132, 133, 134]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 38, len(stale)
-    assert set(stale) <= set(_DRIVER_WINDOW_R11)
-    # the round-11 addition is in-window (never driver-green before r11):
-    assert "q137_incremental_retrieval_index" in _DRIVER_WINDOW_R11
-    # this round's code-change anchors are inside the window:
-    assert {
-        "q136_incremental_ann_index",
-        "q89_bm25_topk",
-        "q54_tfidf_top_terms",
-        "q107_sq8_ann_topk",
-    } <= set(_DRIVER_WINDOW_R11)
-    # headline continuity: the heaviest bench plans stay pinned; every
-    # headliner missing from this window is r10-green (one round old)
+    assert len(stale) == 48, len(stale)
+    assert set(stale) <= set(_DRIVER_WINDOW_R12)
+    # the round-12 addition is in-window (never driver-green before r12):
+    assert "q138_versioned_retrieval_updates" in _DRIVER_WINDOW_R12
+    # this round's code-change anchor is inside the window:
+    assert "q136_incremental_ann_index" in _DRIVER_WINDOW_R12
+    # headline continuity: the in-cohort headliners are timed and
+    # value-verified in the same round; every headliner missing from
+    # this window is r11-green (one round old)
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
     assert {
-        "q13_tpch_q1", "q14_tpch_q3", "q15_star_join_revenue",
-        "q24_ngram_jaccard_pairs", "q25_ann_bruteforce_topk",
-        "q27_minhash_lsh_pairs", "q34_tpch_q6",
-    } <= set(_DRIVER_WINDOW_R11)
-    missing = headline - set(_DRIVER_WINDOW_R11)
+        "q03_log_compaction", "q10_hourly_window", "q51_asof_join",
+        "q66_winnow_fingerprints",
+    } <= set(_DRIVER_WINDOW_R12)
+    missing = headline - set(_DRIVER_WINDOW_R12)
     assert missing <= {
         "q01_envelope_filter_project",
-        "q03_log_compaction",
         "q07_cdc_apply_join",
-        "q10_hourly_window",
+        "q13_tpch_q1",
+        "q14_tpch_q3",
+        "q15_star_join_revenue",
         "q19_exact_dedup",
+        "q24_ngram_jaccard_pairs",
+        "q25_ann_bruteforce_topk",
+        "q27_minhash_lsh_pairs",
         "q31_sessionization",
+        "q34_tpch_q6",
         "q48_cdc_merge_apply",
-        "q51_asof_join",
-        "q66_winnow_fingerprints",
+        "q136_incremental_ann_index",
+        "q137_incremental_retrieval_index",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 137
+    assert len(names) == len(set(names)) == 138
 
 
 def test_q69_q70_dims_broadcast(spark):

@@ -1,0 +1,465 @@
+"""Versioned retrieval-index maintenance (streaming/retrieval_index.py
+VersionedRetrievalIndexSnapshot): document UPDATES — the CDC-native
+widening. After any interleaving of inserts, updates, deletes, replays,
+restarts, folds, out-of-order and redelivered versions, the probes must
+be bit-equal to the batch scorers over the LATEST LIVE image of every
+doc (q03-style compaction composed with q89's scorer). Plus the scheme
+stamp guard (including cross-mode refusal against the plain layout) and
+the scale shape of admission and probes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import text
+from stream_cdc_spark.streaming import statedir
+from stream_cdc_spark.streaming.retrieval_index import (
+    RetrievalIndexSnapshot,
+    VersionedRetrievalIndexSnapshot,
+    cdc_upserts_and_deletes,
+    versioned_bm25_over_events,
+)
+from stream_cdc_spark.tables import load
+from tests.conftest import SF_SMALL
+
+TERMS = ["stream", "vector", "join"]
+
+
+def _docs(spark):
+    return load(spark, SF_SMALL, "documents")
+
+
+def _v1(spark):
+    return _docs(spark).select(
+        "doc_id", F.lit(1).cast("bigint").alias("version"), "text"
+    )
+
+
+def _v2(spark):
+    """Updates: every doc_id % 4 == 1 gets a version-2 image with two
+    query terms appended — scores, df, N and L all move."""
+    return (
+        _docs(spark)
+        .filter(F.col("doc_id") % 4 == 1)
+        .select(
+            "doc_id",
+            F.lit(2).cast("bigint").alias("version"),
+            F.concat(F.col("text"), F.lit(" vector stream")).alias("text"),
+        )
+    )
+
+
+def _dead_ids(spark):
+    return _docs(spark).filter(F.col("doc_id") % 10 == 3).select("doc_id")
+
+
+def _latest_live(spark, deletes: bool = True):
+    """The compacted corpus the sink must match: version-2 text where an
+    update exists, else the original, minus deleted docs."""
+    d = _docs(spark).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" vector stream")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    if deletes:
+        d = d.join(_dead_ids(spark), "doc_id", "left_anti")
+    return d
+
+
+def _events(spark):
+    """Interleaved upserts/updates/deletes with out-of-order versions
+    (v2 of a %3==2 doc arrives before its v1), redeliveries of both
+    versions, a delete mid-stream and its replay, and late v1 images
+    arriving after both the v2 update and the delete."""
+    v1, v2 = _v1(spark), _v2(spark)
+    return [
+        ("upsert", v1.filter(F.col("doc_id") % 3 != 2)),
+        # v2 for every %4==1 doc: for %3==2 ones this PRECEDES their v1;
+        # plus redelivered, already-admitted v1 rows
+        ("upsert", v2.unionByName(
+            v1.filter((F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 7 == 0))
+        )),
+        ("delete", _dead_ids(spark)),
+        # late v1 images (must NOT displace v2 / resurrect deleted docs);
+        # plus redelivered v2 rows
+        ("upsert", v1.filter(F.col("doc_id") % 3 == 2).unionByName(
+            v2.filter(F.col("doc_id") % 7 == 1)
+        )),
+        ("delete", _dead_ids(spark)),  # delete replay
+    ]
+
+
+def _batch_bm25(spark, deletes: bool = True):
+    return sorted(
+        map(
+            tuple,
+            text.bm25_topk(
+                _latest_live(spark, deletes), TERMS, top_k=15
+            ).collect(),
+        )
+    )
+
+
+def _snap_bm25(snap, spark):
+    return sorted(map(tuple, snap.bm25_topk(spark, TERMS, top_k=15).collect()))
+
+
+def _drain(snap, spark):
+    for i, (kind, b) in enumerate(_events(spark)):
+        if kind == "delete":
+            snap.delete_batch(b, i)
+        else:
+            snap.foreach_batch(b, i)
+
+
+def test_drained_probes_equal_batch_scorers_over_latest_images(
+    spark, tmp_path
+):
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    _drain(snap, spark)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    # tfidf over the same compacted corpus
+    live = _latest_live(spark)
+    toks = live.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = live.agg(F.count(F.lit(1)).alias("n_docs"))
+    assert sorted(map(tuple, snap.tfidf_top_terms(spark).collect())) == sorted(
+        map(tuple, text.tfidf_top_terms_from_tf(tf, n).collect())
+    )
+    # corpus stats equal the compacted corpus aggregates
+    n_l = snap.corpus_stats(spark).collect()[0]
+    want = (
+        live.select(F.size(text.tokens(F.col("text"))).alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    assert (n_l["n"], n_l["l"]) == (want[0], want[1])
+
+
+def test_out_of_order_and_redelivered_versions_admit_exactly_once(
+    spark, tmp_path
+):
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    _drain(snap, spark)
+    d = _docs(spark)
+    n, n_upd = d.count(), d.filter(F.col("doc_id") % 4 == 1).count()
+    ledger = snap.docs(spark)
+    assert ledger.count() == n + n_upd  # every (doc_id, version) once
+    assert ledger.select("doc_id", "version").distinct().count() == n + n_upd
+    # version-max: every %4==1 doc reads as version 2, the rest as 1
+    latest = snap._latest_live(spark)
+    assert latest.filter(
+        (F.col("doc_id") % 4 == 1) & (F.col("version") != 2)
+    ).count() == 0
+    assert latest.filter(
+        (F.col("doc_id") % 4 != 1) & (F.col("version") != 1)
+    ).count() == 0
+
+
+def test_replay_and_restart_preserve_equality(spark, tmp_path):
+    events = _events(spark)
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=2)
+    for i, (kind, b) in enumerate(events[:3]):
+        (snap.delete_batch if kind == "delete" else snap.foreach_batch)(b, i)
+    # replay the in-flight admit batch across the fold boundary
+    snap.foreach_batch(events[1][1], 1)
+    snap2 = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=2
+    )
+    for i, (kind, b) in enumerate(events[3:], start=3):
+        (snap2.delete_batch if kind == "delete" else snap2.foreach_batch)(b, i)
+    assert _snap_bm25(snap2, spark) == _batch_bm25(spark)
+
+
+def test_folds_preserve_equality_and_apply_tombstones(spark, tmp_path):
+    """compact_every=1 folds after every trigger: equality holds, the
+    deleted docs' postings (EVERY version) are physically gone from the
+    folded tier, the ledger keeps them (never-readmit), and superseded-
+    but-live versions stay in the raw state (their removal is the
+    offline vacuum, not the fold)."""
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    _drain(snap, spark)
+    # extra empty trigger so the last admit batch folds under tombstones
+    snap.foreach_batch(
+        spark.createDataFrame([], "doc_id bigint, version bigint, text string"),
+        len(_events(spark)),
+    )
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    dead = _dead_ids(spark)
+    assert snap.postings(spark).join(dead, "doc_id", "left_semi").count() == 0
+    assert snap.docs(spark).join(dead, "doc_id", "left_semi").count() > 0
+    # superseded v1 rows of updated docs are still in the raw state
+    assert (
+        snap.postings(spark)
+        .filter((F.col("doc_id") % 4 == 1) & (F.col("version") == 1))
+        .join(dead, "doc_id", "left_anti")
+        .count()
+        > 0
+    )
+
+
+def test_deleted_doc_stays_deleted_for_future_versions(spark, tmp_path):
+    """Doc-level tombstones kill future versions too: an update arriving
+    AFTER the delete admits append-only but can never be read."""
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    _drain(snap, spark)
+    dead_v3 = (
+        _docs(spark)
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            F.lit(3).cast("bigint").alias("version"),
+            F.lit("stream stream vector vector join join").alias("text"),
+        )
+    )
+    snap.foreach_batch(dead_v3, 99)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    # admitted to the ledger (append-only), invisible to every read
+    assert snap.docs(spark).filter(F.col("version") == 3).count() > 0
+    assert snap._latest_live(spark).filter(F.col("version") == 3).count() == 0
+
+
+def test_conflicting_intra_batch_duplicates_admit_deterministically(
+    spark, tmp_path
+):
+    """Duplicate (doc_id, version) rows with DIFFERENT texts inside one
+    batch admit the lexicographically-smallest text; a redelivered
+    (doc_id, version) is dropped whole while a NEW version of the same
+    doc admits — that is the update."""
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    conflicted = spark.createDataFrame(
+        [(1, 1, "zebra zebra"), (1, 1, "apple pie"), (2, 1, "apple pie")],
+        "doc_id bigint, version bigint, text string",
+    )
+    snap.foreach_batch(conflicted, 0)
+    got = {
+        (r["doc_id"], r["version"], r["word"]): (r["tf"], r["dl"])
+        for r in snap.postings(spark).collect()
+    }
+    assert got == {
+        (1, 1, "apple"): (1, 2), (1, 1, "pie"): (1, 2),
+        (2, 1, "apple"): (1, 2), (2, 1, "pie"): (1, 2),
+    }
+    snap.foreach_batch(
+        spark.createDataFrame(
+            [(2, 1, "zebra"), (2, 2, "orange juice")],
+            "doc_id bigint, version bigint, text string",
+        ),
+        1,
+    )
+    ledger = {
+        (r["doc_id"], r["version"]) for r in snap.docs(spark).collect()
+    }
+    assert ledger == {(1, 1), (2, 1), (2, 2)}  # redelivery dropped, update in
+    latest = {
+        r["doc_id"]: r["version"]
+        for r in snap._latest_live(spark).collect()
+    }
+    assert latest == {1: 1, 2: 2}
+
+
+def test_scheme_stamp_refuses_cross_mode_and_drift(spark, tmp_path):
+    """The versioned layout carries its own scheme id: a plain
+    RetrievalIndexSnapshot refuses versioned state (and vice versa)
+    BEFORE any statedir restructuring — scoring every version of every
+    doc would be silently wrong."""
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=10**9
+    )
+    snap.foreach_batch(_v1(spark), 0)
+    roots = [os.path.join(str(tmp_path / "s"), d) for d in ("docs", "postings")]
+    before = [statedir.dir_counts(r) for r in roots]
+    plain = RetrievalIndexSnapshot(str(tmp_path / "s"), compact_every=1)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        plain.foreach_batch(_docs(spark), 1)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        plain.bm25_topk(spark, TERMS)
+    assert [statedir.dir_counts(r) for r in roots] == before
+    # and the other direction: versioned sink on plain state
+    plain2 = RetrievalIndexSnapshot(str(tmp_path / "p"))
+    plain2.foreach_batch(_docs(spark), 0)
+    crossed = VersionedRetrievalIndexSnapshot(str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        crossed.bm25_topk(spark, TERMS)
+
+
+def test_probe_plan_pushes_terms_and_broadcasts_latest(spark, tmp_path):
+    """Probe scale shape: query terms reach the postings scan as a
+    pushed IN filter, the latest-version lookup and idf enter as
+    broadcasts, and the corpus-sized postings never ride a sort-merge
+    join or cartesian."""
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    _drain(snap, spark)
+    out = snap.bm25_topk(spark, TERMS)
+    out.collect()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "In(word" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_ledger_equality_and_shuffle_free_admission(spark, tmp_path):
+    """bucketed=True folds the ledger by the ADMISSION KEY
+    (doc_id, version): equality holds through bucketed folds/replays/
+    restarts, and the redelivery anti-join against the snapshot reads
+    the bucketed table with NO Exchange on the ledger side (broadcast
+    disabled — the 100 TB shape)."""
+    import re
+
+    from stream_cdc_spark.streaming.retrieval_index import RETR_VDOCS_SCHEMA
+
+    events = _events(spark)
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1, bucketed=True, num_buckets=4
+    )
+    for i, (kind, b) in enumerate(events[:3]):
+        (snap.delete_batch if kind == "delete" else snap.foreach_batch)(b, i)
+    snap.foreach_batch(events[1][1], 1)  # replay across a bucketed fold
+    snap2 = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1, bucketed=True, num_buckets=4
+    )
+    for i, (kind, b) in enumerate(events[3:], start=3):
+        (snap2.delete_batch if kind == "delete" else snap2.foreach_batch)(b, i)
+    assert _snap_bm25(snap2, spark) == _batch_bm25(spark)
+    statedir.compact(
+        spark, snap2.docs_dir, RETR_VDOCS_SCHEMA, 99,
+        bucket_cols=["doc_id", "version"], num_buckets=4,
+    )
+    rels = snap2._ledger_relations(spark, 99)
+    assert len(rels) == 1  # snapshot only, no tail
+    # mixed versions in the probe: a constant version literal would be
+    # constant-folded out of the join keys, and clustering by doc_id
+    # alone is NOT satisfied by the (doc_id, version) bucketing — the
+    # realistic redelivery batch always carries mixed versions
+    probe = (
+        _docs(spark)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("long").alias("version"),
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.join(
+            rels[0].select("doc_id", "version"),
+            ["doc_id", "version"],
+            "left_anti",
+        )
+        j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    tree = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in tree, plan
+    assert "Bucketed: true" in plan, plan
+    n_exchanges = len(re.findall(r"Exchange \(\d+\)", tree))
+    assert n_exchanges == 1, plan
+
+
+def test_in_memory_fold_matches_batch(spark):
+    got = sorted(
+        map(
+            tuple,
+            versioned_bm25_over_events(
+                _events(spark), TERMS, top_k=15
+            ).collect(),
+        )
+    )
+    assert got == _batch_bm25(spark)
+
+
+def test_cdc_envelope_adapter_feeds_the_versioned_sink(spark, tmp_path):
+    """cdc_upserts_and_deletes splits a typed envelope stream (Insert/
+    Update after-images + Delete before-images, GTID order as the
+    version) into the sink's two inputs; the drained index equals the
+    batch scorer over the latest live images."""
+    d = _docs(spark)
+    ins = d.select(
+        F.lit("Insert").alias("event_type"),
+        F.col("doc_id").cast("long").alias("gtid_seq"),
+        F.struct("doc_id", "text").alias("content"),
+    )
+    upd = (
+        d.filter(F.col("doc_id") % 4 == 1)
+        .select(
+            F.lit("Update").alias("event_type"),
+            (F.col("doc_id") + F.lit(10**9)).cast("long").alias("gtid_seq"),
+            F.struct(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" vector stream")).alias("text"),
+            ).alias("content"),
+        )
+    )
+    dels = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            F.lit("Delete").alias("event_type"),
+            (F.col("doc_id") + F.lit(2 * 10**9)).cast("long").alias("gtid_seq"),
+            F.struct("doc_id", "text").alias("content"),
+        )
+    )
+    env = ins.unionByName(upd).unionByName(dels)
+    upserts, deletes = cdc_upserts_and_deletes(env)
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(upserts, 0)
+    snap.delete_batch(deletes, 1)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+
+
+def test_empty_batch_commits_nothing(spark, tmp_path):
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(_v1(spark), 0)
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, version bigint, text string"
+    )
+    snap.foreach_batch(empty, 1)
+    for sub in ("docs", "postings"):
+        c = statedir.dir_counts(os.path.join(str(tmp_path / "s"), sub))
+        assert c["batch"] == 1, (sub, c)
+
+
+def test_versioned_cli_mode_drains_upsert_feed(spark, tmp_path, monkeypatch):
+    """PIPELINE=retrieval_index_versioned entrypoint: one availableNow
+    drain over a (doc_id, version, text) upsert feed — inserts plus
+    version-2 updates in one feed — and the probe equals the batch
+    scorer over the latest images (no deletes in the feed, so
+    deletes=False on the reference corpus)."""
+    from stream_cdc_spark import main as M
+
+    feed = _v1(spark).unionByName(_v2(spark))
+    feed_dir = str(tmp_path / "feed")
+    feed.coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "retrieval_index_versioned")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", feed_dir)
+    monkeypatch.setenv("RETR_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    assert M.main() == 0
+    snap = VersionedRetrievalIndexSnapshot(state)
+    want = sorted(
+        map(
+            tuple,
+            text.bm25_topk(
+                _latest_live(spark, deletes=False), TERMS, top_k=15
+            ).collect(),
+        )
+    )
+    assert _snap_bm25(snap, spark) == want

@@ -56,7 +56,14 @@ def main() -> None:
     from stream_cdc_spark.streaming.ann_index import AnnIndexSnapshot  # noqa: E402
 
     centroids = [(c, _vec(c * 97 + 5, dim)) for c in range(32)]
-    snap = AnnIndexSnapshot(state, centroids, compact_every=8, major_every=4)
+    # ANN_SOAK_BUCKETED=1 soaks the round-12 bucketed admission ledger:
+    # the slim ledger/ state folds into a vec_id-bucketed snapshot and
+    # the per-trigger redelivery anti-join reads it Exchange-free
+    bucketed = os.environ.get("ANN_SOAK_BUCKETED", "0") == "1"
+    snap = AnnIndexSnapshot(
+        state, centroids, compact_every=8, major_every=4,
+        bucketed=bucketed, num_buckets=32,
+    )
 
     seen = 0
     walls: list[float] = []
@@ -100,6 +107,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "ann_index_soak",
+        "bucketed_ledger": bucketed,
         "n_batches": n_batches,
         "vecs_per_batch": per_batch,
         "dim": dim,
@@ -110,6 +118,7 @@ def main() -> None:
         "wall_last10_median_s": seg(n_batches - 10, n_batches),
         "probe_topk_s": probe_s,
         "vectors_dirs": statedir.dir_counts(os.path.join(state, "vectors")),
+        "ledger_dirs": statedir.dir_counts(os.path.join(state, "ledger")),
         "equal_to_batch_ivf": got == want,
     }))
     spark.stop()

@@ -37,6 +37,11 @@ What can be migrated without the original corpus:
     erases the content) by rewriting only the LIVE rows of docs/ and
     postings/ plus a re-aggregated stats partial into a fresh statedir
     with an empty tombstone set.
+  - Versioned retrieval index → vacuum: additionally drops SUPERSEDED
+    images from postings/ (the bulk of an update-heavy corpus — the
+    streaming folds can erase tombstoned docs but never superseded
+    versions), while the ledger keeps every live (doc_id, version) row
+    so exactly-once admission survives the rewrite.
 
 What CANNOT: anything that changes the underlying sketch — LSH k /
 num_hashes / hash-scheme version, a different ANN assignment scheme, a
@@ -271,3 +276,79 @@ def vacuum_retrieval_index(spark, src, dst) -> int:
         fs=dst.fs,
     )
     return live_docs.count()
+
+
+def vacuum_versioned_retrieval_index(spark, src, dst) -> int:
+    """Physically remove tombstoned documents AND superseded images from
+    the versioned retrieval index at ``src`` (a
+    VersionedRetrievalIndexSnapshot) by rewriting into the fresh statedir
+    of ``dst``. Returns the number of live docs.
+
+    The two erasure classes the streaming folds cannot fully reclaim:
+    tombstoned docs fold away eventually (tombstone-applying folds), but
+    SUPERSEDED versions — the bulk of an update-heavy corpus — are
+    retained forever by the append-only write path (the fold would need
+    the cross-state version-max; the read rule hides them instead).
+    Vacuum rewrites postings/ as the LATEST LIVE rows only, while docs/
+    keeps EVERY live (doc_id, version) ledger row — superseded ledger
+    rows are 3 slim ints each and dropping them would re-open admission
+    to a redelivered superseded version (harmless to reads under the
+    version-max rule, but exactly-once would silently degrade to
+    at-least-once on the ledger). Tombstoned docs are erased from both
+    (hard erasure, like vacuum_retrieval_index: the destination starts
+    with no tombstones, so a vacuumed-away doc_id CAN be re-ingested —
+    erasure removes the deletion history too, by design).
+
+    Probes against the vacuumed index are bit-equal to the source's
+    (tests assert it): _latest_live reduces the same live ledger to the
+    same max versions, and the (doc_id, version) probe join finds
+    exactly the latest rows, which the vacuum preserved. All states
+    publish as compact=0 snapshots, postings word-sorted (module doc).
+    """
+    from pyspark.sql import functions as F
+
+    if src.state_dir == dst.state_dir:
+        raise ValueError(
+            "vacuum_versioned_retrieval_index: src and dst share a state "
+            "dir — a vacuum writes a FRESH statedir"
+        )
+    if src._stamp != dst._stamp:
+        raise ValueError(
+            f"vacuum_versioned_retrieval_index: scheme mismatch (src "
+            f"{src._stamp!r}, dst {dst._stamp!r}) — a vacuum preserves "
+            f"the index scheme; re-tokenization needs a corpus replay"
+        )
+    _require_empty(
+        "vacuum_versioned_retrieval_index",
+        {
+            "docs": dst.docs_dir,
+            "postings": dst.postings_dir,
+            "tombstones": dst.tombstones_dir,
+        },
+    )
+    dead = src.tombstones(spark).localCheckpoint(eager=True)
+    live_docs = (
+        src.docs(spark).join(dead, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    latest = live_docs.groupBy("doc_id").agg(
+        F.max("version").alias("version")
+    )
+    latest_postings = (
+        src.postings(spark)
+        .join(dead, "doc_id", "left_anti")
+        .join(latest, ["doc_id", "version"], "left_semi")
+    )
+    statedir.publish_snapshot(
+        spark,
+        dst.docs_dir,
+        live_docs.select("doc_id", "version", "dl"),
+        fs=dst.fs,
+    )
+    statedir.publish_snapshot(
+        spark,
+        dst.postings_dir,
+        latest_postings.sortWithinPartitions("word"),
+        fs=dst.fs,
+    )
+    return latest.count()

@@ -463,3 +463,64 @@ def test_versioned_cli_mode_drains_upsert_feed(spark, tmp_path, monkeypatch):
         )
     )
     assert _snap_bm25(snap, spark) == want
+
+
+def test_vacuum_drops_superseded_and_tombstoned_rows(spark, tmp_path):
+    """vacuum_versioned_retrieval_index rewrites postings/ as latest-live
+    rows only (superseded images and deleted docs physically gone) while
+    the ledger keeps every live (doc_id, version) row: probes bit-equal
+    the source, redelivered superseded versions stay blocked, a stream
+    resumes safely at batch_id 0, and the guards refuse."""
+    from stream_cdc_spark.operators.migration import (
+        vacuum_versioned_retrieval_index,
+    )
+
+    src = VersionedRetrievalIndexSnapshot(str(tmp_path / "src"), compact_every=2)
+    _drain(src, spark)
+    dst = VersionedRetrievalIndexSnapshot(str(tmp_path / "dst"))
+    n = vacuum_versioned_retrieval_index(spark, src, dst)
+    live = _latest_live(spark)
+    assert n == live.count()
+    assert _snap_bm25(dst, spark) == _snap_bm25(src, spark)
+    dead = _dead_ids(spark)
+    # tombstoned docs physically gone from both states; superseded v1
+    # images of updated docs gone from postings, kept in the ledger
+    assert dst.postings(spark).join(dead, "doc_id", "left_semi").count() == 0
+    assert dst.docs(spark).join(dead, "doc_id", "left_semi").count() == 0
+    assert (
+        dst.postings(spark)
+        .filter((F.col("doc_id") % 4 == 1) & (F.col("version") == 1))
+        .count()
+        == 0
+    )
+    assert (
+        dst.docs(spark)
+        .filter((F.col("doc_id") % 4 == 1) & (F.col("version") == 1))
+        .join(dead, "doc_id", "left_anti")
+        .count()
+        > 0
+    )
+    assert dst.tombstones(spark).count() == 0
+    # a stream resuming at batch_id 0: redelivered superseded versions
+    # and live latest versions drop; a genuinely new update admits
+    new_upd = spark.createDataFrame(
+        [(1, 9, "stream stream vector")],
+        "doc_id bigint, version bigint, text string",
+    )
+    before = dst.docs(spark).count()
+    # redeliver LIVE v1 rows only: vacuum hard-erases deleted docs'
+    # ledger rows too, so a vacuumed-away doc CAN re-admit (documented —
+    # erasure removes the deletion history by design)
+    live_v1 = _v1(spark).join(_dead_ids(spark), "doc_id", "left_anti")
+    dst.foreach_batch(live_v1.limit(20).unionByName(new_upd), 0)
+    assert dst.docs(spark).count() == before + 1
+    latest1 = dst._latest_live(spark).filter(F.col("doc_id") == 1).collect()
+    assert latest1 and latest1[0]["version"] == 9
+    # guards
+    with pytest.raises(ValueError, match="share a state dir"):
+        vacuum_versioned_retrieval_index(spark, src, src)
+    with pytest.raises(ValueError, match="not\\s+empty"):
+        vacuum_versioned_retrieval_index(spark, src, dst)
+    plain = RetrievalIndexSnapshot(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        vacuum_versioned_retrieval_index(spark, src, plain)

@@ -241,17 +241,16 @@ def main() -> None:
         runs = []
         qm = None
         for _ in range(repeats):
-            # time BUILD + collect: the incremental-index headliners
-            # (q136/q137) execute their drain eagerly inside builder()
-            # (localCheckpoint folds), so timing only the final collect
-            # would miss the production sink path entirely — exactly
-            # the work round-12 added them to gate. For lazy queries
-            # the build is plan construction, a few ms.
-            t0 = time.perf_counter()
-            df = QUERIES[name].builder(spark, sf_dir)
-            build_s = time.perf_counter() - t0
-            qm = collector.measure(name, df)
-            qm.wall_s += build_s
+            # measure BUILD + collect in one execution-id window: the
+            # incremental-index headliners (q136/q137) execute their
+            # drain eagerly inside builder() (localCheckpoint folds), so
+            # measuring only the built DataFrame would miss the
+            # production sink path entirely — wall AND shuffle/scan
+            # sums. For lazy queries the build is plan construction, a
+            # few ms and zero executions.
+            qm = collector.measure_lazy(
+                name, lambda n=name: QUERIES[n].builder(spark, sf_dir)
+            )
             runs.append(round(qm.wall_s, 3))
         # lower-middle order statistic: the true median for odd n, the
         # smaller middle for even n (never the max — with n=2 the first

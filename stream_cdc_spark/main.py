@@ -239,29 +239,26 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
         if os.path.exists(os.path.join(docs_path, "documents.parquet"))
         else "*.parquet"
     )
+    ver = os.environ.get("RETR_VERSION_COL", "version")
+    feed_schema = (
+        f"doc_id bigint, {ver} bigint, text string"
+        if versioned
+        else "doc_id bigint, text string"
+    )
     stream = (
-        spark.readStream.schema("doc_id bigint, text string")
+        spark.readStream.schema(feed_schema)
         .option("pathGlobFilter", os.environ.get("DOCS_GLOB", default_glob))
         .parquet(docs_path)
-        .select("doc_id", "text")
     )
-    if versioned:
-        ver = os.environ.get("RETR_VERSION_COL", "version")
-        feed_schema = f"doc_id bigint, {ver} bigint, text string"
-        stream = (
-            spark.readStream.schema(feed_schema)
-            .option(
-                "pathGlobFilter", os.environ.get("DOCS_GLOB", default_glob)
-            )
-            .parquet(docs_path)
-            .select(
-                "doc_id",
-                F.coalesce(F.col(ver).cast("long"), F.lit(0)).alias(
-                    "version"
-                ),
-                "text",
-            )
+    stream = (
+        stream.select(
+            "doc_id",
+            F.coalesce(F.col(ver).cast("long"), F.lit(0)).alias("version"),
+            "text",
         )
+        if versioned
+        else stream.select("doc_id", "text")
+    )
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)

@@ -154,6 +154,28 @@ class QueryMetricsCollector:
             sums=sums,
         )
 
+    def measure_lazy(self, name: str, make_df) -> QueryMetrics:
+        """``measure`` for queries whose CONSTRUCTION already executes
+        Spark jobs (the incremental-index drains run eager
+        localCheckpoint folds inside their builder): the execution-id
+        window opens BEFORE ``make_df()`` runs, so the drain's
+        executions and shuffle/scan sums land in the metrics alongside
+        the final collect — wall time covers build + collect too.
+        ``measure(name, builder(...))`` would charge only the probe."""
+        before = self._latest_execution_id()
+        t0 = time.perf_counter()
+        rows = make_df().collect()
+        wall = time.perf_counter() - t0
+        after = self._latest_execution_id()
+        sums, count = self._metrics_between(before, after)
+        return QueryMetrics(
+            name=name,
+            wall_s=wall,
+            result_rows=len(rows),
+            executions=count,
+            sums=sums,
+        )
+
     # -- per-operator breakdown (reference profiling parity) -----------
 
     def node_breakdown(self, lo: int, hi: int) -> list[dict[str, Any]]:

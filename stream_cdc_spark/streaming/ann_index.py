@@ -493,14 +493,18 @@ class AnnIndexSnapshot:
         # physical erasure, module doc): read-equivalent because probes
         # already exclude tombstoned ids and tombstones are append-only,
         # and admission-safe because the guard reads ledger/, never
-        # vectors/.
-        statedir.maybe_compact(
+        # vectors/. The tombstone read is cross-state and a CONCURRENT
+        # delete-stream compaction can invalidate it mid-fold, so the
+        # application carries the plain cell-sort as its read-equivalent
+        # fallback (statedir.maybe_compact_with_fallback doc).
+        statedir.maybe_compact_with_fallback(
             spark, self.vectors_dir, self._schema, batch_id,
             every=self.compact_every,
             major_every=self.major_every,
             transform=lambda df: self._tomb.exclude(
                 df.sparkSession, df
             ).sortWithinPartitions("cell"),
+            fallback_transform=lambda df: df.sortWithinPartitions("cell"),
             fs=self.fs,
         )
         assigned = self._build(spark, batch_df, batch_id)

@@ -309,13 +309,18 @@ class RetrievalIndexSnapshot:
         # folded tier — eventual physical erasure, module doc):
         # read-equivalent because probes already exclude tombstoned
         # docs, and admission-safe because the guard reads docs/, which
-        # is never tombstone-folded
-        statedir.maybe_compact(
+        # is never tombstone-folded. The tombstone read is cross-state
+        # and a CONCURRENT delete-stream compaction can invalidate it
+        # mid-fold, so the application carries the plain word-sort as
+        # its read-equivalent fallback
+        # (statedir.maybe_compact_with_fallback doc).
+        statedir.maybe_compact_with_fallback(
             spark, self.postings_dir, RETR_POSTINGS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
             transform=lambda df: self._tomb.exclude(
                 df.sparkSession, df
             ).sortWithinPartitions("word"),
+            fallback_transform=lambda df: df.sortWithinPartitions("word"),
             fs=self.fs,
         )
         statedir.maybe_compact(
@@ -744,13 +749,16 @@ class VersionedRetrievalIndexSnapshot:
         # live versions are NOT folded away: the fold would need the
         # cross-state version-max, and unlike tombstones that rule is
         # cheap to apply at read. Their physical removal is the offline
-        # vacuum/rebuild.
-        statedir.maybe_compact(
+        # vacuum/rebuild. Cross-state tombstone read -> read-equivalent
+        # plain-sort fallback under a concurrent delete-stream fold
+        # (statedir.maybe_compact_with_fallback doc).
+        statedir.maybe_compact_with_fallback(
             spark, self.postings_dir, RETR_VPOSTINGS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
             transform=lambda df: self._tomb.exclude(
                 df.sparkSession, df
             ).sortWithinPartitions("word"),
+            fallback_transform=lambda df: df.sortWithinPartitions("word"),
             fs=self.fs,
         )
         built = self._build(spark, batch_df, batch_id)

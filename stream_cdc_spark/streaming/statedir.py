@@ -842,6 +842,46 @@ def maybe_compact(
     )
 
 
+def maybe_compact_with_fallback(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_id: int,
+    every: int,
+    transform: Callable[[DataFrame], DataFrame],
+    fallback_transform: Callable[[DataFrame], DataFrame] | None,
+    major_every: int = 0,
+    fs: LocalFS | None = None,
+    **kwargs,
+) -> bool:
+    """``maybe_compact`` whose primary ``transform`` is an OPTIMIZATION
+    that may read OTHER statedir roots (the tombstone-applying folds of
+    the ANN/retrieval sinks read the TombstoneLog): a concurrent writer
+    of that other root (the delete stream's own compaction) can
+    invalidate the listed file set between plan and scan — a TOCTOU the
+    single-root read rule cannot cover. Because the primary and
+    fallback transforms are READ-EQUIVALENT by contract (probes exclude
+    tombstoned rows either way; fold application only brings erasure
+    forward), a failed primary fold retries once with the fallback
+    (the first attempt's torn, manifestless dest dir is cleaned by the
+    retry's own ``_reconcile``); the skipped application simply waits
+    for the next fold. A fallback failure re-raises — that is a real
+    fold error, not the race."""
+    try:
+        return maybe_compact(
+            spark, root, schema, batch_id, every=every,
+            major_every=major_every, transform=transform, fs=fs, **kwargs,
+        )
+    except Exception:
+        if fallback_transform is None:
+            raise
+        return maybe_compact(
+            spark, root, schema, batch_id, every=every,
+            major_every=major_every, transform=fallback_transform, fs=fs,
+            **kwargs,
+        )
+
+
 def bucketed_relation(
     spark: SparkSession,
     root: str,
@@ -949,12 +989,16 @@ def publish_snapshot(
 class TombstoneLog:
     """Append-only deleted-id log shared by the deletion paths of the
     ANN and retrieval index sinks (streaming/ann_index.py,
-    streaming/retrieval_index.py). Tombstones affect READS ONLY: the
-    owning sink's admit path never consults them (no write-path
-    coupling — every admit-side replay/fold proof stands), and
-    ``append`` does no cross-state read at all, so a replayed delete
-    batch rewrites identical rows. Readers dedupe; folds dedupe too
-    (read-equivalent).
+    streaming/retrieval_index.py). Tombstones never affect ADMISSION:
+    the owning sink's admission decisions never consult them (every
+    admit-side replay/fold proof stands), and ``append`` does no
+    cross-state read at all, so a replayed delete batch rewrites
+    identical rows. The one write-path reader is the owning sink's
+    tombstone-APPLYING compaction fold (round 12) — a best-effort
+    erasure optimization that races this log's own compaction and falls
+    back to the plain read-equivalent fold when the race invalidates
+    its read (``maybe_compact_with_fallback``). Readers dedupe; folds
+    dedupe too (read-equivalent).
 
     ``source_col`` names the id column on incoming delete batches;
     ``store_col`` the persisted (and joinable) name."""

@@ -524,3 +524,43 @@ def test_vacuum_drops_superseded_and_tombstoned_rows(spark, tmp_path):
     plain = RetrievalIndexSnapshot(str(tmp_path / "x"))
     with pytest.raises(ValueError, match="scheme mismatch"):
         vacuum_versioned_retrieval_index(spark, src, plain)
+
+
+def test_tombstone_applying_fold_falls_back_under_race(spark, tmp_path):
+    """The tombstone-applying fold reads ANOTHER statedir root (the
+    TombstoneLog) — a concurrent delete-stream compaction can invalidate
+    that read mid-fold (TOCTOU on the listed file set). The application
+    is an optimization: statedir.maybe_compact_with_fallback retries the
+    fold once with the read-equivalent plain transform, and only a
+    fallback failure raises. Simulated here with a primary transform
+    that raises like the race would."""
+    calls = []
+
+    def primary(df):
+        calls.append("primary")
+        raise FileNotFoundError("tombstone dir vanished mid-fold")
+
+    def fallback(df):
+        calls.append("fallback")
+        return df.sortWithinPartitions("word")
+
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(_v1(spark), 0)
+    snap.foreach_batch(_v2(spark), 1)
+    did = statedir.maybe_compact_with_fallback(
+        spark,
+        snap.postings_dir,
+        "doc_id bigint, version bigint, word string, tf bigint, dl bigint",
+        2,
+        every=1,
+        transform=primary,
+        fallback_transform=fallback,
+    )
+    assert did and calls == ["primary", "fallback"]
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark, deletes=False)
+    # a fallback failure is a real fold error: it must raise
+    with pytest.raises(FileNotFoundError):
+        statedir.maybe_compact_with_fallback(
+            spark, snap.docs_dir, "doc_id bigint, version bigint, dl bigint",
+            2, every=1, transform=primary, fallback_transform=primary,
+        )

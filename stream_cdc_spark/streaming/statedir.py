@@ -200,6 +200,18 @@ class LocalFS:
 _DEFAULT_FS = LocalFS()
 
 
+def _table_location(path: str) -> str:
+    """The location a catalog-table write/read must use for ``path``:
+    RELATIVE local paths resolve against the process cwd — exactly what
+    plain ``df.write.parquet(path)`` does — because Spark resolves a
+    relative ``option("path", ...)``/LOCATION against the WAREHOUSE dir
+    instead, silently splitting the statedir in two (the bucketed delta
+    fold of a relative-rooted state wrote its data under
+    spark-warehouse/ while the manifest publish looked at cwd). URIs
+    with a scheme (s3://, hdfs://...) pass through untouched."""
+    return path if "://" in path else os.path.abspath(path)
+
+
 def _manifest_path(dir_path: str) -> str:
     return dir_path + _MANIFEST_SUFFIX
 
@@ -473,7 +485,7 @@ def compact(
                     .format("parquet")
                     .bucketBy(num_buckets, *bucket_cols)
                     .sortBy(*bucket_cols)
-                    .option("path", dest)
+                    .option("path", _table_location(dest))
                     .saveAsTable(name)
                 )
             finally:
@@ -573,7 +585,7 @@ def compact_minor(
             .format("parquet")
             .bucketBy(num_buckets, *bucket_cols)
             .sortBy(*bucket_cols)
-            .option("path", dest)
+            .option("path", _table_location(dest))
             .saveAsTable(name)
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")  # external: files stay
@@ -639,7 +651,7 @@ def _fold_input(
                 f"CREATE TABLE {name} ({schema}) USING PARQUET "
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
                 f"INTO {num_buckets} BUCKETS "
-                f"LOCATION '{os.path.abspath(d)}'"
+                f"LOCATION '{_table_location(d)}'"
             )
             tmp_tables.append(name)
             parts.append(spark.table(name))
@@ -917,7 +929,7 @@ def bucketed_relation(
     spark.sql(
         f"CREATE TABLE {name} ({schema}) USING PARQUET "
         f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-        f"INTO {num_buckets} BUCKETS LOCATION '{os.path.abspath(latest)}'"
+        f"INTO {num_buckets} BUCKETS LOCATION '{_table_location(latest)}'"
     )
     return spark.table(name)
 

@@ -343,3 +343,44 @@ def test_column_metadata_survives_minor_fold(spark, tmp_path):
     assert statedir.compact_minor(spark, root, SCHEMA, 1)
     got = statedir.read_state(spark, root, SCHEMA, 1)
     assert dict(got.schema["id"].metadata)["lsh_k"] == 3
+
+
+def test_bucketed_folds_work_on_relative_roots(spark, tmp_path, monkeypatch):
+    """A RELATIVE state root must behave like plain parquet writes do
+    (resolve against the process cwd): Spark resolves a relative
+    saveAsTable path/LOCATION against the WAREHOUSE dir instead, which
+    silently split a relative-rooted statedir in two — the bucketed
+    delta fold wrote its data under spark-warehouse/ while the manifest
+    publish looked at cwd (the bucketed ANN soak crashed on exactly
+    this). Both the minor (delta) and major (snapshot) bucketed folds
+    must land at the cwd-relative path."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    # a genuinely relative root (resolving into tmp_path): Spark's JVM
+    # pins its cwd at session start, so chdir-ing the Python process
+    # would desynchronize the two — relpath from the stable cwd keeps
+    # Python os.* and Spark's plain parquet writes agreeing, which is
+    # exactly the contract _table_location must preserve for the
+    # catalog-table writes
+    root = _os.path.join(_os.path.relpath(str(tmp_path)), "rel-ledger")
+    schema = "vec_id bigint"
+    for b in range(3):
+        df = spark.range(b * 10, b * 10 + 10).select(
+            F.col("id").alias("vec_id")
+        )
+        df.write.mode("overwrite").parquet(statedir.batch_dir(root, b))
+    assert statedir.compact_minor(
+        spark, root, schema, 2, bucket_cols=["vec_id"], num_buckets=4
+    )
+    assert _os.path.isdir(_os.path.join(root, "delta=000000000-000000002"))
+    assert statedir.compact(
+        spark, root, schema, 3, bucket_cols=["vec_id"], num_buckets=4
+    )
+    assert _os.path.isdir(_os.path.join(root, "compact=000000003"))
+    got = sorted(
+        r["vec_id"]
+        for r in statedir.read_state(spark, root, schema, 99).collect()
+    )
+    assert got == list(range(30))

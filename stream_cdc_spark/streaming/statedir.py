@@ -662,10 +662,21 @@ def _fold_input(
     )
     if plain_paths:
         try:
-            parts.append(spark.read.parquet(*plain_paths))
+            tail = spark.read.parquet(*plain_paths)
         except Exception:
             # every plain dir is file-less (legacy empty-batch commits)
-            parts.append(spark.read.schema(schema).parquet(*plain_paths))
+            tail = spark.read.schema(schema).parquet(*plain_paths)
+        # route the unbucketed tail into bucket-aligned partitions
+        # BEFORE the union (repartition hashing == bucketBy hashing, so
+        # partition index == bucket id): each tail task then writes one
+        # file, not one file per bucket it happens to hold. Without
+        # this, N tail partitions sprayed up to N*num_buckets files
+        # into the folded snapshot — bounded (the chain is bounded) but
+        # ~3x the necessary count, and every folded file is re-opened
+        # by every subsequent trigger's state read. The shuffle moves
+        # only the O(recent) tail, never total state — the same
+        # measured trade as compact_minor's delta routing.
+        parts.append(tail.repartition(num_buckets, *bucket_cols))
     if not parts:
         return spark.createDataFrame([], schema), tmp_tables
     df = parts[0]

@@ -164,10 +164,43 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     return 0
 
 
+def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
+                         drain: bool):
+    """The optional right-to-be-forgotten feed of the index pipeline
+    modes: DELETES_PATH names a parquet dir of single-id-column rows,
+    streamed into the index's TombstoneLog as a SECOND query with its
+    own checkpoint (its batch ids never collide with the admit
+    stream's — separate state root, reads-only tombstones). Returns the
+    started query, or None when no feed is configured."""
+    from stream_cdc_spark.streaming.statedir import TombstoneLog
+
+    deletes_path = os.environ.get("DELETES_PATH", "")
+    if not deletes_path:
+        return None
+    tomb = TombstoneLog(
+        os.path.join(state_dir, "tombstones"),
+        store_col=id_col,
+        compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
+        major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+    )
+    stream = (
+        spark.readStream.schema(f"{id_col} bigint")
+        .option("pathGlobFilter", os.environ.get("DELETES_GLOB", "*.parquet"))
+        .parquet(deletes_path)
+        .select(id_col)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(tomb.append)
+        .option("checkpointLocation", ckpt + "-deletes")
+    )
+    return (writer.trigger(availableNow=True) if drain else writer).start()
+
+
 def _ann_index_main(cfg) -> int:
     """PIPELINE=ann_index: continuous IVF index admission over a
     (vec_id, embedding) parquet feed — same streaming scaffold as the
-    curation modes, embedding-feed schema and a required centroid set."""
+    curation modes, embedding-feed schema and a required centroid set.
+    DELETES_PATH adds the deletion feed (_maybe_delete_stream)."""
     from stream_cdc_spark.sources import sink_registry
 
     spark = get_spark(app_name="stream-cdc-spark-ann-index")
@@ -199,14 +232,19 @@ def _ann_index_main(cfg) -> int:
         .option("checkpointLocation", ckpt)
     )
     query = (writer.trigger(availableNow=True) if drain else writer).start()
+    del_query = _maybe_delete_stream(spark, state_dir, "vec_id", ckpt, drain)
 
     def _stop(signum, frame):
         print(f"signal {signum}: stopping ann_index", file=sys.stderr)
         query.stop()
+        if del_query is not None:
+            del_query.stop()
 
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     query.awaitTermination()
+    if del_query is not None:
+        del_query.awaitTermination()
     print(f"ann_index stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 
@@ -218,7 +256,8 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
     PIPELINE=retrieval_index_versioned: the CDC-native variant over a
     (doc_id, version, text) UPSERT feed (updates supersede prior images
     under the version-max read rule). A versioned feed without a version
-    column streams with version=0 (insert-only until updates appear)."""
+    column streams with version=0 (insert-only until updates appear).
+    DELETES_PATH adds the deletion feed (_maybe_delete_stream)."""
     from stream_cdc_spark.sources import sink_registry
 
     mode = "retrieval_index_versioned" if versioned else "retrieval_index"
@@ -264,15 +303,20 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
         .option("checkpointLocation", ckpt)
     )
     query = (writer.trigger(availableNow=True) if drain else writer).start()
+    del_query = _maybe_delete_stream(spark, state_dir, "doc_id", ckpt, drain)
 
     def _stop(signum, frame):
-        print(f"signal {signum}: stopping retrieval_index", file=sys.stderr)
+        print(f"signal {signum}: stopping {mode}", file=sys.stderr)
         query.stop()
+        if del_query is not None:
+            del_query.stop()
 
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     query.awaitTermination()
-    print(f"retrieval_index stopped; state at {state_dir}, checkpoint at {ckpt}")
+    if del_query is not None:
+        del_query.awaitTermination()
+    print(f"{mode} stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 
 

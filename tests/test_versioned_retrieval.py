@@ -435,34 +435,33 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
         assert c["batch"] == 1, (sub, c)
 
 
-def test_versioned_cli_mode_drains_upsert_feed(spark, tmp_path, monkeypatch):
+def test_versioned_cli_mode_drains_upsert_and_delete_feeds(
+    spark, tmp_path, monkeypatch
+):
     """PIPELINE=retrieval_index_versioned entrypoint: one availableNow
     drain over a (doc_id, version, text) upsert feed — inserts plus
-    version-2 updates in one feed — and the probe equals the batch
-    scorer over the latest images (no deletes in the feed, so
-    deletes=False on the reference corpus)."""
+    version-2 updates in one feed — AND a DELETES_PATH id feed drained
+    into the TombstoneLog as a second query; the probe equals the batch
+    scorer over the latest LIVE images."""
     from stream_cdc_spark import main as M
 
     feed = _v1(spark).unionByName(_v2(spark))
     feed_dir = str(tmp_path / "feed")
     feed.coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    # the right-to-be-forgotten feed: a second stream of bare ids
+    # (DELETES_PATH) drained into the index's TombstoneLog
+    deletes_dir = str(tmp_path / "deletes")
+    _dead_ids(spark).coalesce(1).write.mode("overwrite").parquet(deletes_dir)
     state = str(tmp_path / "cli-state")
     monkeypatch.setenv("PIPELINE", "retrieval_index_versioned")
     monkeypatch.setenv("DRAIN_AND_EXIT", "1")
     monkeypatch.setenv("DOCS_PATH", feed_dir)
+    monkeypatch.setenv("DELETES_PATH", deletes_dir)
     monkeypatch.setenv("RETR_STATE_DIR", state)
     monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
     assert M.main() == 0
     snap = VersionedRetrievalIndexSnapshot(state)
-    want = sorted(
-        map(
-            tuple,
-            text.bm25_topk(
-                _latest_live(spark, deletes=False), TERMS, top_k=15
-            ).collect(),
-        )
-    )
-    assert _snap_bm25(snap, spark) == want
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)  # deletes applied
 
 
 def test_vacuum_drops_superseded_and_tombstoned_rows(spark, tmp_path):

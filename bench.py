@@ -206,7 +206,12 @@ def main() -> None:
     spark = get_spark(app_name="stream-cdc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # lazy queries first, eager drains (q136/q137) LAST: a drain leaves
+    # localCheckpoint blocks + GC pressure in the shared JVM, and the
+    # 15 lazy walls are the ones compared against reference-round
+    # baselines recorded without any drains in-process
     headline = [n for n, s in sorted(QUERIES.items()) if s.headline]
+    headline.sort(key=lambda n: (QUERIES[n].eager, n))
 
     # Warm the JVM + parquet footers so timings measure query execution,
     # and spawn the Python/Arrow worker pool (spark.python.worker.reuse
@@ -241,16 +246,24 @@ def main() -> None:
         runs = []
         qm = None
         for _ in range(repeats):
-            # measure BUILD + collect in one execution-id window: the
-            # incremental-index headliners (q136/q137) execute their
-            # drain eagerly inside builder() (localCheckpoint folds), so
-            # measuring only the built DataFrame would miss the
-            # production sink path entirely — wall AND shuffle/scan
-            # sums. For lazy queries the build is plan construction, a
-            # few ms and zero executions.
-            qm = collector.measure_lazy(
-                name, lambda n=name: QUERIES[n].builder(spark, sf_dir)
-            )
+            # eager queries (the incremental-index drains) execute most
+            # of their work inside builder() — localCheckpoint folds —
+            # so their timing/metrics window opens BEFORE the build
+            # (measure_lazy), or the bench would gate only the probe.
+            # Lazy queries keep collect-only timing: their builders'
+            # driver-side spark.read round-trips are ~0.2-0.4 s of
+            # plan-construction overhead a production pipeline pays
+            # once, not per query, and their frozen baseline rows were
+            # recorded collect-only — mixing the protocols inflated
+            # every lazy wall by that constant (round-12 isolated run).
+            if QUERIES[name].eager:
+                qm = collector.measure_lazy(
+                    name, lambda n=name: QUERIES[n].builder(spark, sf_dir)
+                )
+            else:
+                qm = collector.measure(
+                    name, QUERIES[name].builder(spark, sf_dir)
+                )
             runs.append(round(qm.wall_s, 3))
         # lower-middle order statistic: the true median for odd n, the
         # smaller middle for even n (never the max — with n=2 the first

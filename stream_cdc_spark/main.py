@@ -47,6 +47,25 @@ maintenance:
   RETR_STATE_DIR=<dir>               docs/ postings/ stats/ state tables
   COMPACT_EVERY / COMPACT_MAJOR_EVERY  same fold knobs as curation
 
+Versioned retrieval mode (PIPELINE=retrieval_index_versioned): the
+CDC-native variant over a (doc_id, version, text) UPSERT feed — updates
+supersede prior images under the version-max read rule
+(RETR_VERSION_COL overrides the version column name).
+
+Knobs shared by the three index modes (ann_index, retrieval_index,
+retrieval_index_versioned):
+
+  DELETES_PATH=<parquet dir of ids>  right-to-be-forgotten feed: a
+                                     second query draining ids into the
+                                     index's TombstoneLog (DELETES_GLOB
+                                     filters files)
+  STATE_BUCKETED=1                   fold the admission ledger into a
+                                     bucketed snapshot — the 100 TB
+                                     shape: the per-trigger redelivery
+                                     anti-join reads the ledger side
+                                     Exchange-free past broadcast size
+  STATE_NUM_BUCKETS=<n>              bucket count (default 32)
+
 SIGINT/SIGTERM stop the query gracefully (O27): the in-flight epoch
 commits, the buffer is never lost, resume continues from the checkpoint.
 
@@ -164,36 +183,100 @@ def _curation_main(cfg, pipeline: str = "curation") -> int:
     return 0
 
 
+def _bucketed_kw() -> dict:
+    """STATE_BUCKETED=1 folds the index's admission ledger into a
+    bucketed snapshot (STATE_NUM_BUCKETS, default 32) — the 100 TB
+    admission shape: the per-trigger redelivery anti-join reads the
+    corpus-sized ledger side with zero Exchange past broadcast size
+    (streaming/ann_index.py, streaming/retrieval_index.py docs)."""
+    if os.environ.get("STATE_BUCKETED", "0") != "1":
+        return {}
+    return {
+        "bucketed": True,
+        "num_buckets": int(os.environ.get("STATE_NUM_BUCKETS", "32")),
+    }
+
+
 def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
                          drain: bool):
     """The optional right-to-be-forgotten feed of the index pipeline
-    modes: DELETES_PATH names a parquet dir of single-id-column rows,
-    streamed into the index's TombstoneLog as a SECOND query with its
-    own checkpoint (its batch ids never collide with the admit
-    stream's — separate state root, reads-only tombstones). Returns the
-    started query, or None when no feed is configured."""
+    modes: DELETES_PATH names a parquet dir of id rows (column name =
+    the index's id column; DELETES_ID_COL overrides), streamed into the
+    index's TombstoneLog as a SECOND query with its own checkpoint (its
+    batch ids never collide with the admit stream's — separate state
+    root, reads-only tombstones). Returns the started query, or None
+    when no feed is configured."""
     from stream_cdc_spark.streaming.statedir import TombstoneLog
 
     deletes_path = os.environ.get("DELETES_PATH", "")
     if not deletes_path:
         return None
+    src_col = os.environ.get("DELETES_ID_COL", id_col)
+    glob = os.environ.get("DELETES_GLOB", "*.parquet")
+    # fail LOUDLY on a misnamed id column: the forced streaming schema
+    # would otherwise fill a missing column with nulls, tombstone
+    # nothing, and exit 0 — a silent no-op on a compliance path. Best
+    # effort: only checkable once the feed has files (a not-yet-written
+    # feed dir is legitimate in continuous mode).
+    try:
+        avail = (
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(deletes_path)
+            .columns
+        )
+    except Exception:
+        avail = None  # no files yet: nothing to contradict
+    if avail is not None and src_col not in avail:
+        raise ValueError(
+            f"DELETES_PATH feed at {deletes_path!r} has columns {avail} "
+            f"but the deletion id column is {src_col!r} (the index's id "
+            f"column; override with DELETES_ID_COL). A forced schema "
+            f"would read the missing column as all-null and delete "
+            f"nothing."
+        )
     tomb = TombstoneLog(
         os.path.join(state_dir, "tombstones"),
         store_col=id_col,
+        source_col=src_col,
         compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
         major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
     )
     stream = (
-        spark.readStream.schema(f"{id_col} bigint")
-        .option("pathGlobFilter", os.environ.get("DELETES_GLOB", "*.parquet"))
+        spark.readStream.schema(f"{src_col} bigint")
+        .option("pathGlobFilter", glob)
         .parquet(deletes_path)
-        .select(id_col)
+        .select(src_col)
     )
     writer = (
         stream.writeStream.foreachBatch(tomb.append)
         .option("checkpointLocation", ckpt + "-deletes")
     )
     return (writer.trigger(availableNow=True) if drain else writer).start()
+
+
+def _await_streams(spark, queries, drain: bool) -> None:
+    """Await the mode's streaming queries. Drain mode: every
+    availableNow query must complete — await each (completion order is
+    irrelevant). Continuous mode with more than one query: a dead feed
+    must FAIL THE PIPELINE, not die silently behind the healthy one —
+    await ANY termination, stop the survivors, then re-await each so a
+    failed query's exception propagates (exit != 0). Without this, a
+    crashed DELETES_PATH stream would stop applying legally-required
+    deletions while admission kept running and looked healthy."""
+    qs = [q for q in queries if q is not None]
+    if drain or len(qs) == 1:
+        for q in qs:
+            q.awaitTermination()
+        return
+    spark.streams.resetTerminated()
+    try:
+        spark.streams.awaitAnyTermination()
+    finally:
+        for q in qs:
+            if q.isActive:
+                q.stop()
+    for q in qs:
+        q.awaitTermination()
 
 
 def _ann_index_main(cfg) -> int:
@@ -215,6 +298,7 @@ def _ann_index_main(cfg) -> int:
         centroids_path=os.environ.get("CENTROIDS_PATH", ""),
         compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
         major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+        **_bucketed_kw(),
     )
     default_glob = (
         "embeddings.parquet"
@@ -242,9 +326,7 @@ def _ann_index_main(cfg) -> int:
 
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
-    query.awaitTermination()
-    if del_query is not None:
-        del_query.awaitTermination()
+    _await_streams(spark, [query, del_query], drain)
     print(f"ann_index stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 
@@ -272,6 +354,7 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
         state_dir=state_dir,
         compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
         major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+        **_bucketed_kw(),
     )
     default_glob = (
         "documents.parquet"
@@ -313,9 +396,7 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
 
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
-    query.awaitTermination()
-    if del_query is not None:
-        del_query.awaitTermination()
+    _await_streams(spark, [query, del_query], drain)
     print(f"{mode} stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 

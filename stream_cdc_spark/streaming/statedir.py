@@ -208,8 +208,12 @@ def _table_location(path: str) -> str:
     instead, silently splitting the statedir in two (the bucketed delta
     fold of a relative-rooted state wrote its data under
     spark-warehouse/ while the manifest publish looked at cwd). URIs
-    with a scheme (s3://, hdfs://...) pass through untouched."""
-    return path if "://" in path else os.path.abspath(path)
+    with a scheme pass through untouched — including the single-slash
+    Hadoop spellings (file:/x, hdfs:/x), which os.path.abspath would
+    mangle into a cwd-relative 'file:' directory."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
+        return path
+    return os.path.abspath(path)
 
 
 def _manifest_path(dir_path: str) -> str:

@@ -255,26 +255,50 @@ def test_in_memory_fold_matches_batch(spark):
     assert got == _batch_topk(spark)
 
 
-def test_ann_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
+def test_ann_index_cli_mode_drains_corpus_and_deletes(
+    spark, tmp_path, monkeypatch
+):
     """PIPELINE=ann_index entrypoint: one availableNow drain over the
     sf0.001 embeddings admits the whole corpus into the persisted index
-    and the probe equals the batch operator — the sink wired through the
-    registry + env config exactly like the curation modes."""
+    — plus a DELETES_PATH id feed drained into the TombstoneLog as a
+    second query — and the probe equals the batch operator over the
+    LIVE set. A misnamed deletes id column refuses loudly instead of
+    tombstoning nothing."""
+    import pytest as _pytest
+
     from stream_cdc_spark import main as M
 
     cents = _centroids(spark)
     cpath = str(tmp_path / "centroids.parquet")
     _centroids_df(spark).toPandas().to_parquet(cpath)
+    dead = _emb(spark).filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    deletes_dir = str(tmp_path / "deletes")
+    dead.coalesce(1).write.mode("overwrite").parquet(deletes_dir)
     state = str(tmp_path / "cli-state")
     monkeypatch.setenv("PIPELINE", "ann_index")
     monkeypatch.setenv("DRAIN_AND_EXIT", "1")
     monkeypatch.setenv("EMB_PATH", "/root/testdata/sf0.001")
     monkeypatch.setenv("CENTROIDS_PATH", cpath)
     monkeypatch.setenv("ANN_STATE_DIR", state)
+    monkeypatch.setenv("DELETES_PATH", deletes_dir)
     monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    monkeypatch.setenv("DELETES_ID_COL", "wrong_col")
+    with _pytest.raises(ValueError, match="DELETES_PATH feed"):
+        M.main()
+    monkeypatch.delenv("DELETES_ID_COL")
     assert M.main() == 0
     snap = AnnIndexSnapshot(state, cents)
-    assert _snap_topk(snap, spark) == _batch_topk(spark)
+    live = _emb(spark).join(dead, "vec_id", "left_anti")
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                live, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert _snap_topk(snap, spark) == want
 
 
 def _sq_ranges(spark):

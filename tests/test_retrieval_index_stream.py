@@ -224,15 +224,20 @@ def test_retrieval_index_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     through the registry + env config exactly like the ann_index mode."""
     from stream_cdc_spark import main as M
 
+    dead = _docs(spark).filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    deletes_dir = str(tmp_path / "deletes")
+    dead.coalesce(1).write.mode("overwrite").parquet(deletes_dir)
     state = str(tmp_path / "cli-state")
     monkeypatch.setenv("PIPELINE", "retrieval_index")
     monkeypatch.setenv("DRAIN_AND_EXIT", "1")
     monkeypatch.setenv("DOCS_PATH", "/root/testdata/sf0.001")
+    monkeypatch.setenv("DELETES_PATH", deletes_dir)
     monkeypatch.setenv("RETR_STATE_DIR", state)
     monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
     assert M.main() == 0
     snap = RetrievalIndexSnapshot(state)
-    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    live = _docs(spark).join(dead, "doc_id", "left_anti")
+    assert _snap_bm25(snap, spark) == _live_bm25(spark, live)
 
 
 def test_bucketed_ledger_equality_and_shuffle_free_admission(

@@ -563,3 +563,62 @@ def test_tombstone_applying_fold_falls_back_under_race(spark, tmp_path):
             spark, snap.docs_dir, "doc_id bigint, version bigint, dl bigint",
             2, every=1, transform=primary, fallback_transform=primary,
         )
+
+
+def test_cli_bucketed_ledger_env(spark, tmp_path, monkeypatch):
+    """STATE_BUCKETED=1 / STATE_NUM_BUCKETS wire the bucketed admission
+    tier through the CLI into the sink constructor (asserted via a
+    registry spy — an availableNow drain of a single-file feed is one
+    micro-batch, so no fold fires during the drain itself), and the
+    drained index still equals the batch scorer."""
+    from stream_cdc_spark import main as M
+    from stream_cdc_spark.sources import sink_registry
+
+    feed_dir = str(tmp_path / "feed")
+    _v1(spark).unionByName(_v2(spark)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(feed_dir)
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "retrieval_index_versioned")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", feed_dir)
+    monkeypatch.setenv("RETR_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    monkeypatch.setenv("STATE_BUCKETED", "1")
+    monkeypatch.setenv("STATE_NUM_BUCKETS", "4")
+    monkeypatch.setenv("COMPACT_EVERY", "1")
+    captured = {}
+    real_create = sink_registry.create
+
+    def spy(name, **kw):
+        captured.update(kw)
+        return real_create(name, **kw)
+
+    monkeypatch.setattr(sink_registry, "create", spy)
+    assert M.main() == 0
+    assert captured.get("bucketed") is True
+    assert captured.get("num_buckets") == 4
+    snap = VersionedRetrievalIndexSnapshot(
+        state, bucketed=True, num_buckets=4
+    )
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark, deletes=False)
+    # drive one more trigger through the (bucketed) sink so the ledger
+    # folds: the published snapshot must carry the admission-key spec
+    import glob
+    import json as _json
+
+    snap2 = VersionedRetrievalIndexSnapshot(
+        state, compact_every=1, bucketed=True, num_buckets=4
+    )
+    snap2.foreach_batch(
+        spark.createDataFrame(
+            [(10**9, 1, "fresh doc")],
+            "doc_id bigint, version bigint, text string",
+        ),
+        1,
+    )
+    specs = [
+        _json.loads(open(m).read()).get("bucket")
+        for m in glob.glob(os.path.join(state, "docs", "*.commit"))
+    ]
+    assert {"cols": ["doc_id", "version"], "n": 4} in specs, specs

@@ -268,9 +268,19 @@ def _await_streams(spark, queries, drain: bool) -> None:
         for q in qs:
             q.awaitTermination()
         return
+    # resetTerminated() runs AFTER the queries started, so a query that
+    # died in that window is invisible to awaitAnyTermination (it would
+    # block forever on the healthy survivor — the exact silent-dead-feed
+    # hang this function exists to prevent). Poll each query's isActive
+    # alongside the bounded await so an already-terminated feed is
+    # noticed on the first loop iteration.
     spark.streams.resetTerminated()
     try:
-        spark.streams.awaitAnyTermination()
+        while True:
+            if spark.streams.awaitAnyTermination(5):
+                break
+            if any(not q.isActive for q in qs):
+                break
     finally:
         for q in qs:
             if q.isActive:
@@ -337,8 +347,10 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
     scaffold as the ann_index mode (streaming/retrieval_index.py).
     PIPELINE=retrieval_index_versioned: the CDC-native variant over a
     (doc_id, version, text) UPSERT feed (updates supersede prior images
-    under the version-max read rule). A versioned feed without a version
-    column streams with version=0 (insert-only until updates appear).
+    under the version-max read rule). A feed missing the version column
+    FAILS LOUDLY (best-effort column check, like the DELETES_PATH
+    guard); RETR_VERSION_COL= (explicitly empty) opts a version-less
+    feed in as version 0 (insert-only until updates appear).
     DELETES_PATH adds the deletion feed (_maybe_delete_stream)."""
     from stream_cdc_spark.sources import sink_registry
 
@@ -361,26 +373,58 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
         if os.path.exists(os.path.join(docs_path, "documents.parquet"))
         else "*.parquet"
     )
+    # RETR_VERSION_COL= (explicitly empty) opts a version-less feed into
+    # versioned mode: every row admits as version 0 (insert-only
+    # first-wins). Otherwise fail LOUDLY when the version column is
+    # missing from the feed: the forced streaming schema would read it
+    # as all-null, coalesce every row to (doc_id, 0), and first-wins
+    # admission would drop every CDC update as a redelivery — stale
+    # images scored forever with exit 0. Same silent-no-op class the
+    # DELETES_PATH guard closes; same best-effort rule (a not-yet-
+    # written feed dir has nothing to contradict).
     ver = os.environ.get("RETR_VERSION_COL", "version")
+    versionless = versioned and not ver
+    docs_glob = os.environ.get("DOCS_GLOB", default_glob)
+    if versioned and not versionless:
+        try:
+            avail = (
+                spark.read.option("pathGlobFilter", docs_glob)
+                .parquet(docs_path)
+                .columns
+            )
+        except Exception:
+            avail = None  # no files yet: nothing to contradict
+        if avail is not None and ver not in avail:
+            raise ValueError(
+                f"versioned feed at {docs_path!r} has columns {avail} but "
+                f"the version column is {ver!r} (override with "
+                f"RETR_VERSION_COL; set RETR_VERSION_COL= empty to opt a "
+                f"version-less feed into versioned mode as version 0). A "
+                f"forced schema would read the missing column as all-null "
+                f"and drop every update as a redelivery."
+            )
     feed_schema = (
         f"doc_id bigint, {ver} bigint, text string"
-        if versioned
+        if versioned and not versionless
         else "doc_id bigint, text string"
     )
     stream = (
         spark.readStream.schema(feed_schema)
-        .option("pathGlobFilter", os.environ.get("DOCS_GLOB", default_glob))
+        .option("pathGlobFilter", docs_glob)
         .parquet(docs_path)
     )
-    stream = (
-        stream.select(
+    if versioned and not versionless:
+        stream = stream.select(
             "doc_id",
             F.coalesce(F.col(ver).cast("long"), F.lit(0)).alias("version"),
             "text",
         )
-        if versioned
-        else stream.select("doc_id", "text")
-    )
+    elif versioned:
+        stream = stream.select(
+            "doc_id", F.lit(0).cast("long").alias("version"), "text"
+        )
+    else:
+        stream = stream.select("doc_id", "text")
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)

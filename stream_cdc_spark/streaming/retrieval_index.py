@@ -582,6 +582,7 @@ class VersionedRetrievalIndexSnapshot:
         commit_files: int = 1,
         bucketed: bool = False,
         num_buckets: int = 32,
+        broadcast_max_ids: int = 4_000_000,
         fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
@@ -605,6 +606,12 @@ class VersionedRetrievalIndexSnapshot:
         self.commit_files = commit_files
         self.bucketed = bucketed
         self.num_buckets = num_buckets
+        # cap on the matching-doc count the probe will force-broadcast:
+        # a high-frequency query term can match an unbounded share of
+        # the corpus, and an unconditional F.broadcast hint bypasses the
+        # auto-broadcast threshold — driver OOM at 100 TB. Past the cap
+        # the probe falls back to optimizer-chosen (shuffle) joins.
+        self.broadcast_max_ids = broadcast_max_ids
         self.fs = fs
         self._stamp = {"retr_scheme": RETR_SCHEME_VERSIONED}
 
@@ -673,7 +680,16 @@ class VersionedRetrievalIndexSnapshot:
         ledger rows (semi-join against the broadcast matching-id set),
         and the final (doc_id, version) equi-join broadcasts that
         one-row-per-matching-doc relation — the corpus-sized states
-        never ride an Exchange wider than the matching rows."""
+        never ride an Exchange wider than the matching rows.
+
+        The broadcast hints are GUARDED: a high-frequency term can match
+        an unbounded share of the corpus, and an unconditional
+        ``F.broadcast`` bypasses the auto-broadcast threshold (driver
+        OOM). A bounded ``limit(cap+1).count()`` probe decides — at or
+        under ``broadcast_max_ids`` matching docs the hinted zero-
+        corpus-Exchange plan runs; past it the hints are dropped and the
+        optimizer picks shuffle joins (correct, and the only safe shape
+        at that cardinality)."""
         matching = self._tomb.exclude(
             spark,
             self.postings(spark).filter(
@@ -681,13 +697,16 @@ class VersionedRetrievalIndexSnapshot:
             ),
         )
         ids = matching.select("doc_id").distinct()
+        cap = self.broadcast_max_ids
+        small = ids.limit(cap + 1).count() <= cap
+        hint = F.broadcast if small else (lambda df: df)
         mx = (
             self.docs(spark)
-            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .join(hint(ids), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.max("version").alias("version"))
         )
-        return matching.join(F.broadcast(mx), ["doc_id", "version"])
+        return matching.join(hint(mx), ["doc_id", "version"])
 
     def bm25_topk(
         self, spark, query_terms: list[str], top_k: int = 15

@@ -124,6 +124,7 @@ import json
 import os
 import re
 import shutil
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -899,9 +900,24 @@ def maybe_compact_with_fallback(
             spark, root, schema, batch_id, every=every,
             major_every=major_every, transform=transform, fs=fs, **kwargs,
         )
-    except Exception:
+    except Exception as exc:
         if fallback_transform is None:
             raise
+        # Surface the swallowed primary failure: the fallback is read-
+        # equivalent, but a DETERMINISTIC primary failure (corrupt
+        # tombstone state, persistent FS error) repeating on every fold
+        # means erasure has quietly stopped being applied — an operator
+        # must be able to see that from the logs, not just the TOCTOU
+        # race this retry exists for.
+        warnings.warn(
+            f"primary (tombstone-applying) fold of {root!r} at batch "
+            f"{batch_id} failed with {type(exc).__name__}: {exc}; "
+            f"retrying with the read-equivalent plain fold (erasure "
+            f"deferred to the next fold). A repeat of this warning on "
+            f"every fold indicates a persistent fault, not the race.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return maybe_compact(
             spark, root, schema, batch_id, every=every,
             major_every=major_every, transform=fallback_transform, fs=fs,

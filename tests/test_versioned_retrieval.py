@@ -622,3 +622,141 @@ def test_cli_bucketed_ledger_env(spark, tmp_path, monkeypatch):
         for m in glob.glob(os.path.join(state, "docs", "*.commit"))
     ]
     assert {"cols": ["doc_id", "version"], "n": 4} in specs, specs
+
+
+def test_versioned_cli_refuses_missing_version_column(
+    spark, tmp_path, monkeypatch
+):
+    """A versioned feed whose files LACK the configured version column
+    must fail loudly at startup: the forced streaming schema would read
+    it as all-null, coalesce every row to (doc_id, 0), and first-wins
+    admission would drop every CDC update as a redelivery — stale
+    images scored forever with exit 0. RETR_VERSION_COL= (explicitly
+    empty) is the opt-in for genuinely version-less feeds: every row
+    admits as version 0."""
+    from stream_cdc_spark import main as M
+
+    feed_dir = str(tmp_path / "feed")
+    _docs(spark).select("doc_id", "text").coalesce(1).write.parquet(feed_dir)
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "retrieval_index_versioned")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("DOCS_PATH", feed_dir)
+    monkeypatch.setenv("RETR_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    with pytest.raises(ValueError, match="version column is 'version'"):
+        M.main()
+    # a mis-NAMED column is the same fault
+    monkeypatch.setenv("RETR_VERSION_COL", "rev")
+    with pytest.raises(ValueError, match="version column is 'rev'"):
+        M.main()
+    # explicit opt-in: empty RETR_VERSION_COL admits everything as v0
+    monkeypatch.setenv("RETR_VERSION_COL", "")
+    assert M.main() == 0
+    snap = VersionedRetrievalIndexSnapshot(state)
+    assert sorted(
+        map(tuple, snap.docs(spark).select("version").distinct().collect())
+    ) == [(0,)]
+    assert _snap_bm25(snap, spark) == sorted(
+        map(tuple, text.bm25_topk(_docs(spark), TERMS, top_k=15).collect())
+    )
+
+
+def test_fallback_fold_warns_on_swallowed_primary_failure(spark, tmp_path):
+    """The read-equivalent fallback retry must SURFACE the primary
+    failure (RuntimeWarning): a deterministic fault — corrupt tombstone
+    state, persistent FS error — repeating on every fold means erasure
+    has quietly stopped; an operator must see that in the logs, not
+    just the TOCTOU race the retry exists for."""
+
+    def primary(df):
+        raise FileNotFoundError("tombstone dir vanished mid-fold")
+
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(_v1(spark), 0)
+    snap.foreach_batch(_v2(spark), 1)
+    with pytest.warns(RuntimeWarning, match="read-equivalent plain fold"):
+        did = statedir.maybe_compact_with_fallback(
+            spark,
+            snap.docs_dir,
+            "doc_id bigint, version bigint, dl bigint",
+            2,
+            every=1,
+            transform=primary,
+            fallback_transform=lambda df: df,
+        )
+    assert did
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark, deletes=False)
+
+
+def test_await_streams_notices_pre_terminated_query():
+    """_await_streams calls resetTerminated() AFTER the queries started;
+    a query that died in that window is invisible to
+    awaitAnyTermination. The isActive poll must notice it on the first
+    iteration (no hang), stop the survivors, and re-await so the dead
+    feed's exception propagates — a silently dead DELETES_PATH feed is
+    a compliance hazard (main._await_streams doc)."""
+    from stream_cdc_spark.main import _await_streams
+
+    class DeadQuery:
+        isActive = False
+
+        def stop(self):
+            pass
+
+        def awaitTermination(self):
+            raise RuntimeError("deletion feed died before resetTerminated")
+
+    class LiveQuery:
+        def __init__(self):
+            self.isActive = True
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+            self.isActive = False
+
+        def awaitTermination(self):
+            assert not self.isActive, "must be stopped before the re-await"
+
+    class FakeStreams:
+        def resetTerminated(self):
+            pass
+
+        def awaitAnyTermination(self, timeout=None):
+            # the dead query terminated BEFORE resetTerminated: the
+            # manager never reports it — only the isActive poll can
+            return False
+
+    class FakeSpark:
+        streams = FakeStreams()
+
+    live = LiveQuery()
+    with pytest.raises(RuntimeError, match="deletion feed died"):
+        _await_streams(FakeSpark(), [DeadQuery(), live], drain=False)
+    assert live.stopped
+
+
+def test_probe_broadcast_guard_falls_back_past_cap(spark, tmp_path):
+    """broadcast_max_ids guards the probe's force-broadcasts: past the
+    cap (a high-frequency term matching an unbounded share of the
+    corpus) the hints are dropped and the optimizer picks shuffle joins
+    — results bit-equal either way. Auto-broadcast is disabled for the
+    plan assertion so a surviving hint would be visible."""
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), broadcast_max_ids=1
+    )
+    _drain(snap, spark)
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = snap.bm25_topk(spark, TERMS)
+        out.collect()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # hints gone: the latest-version equi-join rides a shuffle join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -50,10 +50,16 @@ maintenance:
 Versioned retrieval mode (PIPELINE=retrieval_index_versioned): the
 CDC-native variant over a (doc_id, version, text) UPSERT feed — updates
 supersede prior images under the version-max read rule
-(RETR_VERSION_COL overrides the version column name).
+(RETR_VERSION_COL overrides the version column name; explicitly empty
+opts a version-less feed in as version 0).
 
-Knobs shared by the three index modes (ann_index, retrieval_index,
-retrieval_index_versioned):
+Versioned ANN mode (PIPELINE=ann_index_versioned): the CDC-native
+variant over a (vec_id, version, embedding) UPSERT feed — re-embeddings
+supersede prior vectors under the version-max read rule
+(EMB_VERSION_COL mirrors RETR_VERSION_COL).
+
+Knobs shared by the index modes (ann_index, ann_index_versioned,
+retrieval_index, retrieval_index_versioned):
 
   DELETES_PATH=<parquet dir of ids>  right-to-be-forgotten feed: a
                                      second query draining ids into the
@@ -289,21 +295,28 @@ def _await_streams(spark, queries, drain: bool) -> None:
         q.awaitTermination()
 
 
-def _ann_index_main(cfg) -> int:
+def _ann_index_main(cfg, versioned: bool = False) -> int:
     """PIPELINE=ann_index: continuous IVF index admission over a
     (vec_id, embedding) parquet feed — same streaming scaffold as the
     curation modes, embedding-feed schema and a required centroid set.
+    PIPELINE=ann_index_versioned: the CDC-native variant over a
+    (vec_id, version, embedding) UPSERT feed — re-embeddings supersede
+    prior vectors under the version-max read rule. A feed missing the
+    version column FAILS LOUDLY (best-effort column check, like the
+    DELETES_PATH guard); EMB_VERSION_COL= (explicitly empty) opts a
+    version-less feed in as version 0.
     DELETES_PATH adds the deletion feed (_maybe_delete_stream)."""
     from stream_cdc_spark.sources import sink_registry
 
-    spark = get_spark(app_name="stream-cdc-spark-ann-index")
+    mode = "ann_index_versioned" if versioned else "ann_index"
+    spark = get_spark(app_name="stream-cdc-spark-" + mode.replace("_", "-"))
     spark.sparkContext.setLogLevel(cfg.log_level)
     emb_path = os.environ.get("EMB_PATH", "/root/testdata/sf0.001")
     state_dir = os.environ.get("ANN_STATE_DIR", "/tmp/stream-cdc-spark-ann")
     ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
     drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
     sink = sink_registry.create(
-        "ann_index",
+        mode,
         state_dir=state_dir,
         centroids_path=os.environ.get("CENTROIDS_PATH", ""),
         compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
@@ -315,12 +328,53 @@ def _ann_index_main(cfg) -> int:
         if os.path.exists(os.path.join(emb_path, "embeddings.parquet"))
         else "*.parquet"
     )
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("pathGlobFilter", os.environ.get("EMB_GLOB", default_glob))
-        .parquet(emb_path)
-        .select("vec_id", "embedding")
+    emb_glob = os.environ.get("EMB_GLOB", default_glob)
+    # same silent-no-op guard as the versioned retrieval mode: a missing
+    # version column would read as all-null, every row would admit as
+    # (vec_id, 0), and every re-embedding would be dropped as a
+    # redelivery — stale vectors matching forever with exit 0
+    ver = os.environ.get("EMB_VERSION_COL", "version")
+    versionless = versioned and not ver
+    if versioned and not versionless:
+        try:
+            avail = (
+                spark.read.option("pathGlobFilter", emb_glob)
+                .parquet(emb_path)
+                .columns
+            )
+        except Exception:
+            avail = None  # no files yet: nothing to contradict
+        if avail is not None and ver not in avail:
+            raise ValueError(
+                f"versioned feed at {emb_path!r} has columns {avail} but "
+                f"the version column is {ver!r} (override with "
+                f"EMB_VERSION_COL; set EMB_VERSION_COL= empty to opt a "
+                f"version-less feed into versioned mode as version 0). A "
+                f"forced schema would read the missing column as all-null "
+                f"and drop every re-embedding as a redelivery."
+            )
+    feed_schema = (
+        f"vec_id bigint, {ver} bigint, embedding array<float>"
+        if versioned and not versionless
+        else "vec_id bigint, embedding array<float>"
     )
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("pathGlobFilter", emb_glob)
+        .parquet(emb_path)
+    )
+    if versioned and not versionless:
+        stream = stream.select(
+            "vec_id",
+            F.coalesce(F.col(ver).cast("long"), F.lit(0)).alias("version"),
+            "embedding",
+        )
+    elif versioned:
+        stream = stream.select(
+            "vec_id", F.lit(0).cast("long").alias("version"), "embedding"
+        )
+    else:
+        stream = stream.select("vec_id", "embedding")
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -329,7 +383,7 @@ def _ann_index_main(cfg) -> int:
     del_query = _maybe_delete_stream(spark, state_dir, "vec_id", ckpt, drain)
 
     def _stop(signum, frame):
-        print(f"signal {signum}: stopping ann_index", file=sys.stderr)
+        print(f"signal {signum}: stopping {mode}", file=sys.stderr)
         query.stop()
         if del_query is not None:
             del_query.stop()
@@ -337,7 +391,7 @@ def _ann_index_main(cfg) -> int:
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
     _await_streams(spark, [query, del_query], drain)
-    print(f"ann_index stopped; state at {state_dir}, checkpoint at {ckpt}")
+    print(f"{mode} stopped; state at {state_dir}, checkpoint at {ckpt}")
     return 0
 
 
@@ -452,6 +506,8 @@ def main() -> int:
         return _curation_main(cfg, pipeline)
     if pipeline == "ann_index":
         return _ann_index_main(cfg)
+    if pipeline == "ann_index_versioned":
+        return _ann_index_main(cfg, versioned=True)
     if pipeline == "retrieval_index":
         return _retrieval_index_main(cfg)
     if pipeline == "retrieval_index_versioned":

@@ -181,6 +181,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cv",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     (argmin of quantized squared distance, ties to the lowest centroid id).
@@ -188,9 +189,15 @@ def ivf_assign(
     Plan: broadcast(centroids) x corpus -> narrow scoring map -> per-vector
     min via window. At 100 TB the assignment is a scan-bandwidth pass and
     the output is the partition key for cell-local ANN (`ivf_ann_topk`).
+
+    ``carry_cols``: extra identity columns carried through and appended
+    to the argmin partition key — the versioned index assigns per
+    (vec_id, version) row (streaming/ann_index.py), with empty carry the
+    behavior is the original per-vec_id argmin.
     """
+    carry = [F.col(c) for c in carry_cols]
     v = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+        F.col(id_col).alias("vec_id"), *carry, F.col(vec_col).alias("vv")
     )
     c = centroids.select(
         F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cv")
@@ -199,13 +206,17 @@ def ivf_assign(
         F.lit(10000) * squared_distance(F.col("vv"), F.col("cv"))
     ).cast("bigint")
     scored = v.crossJoin(F.broadcast(c)).select(
-        "vec_id", "vv", "cid", dist_bp.alias("dist_bp")
+        "vec_id", *carry_cols, "vv", "cid", dist_bp.alias("dist_bp")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist_bp"), F.col("cid"))
+    w = Window.partitionBy("vec_id", *carry_cols).orderBy(
+        F.col("dist_bp"), F.col("cid")
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "vv", F.col("cid").alias("cell"), "dist_bp")
+        .select(
+            "vec_id", *carry_cols, "vv", F.col("cid").alias("cell"), "dist_bp"
+        )
     )
 
 
@@ -235,6 +246,67 @@ def ivf_ann_topk(
     )
 
 
+def ivf_query_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The planning half of an IVF probe: each query's ``nprobe``
+    nearest cells, as (q_id, qv, cell) rows — |queries| x nprobe of
+    them, a planning relation. Shared by ``ivf_probe_topk`` and the
+    versioned streaming probe (streaming/ann_index.py) so the probed-
+    cell geometry cannot drift between them."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = centroids.select(F.col("cid"), F.col("cv"))
+    qdist = q.crossJoin(F.broadcast(c)).select(
+        "q_id",
+        "qv",
+        "cid",
+        F.floor(F.lit(10000) * squared_distance(F.col("qv"), F.col("cv")))
+        .cast("bigint")
+        .alias("dist_bp"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist_bp"), F.col("cid"))
+    return (
+        qdist.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "qv", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_score_probes(
+    cells: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    quantize_bp: int | None = None,
+) -> DataFrame:
+    """The scoring half of an IVF probe: join the (vec_id, vv, cell)
+    candidates against the broadcast (q_id, qv, cell) probes, cosine-
+    score, rank top-k per query. Shared by ``ivf_probe_topk`` and the
+    versioned streaming probe so the two rankings are equal by
+    construction."""
+    cos = cosine(F.col("qv"), F.col("vv"))
+    if quantize_bp is not None:
+        sim_col = F.floor(F.lit(quantize_bp) * cos).cast("bigint").alias("sim_bp")
+        sim_name = "sim_bp"
+    else:
+        sim_col = F.round(cos, 4).alias("sim")
+        sim_name = "sim"
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), sim_col)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col(sim_name).desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", sim_name, "rank")
+    )
+
+
 def ivf_probe_topk(
     assigned: DataFrame,
     queries: DataFrame,
@@ -258,22 +330,7 @@ def ivf_probe_topk(
     them as an IN filter on ``assigned`` so a cell-clustered parquet
     index scan prunes row groups — the probe then reads ~nprobe/num_cells
     of the corpus instead of scanning it all to feed the join."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    c = centroids.select(F.col("cid"), F.col("cv"))
-    qdist = q.crossJoin(F.broadcast(c)).select(
-        "q_id",
-        "qv",
-        "cid",
-        F.floor(F.lit(10000) * squared_distance(F.col("qv"), F.col("cv")))
-        .cast("bigint")
-        .alias("dist_bp"),
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("dist_bp"), F.col("cid"))
-    probes = (
-        qdist.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "qv", F.col("cid").alias("cell"))
-    )
+    probes = ivf_query_probes(queries, centroids, nprobe, id_col, vec_col)
     cells = assigned
     if prune_cells:
         # pin: the probe relation feeds both the planning collect below
@@ -288,24 +345,7 @@ def ivf_probe_topk(
             if probed
             else cells.filter(F.lit(False))
         )
-    cos = cosine(F.col("qv"), F.col("vv"))
-    if quantize_bp is not None:
-        sim_col = F.floor(F.lit(quantize_bp) * cos).cast("bigint").alias("sim_bp")
-        sim_name = "sim_bp"
-    else:
-        sim_col = F.round(cos, 4).alias("sim")
-        sim_name = "sim"
-    scored = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("c_id"), sim_col)
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col(sim_name).desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", sim_name, "rank")
-    )
+    return ivf_score_probes(cells, probes, k, quantize_bp)
 
 
 def split_hot_buckets(

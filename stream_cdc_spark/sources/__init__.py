@@ -126,36 +126,58 @@ def _register_builtins() -> None:
     # for bulk drains: PIPELINE=lsh_dedup STATE_DIR=...
     sink_registry.register("lsh_dedup", _lsh_dedup_sink)
 
+    def _load_centroids(name, centroids, centroids_path):
+        if centroids is not None:
+            return centroids
+        if not centroids_path:
+            raise ValueError(
+                f"{name} sink needs `centroids` or `centroids_path` "
+                "(a parquet of (cid bigint, cv array<float>) — the "
+                "offline-trained IVF coarse quantizer, e.g. "
+                "operators/clustering k-means output)"
+            )
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(centroids_path)
+        missing = {"cid", "cv"} - set(table.column_names)
+        if missing:
+            raise ValueError(
+                f"{name} centroids at {centroids_path!r} must have "
+                f"columns (cid bigint, cv array<float>); missing "
+                f"{sorted(missing)} (found {table.column_names})"
+            )
+        return [(r["cid"], list(r["cv"])) for r in table.to_pylist()]
+
     def _ann_index_sink(state_dir, centroids=None, centroids_path=None, **kw):
         from stream_cdc_spark.streaming.ann_index import AnnIndexSnapshot
 
         kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
-        if centroids is None:
-            if not centroids_path:
-                raise ValueError(
-                    "ann_index sink needs `centroids` or `centroids_path` "
-                    "(a parquet of (cid bigint, cv array<float>) — the "
-                    "offline-trained IVF coarse quantizer, e.g. "
-                    "operators/clustering k-means output)"
-                )
-            import pyarrow.parquet as pq
-
-            table = pq.read_table(centroids_path)
-            missing = {"cid", "cv"} - set(table.column_names)
-            if missing:
-                raise ValueError(
-                    f"ann_index centroids at {centroids_path!r} must have "
-                    f"columns (cid bigint, cv array<float>); missing "
-                    f"{sorted(missing)} (found {table.column_names})"
-                )
-            rows = table.to_pylist()
-            centroids = [(r["cid"], list(r["cv"])) for r in rows]
+        centroids = _load_centroids("ann_index", centroids, centroids_path)
         return AnnIndexSnapshot(state_dir, centroids, **kw).foreach_batch
 
     # Continuous IVF ANN index admission over a (vec_id, embedding)
     # feed — the streaming twin of q44's batch index build:
     # PIPELINE=ann_index CENTROIDS_PATH=... (streaming/ann_index.py)
     sink_registry.register("ann_index", _ann_index_sink)
+
+    def _versioned_ann_sink(state_dir, centroids=None, centroids_path=None,
+                            **kw):
+        from stream_cdc_spark.streaming.ann_index import (
+            VersionedAnnIndexSnapshot,
+        )
+
+        kw.pop("min_tokens", None)  # curation-only knob, shared env wiring
+        centroids = _load_centroids(
+            "ann_index_versioned", centroids, centroids_path
+        )
+        return VersionedAnnIndexSnapshot(
+            state_dir, centroids, **kw
+        ).foreach_batch
+
+    # The CDC-native ANN index: (vec_id, version, embedding) UPSERTS
+    # with version-max reads — re-embeddings supersede prior vectors:
+    # PIPELINE=ann_index_versioned (streaming/ann_index.py)
+    sink_registry.register("ann_index_versioned", _versioned_ann_sink)
 
     def _retrieval_index_sink(state_dir, **kw):
         from stream_cdc_spark.streaming.retrieval_index import (

@@ -118,11 +118,29 @@ ANN_VECTORS_SCHEMA_SQ8 = "vec_id bigint, code array<tinyint>, cell bigint"
 ANN_LEDGER_SCHEMA = "vec_id bigint"
 ANN_TOMBSTONES_SCHEMA = "vec_id bigint"
 
+# versioned variant (VersionedAnnIndexSnapshot): admission key is
+# (vec_id, version) — a re-embedding arrives as a higher version of the
+# same vec_id and supersedes the prior vector under the version-max read
+# rule, exactly the q138 design on the retrieval index
+ANN_VVECTORS_SCHEMA = (
+    "vec_id bigint, version bigint, vv array<float>, cell bigint"
+)
+ANN_VVECTORS_SCHEMA_SQ8 = (
+    "vec_id bigint, version bigint, code array<tinyint>, cell bigint"
+)
+ANN_VLEDGER_SCHEMA = "vec_id bigint, version bigint"
+
 # Versioned id of the assignment/scoring math the persisted cells bake
 # in: argmin of FLOOR(10000 * squared distance) with min-cid ties, cosine
 # scoring. A change here (different quantization, different tie rule)
 # invalidates every persisted assignment, exactly like dedup.LSH_SCHEME.
 ANN_SCHEME = "ivf-argmin-sqdist-bp10000-mincid/cosine/v1"
+
+# The UPDATE-capable layout is a different scheme id, so a plain index
+# opened by the versioned sink (or vice versa) refuses instead of
+# silently misreading the row shape — same cross-mode guard as
+# retrieval_index.RETR_SCHEME_VERSIONED.
+ANN_SCHEME_VERSIONED = ANN_SCHEME + "+versioned-maxread/v1"
 
 # Storage-tier ids. float32 stores raw vectors (4 B/dim); sq8 stores
 # int8 codes under a per-dimension affine quantizer trained offline
@@ -615,4 +633,444 @@ def ann_topk_over_batches(
         ).localCheckpoint(eager=True)
     return similarity.ivf_probe_topk(
         members, queries, centroids, k, nprobe, id_col, vec_col, quantize_bp
+    )
+
+
+class VersionedAnnIndexSnapshot:
+    """foreachBatch sink: UPDATE-capable continuous IVF index — the
+    CDC-native widening of AnnIndexSnapshot, the exact q138 design the
+    versioned retrieval index uses (streaming/retrieval_index.py
+    VersionedRetrievalIndexSnapshot), applied to embeddings.
+
+    A CDC Update event re-embeds a changed document (reference
+    stream_cdc/datasources/mysql.py:416-426 emits the full after-image):
+    the new vector arrives as a HIGHER VERSION of the same vec_id and
+    the old vector must stop matching. Admission is first-wins per
+    (vec_id, version) — out-of-order and redelivered versions admit
+    exactly-once, writes stay append-only — and probes score only the
+    LATEST LIVE vector per id under the version-max read rule:
+
+        <root>/vectors/   (vec_id, version, vv|code, cell)  cell-sorted
+        <root>/ledger/    (vec_id, version)  slim admission ledger
+                          (bucketed=True folds it by the admission key)
+        <root>/tombstones/ (vec_id)  doc-level deletes: kill EVERY
+                          version, current and future (never re-admit
+                          is inherited from the ledger keeping all
+                          versions; a late higher version of a deleted
+                          id admits to the ledger but can never be read)
+
+    Probe scale shape (mirrors the versioned retrieval probe): the
+    probed-cell set enters the vectors/ scan as a pushed IN filter
+    (pruned read, same as the plain sink), the max-version lookup
+    touches only the PRUNED rows' ids (semi-join of the slim ledger
+    against the matching-id set), and the final (vec_id, version)
+    equi-join restricts to latest live — both small relations broadcast
+    only under a bounded count probe (``broadcast_max_ids``; past the
+    cap the optimizer picks shuffle joins). The max-version lookup MUST
+    come from the ledger, not the pruned scan: a re-embedding can move
+    an id to a DIFFERENT cell, and scoring the pruned cells' stale
+    version when the latest lives in an unprobed cell would resurrect
+    the old vector. With the ledger lookup the stale row fails the
+    version-max join and the id simply does not match — exact IVF
+    semantics (the latest vector's cell was not probed).
+
+    Folds erase superseded and tombstoned codes: every vectors/
+    compaction keeps only rows that are the latest live version AT FOLD
+    TIME — read-equivalent because the ledger (never erased) still
+    drives the version-max read, versions are monotone (a superseded
+    version can never become latest again: the ledger is append-only
+    and deletes are doc-level), and tombstones are append-only. The
+    fold reads the tombstone root cross-state, so it carries the plain
+    cell-sort as its read-equivalent TOCTOU fallback
+    (statedir.maybe_compact_with_fallback).
+
+    Both storage tiers of the plain sink apply unchanged: cells are
+    always assigned from the full-precision vectors, sq8 stores 1 B/dim
+    codes and dequantizes in a narrow codegen'd map after the latest
+    join. Equality contract: after any interleaving of inserts,
+    updates, deletes, replays, restarts and folds, `topk` is bit-equal
+    to batch `similarity.ivf_ann_topk` over the latest live image of
+    every id (q139 value-checks against the q44 SQL composed with
+    q03-style latest-image compaction).
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        centroids: list[tuple[int, list[float]]],
+        id_col: str = "vec_id",
+        version_col: str = "version",
+        vec_col: str = "embedding",
+        quantize_bp: int | None = 10000,
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        storage: str = "float32",
+        sq_ranges: list[tuple[float, float]] | None = None,
+        bucketed: bool = False,
+        num_buckets: int = 32,
+        broadcast_max_ids: int = 4_000_000,
+        fs: statedir.LocalFS | None = None,
+    ):
+        if not centroids:
+            raise ValueError(
+                "VersionedAnnIndexSnapshot needs a non-empty centroid set"
+            )
+        if storage not in ("float32", "sq8"):
+            raise ValueError(
+                f"storage must be 'float32' or 'sq8', got {storage!r}"
+            )
+        if storage == "sq8":
+            if not sq_ranges:
+                raise ValueError(
+                    "sq8 storage needs sq_ranges — the offline-trained "
+                    "per-dim (min, max) quantizer (train_sq_ranges)"
+                )
+            dim = len(centroids[0][1])
+            if len(sq_ranges) != dim:
+                raise ValueError(
+                    f"sq_ranges has {len(sq_ranges)} dims but centroids "
+                    f"have {dim}"
+                )
+        self.state_dir = state_dir
+        self.vectors_dir = os.path.join(state_dir, "vectors")
+        self.ledger_dir = os.path.join(state_dir, "ledger")
+        self._tomb = statedir.TombstoneLog(
+            os.path.join(state_dir, "tombstones"),
+            store_col="vec_id",
+            source_col=id_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.tombstones_dir = self._tomb.root
+        self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
+        self.id_col = id_col
+        self.version_col = version_col
+        self.vec_col = vec_col
+        self.quantize_bp = quantize_bp
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.storage = storage
+        self.sq_ranges = (
+            [(float(lo), float(hi)) for lo, hi in sq_ranges]
+            if sq_ranges
+            else None
+        )
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
+        # cap on the matching-id count the probe will force-broadcast —
+        # same guard as the versioned retrieval probe (a hot probed cell
+        # can hold an unbounded corpus share; an unconditional hint
+        # bypasses the auto-broadcast threshold)
+        self.broadcast_max_ids = broadcast_max_ids
+        self.fs = fs
+        self._schema = (
+            ANN_VVECTORS_SCHEMA_SQ8 if storage == "sq8" else ANN_VVECTORS_SCHEMA
+        )
+        self._stamp = {
+            "ann_scheme": ANN_SCHEME_VERSIONED,
+            "ann_centroid_digest": centroid_digest(self.centroids),
+            "ann_num_cells": len(self.centroids),
+            "ann_quantize_bp": -1 if quantize_bp is None else int(quantize_bp),
+            "ann_storage": (
+                ANN_STORAGE_SQ8 if storage == "sq8" else ANN_STORAGE_FLOAT
+            ),
+            "ann_sq_digest": (
+                sq_ranges_digest(self.sq_ranges) if self.sq_ranges else "-"
+            ),
+        }
+
+    # -- state ------------------------------------------------------------
+    def _centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self.centroids, "cid bigint, cv array<float>"
+        )
+
+    def _validate_stamp(self, state: DataFrame) -> None:
+        meta = dict(state.schema["cell"].metadata or {})
+        if not meta:
+            return  # schema-fallback read of an empty state
+        got = {k: meta.get(k, _STAMP_DEFAULTS.get(k)) for k in self._stamp}
+        if got != self._stamp:
+            raise ValueError(
+                f"ANN index parameter mismatch: state at "
+                f"{self.vectors_dir!r} was built with {got!r} but this "
+                f"sink/probe uses {self._stamp!r}. Persisted cell "
+                f"assignments are not comparable across centroid sets, "
+                f"schemes or the plain/versioned layout — a probe would "
+                f"silently score the wrong cells or misread the row "
+                f"shape. Rebuild the index by replaying the corpus "
+                f"through a VersionedAnnIndexSnapshot over a fresh state "
+                f"dir with the new parameters."
+            )
+
+    def _state(self, spark, batch_id: int) -> DataFrame:
+        state = statedir.read_state(
+            spark, self.vectors_dir, self._schema, batch_id, fs=self.fs
+        )
+        self._validate_stamp(state)
+        return state
+
+    def vectors(self, spark) -> DataFrame:
+        """Every admitted row as stored — (vec_id, version, vv, cell) on
+        the float32 tier, (vec_id, version, code, cell) on sq8.
+        Superseded and tombstoned rows persist in the un-folded tail
+        until a compaction fold erases them (probes never read them
+        either way)."""
+        return self._state(spark, 1 << 62)
+
+    def ledger(self, spark) -> DataFrame:
+        """Every admitted (vec_id, version) — the slim admission ledger
+        the redelivery guard AND the version-max read rule consult.
+        Never erased: first-wins admission and update supersession both
+        depend on its completeness."""
+        return statedir.read_state(
+            spark, self.ledger_dir, ANN_VLEDGER_SCHEMA, 1 << 62, fs=self.fs
+        )
+
+    def _ledger_relations(self, spark, batch_id: int) -> list[DataFrame]:
+        if self.bucketed:
+            return statedir.state_relations(
+                spark, self.ledger_dir, ANN_VLEDGER_SCHEMA, batch_id,
+                ["vec_id", "version"], self.num_buckets, fs=self.fs,
+            )
+        return [
+            statedir.read_state(
+                spark, self.ledger_dir, ANN_VLEDGER_SCHEMA, batch_id,
+                fs=self.fs,
+            )
+        ]
+
+    def tombstones(self, spark) -> DataFrame:
+        return self._tomb.read(spark)
+
+    def _latest_live(self, spark) -> DataFrame:
+        """(vec_id, version) of the LATEST version of every LIVE id —
+        the version-max read rule over the slim ledger."""
+        live = self._tomb.exclude(spark, self.ledger(spark))
+        return live.groupBy("vec_id").agg(F.max("version").alias("version"))
+
+    def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over a (vec_id) deletion stream — doc-level
+        right-to-be-forgotten: every version of the id, already admitted
+        or still in flight, stops matching (the version-max read rule
+        excludes tombstoned ids before taking the max). Physical erasure
+        of all versions is eventual via the fold (module doc)."""
+        self._tomb.append(batch_df, batch_id)
+
+    def topk(
+        self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """ANN top-k over the latest live image of every id: bit-equal
+        to batch `similarity.ivf_ann_topk` over the compacted corpus
+        (max-version vector per live vec_id). Shares
+        similarity.ivf_query_probes / ivf_score_probes with the batch
+        probe, so the geometry and ranking cannot drift (class doc for
+        the pruning + version-max plan shape)."""
+        probes = similarity.ivf_query_probes(
+            queries, self._centroids_df(spark), nprobe,
+            self.id_col, self.vec_col,
+        ).localCheckpoint(eager=True)
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        state = self._state(spark, 1 << 62)
+        pruned = (
+            state.filter(F.col("cell").isin(probed))
+            if probed
+            else state.filter(F.lit(False))
+        )
+        ids = pruned.select("vec_id").distinct()
+        cap = self.broadcast_max_ids
+        small = ids.limit(cap + 1).count() <= cap
+        hint = F.broadcast if small else (lambda df: df)
+        mx = (
+            self._tomb.exclude(spark, self.ledger(spark))
+            .join(hint(ids), "vec_id", "left_semi")
+            .groupBy("vec_id")
+            .agg(F.max("version").alias("version"))
+        )
+        latest = pruned.join(hint(mx), ["vec_id", "version"])
+        if self.storage == "sq8":
+            latest = latest.select(
+                "vec_id",
+                _sq8_decode(F.col("code"), self.sq_ranges).alias("vv"),
+                "cell",
+            )
+        else:
+            latest = latest.select("vec_id", "vv", "cell")
+        return similarity.ivf_score_probes(
+            latest, probes, k=k, quantize_bp=self.quantize_bp
+        )
+
+    # -- the sink ---------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # refuse mismatched state BEFORE touching the statedir (same
+        # no-operation-on-mismatch contract as the plain sink)
+        self._state(spark, batch_id)
+        statedir.maybe_compact(
+            spark, self.ledger_dir, ANN_VLEDGER_SCHEMA, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            # bucketed by the ADMISSION KEY so the redelivery anti-join
+            # reads the snapshot side Exchange-free at corpus scale
+            bucket_cols=["vec_id", "version"] if self.bucketed else None,
+            num_buckets=self.num_buckets,
+            fs=self.fs,
+        )
+        # vectors/ folds keep only rows that are the latest live version
+        # at fold time — every fold erases superseded re-embeddings and
+        # tombstoned ids physically (read-equivalent: the ledger still
+        # drives the version-max read and versions are monotone, class
+        # doc). Cross-state tombstone read -> plain cell-sort fallback.
+        statedir.maybe_compact_with_fallback(
+            spark, self.vectors_dir, self._schema, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            transform=lambda df: df.join(
+                self._latest_live(df.sparkSession),
+                ["vec_id", "version"],
+                "left_semi",
+            ).sortWithinPartitions("cell"),
+            fallback_transform=lambda df: df.sortWithinPartitions("cell"),
+            fs=self.fs,
+        )
+        assigned = self._build(spark, batch_df, batch_id)
+        if assigned is None:
+            return  # empty trigger: commit nothing (missing == empty)
+        (
+            assigned.coalesce(self.commit_files)
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
+        )
+        (
+            assigned.select("vec_id", "version")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
+        )
+
+    def _build(self, spark, batch_df: DataFrame, batch_id: int):
+        """The micro-batch's new (vec_id, version, vv|code, cell) rows,
+        or None for an effectively-empty batch."""
+        vecs = (
+            batch_df.select(
+                F.col(self.id_col).cast("long").alias("vec_id"),
+                F.col(self.version_col).cast("long").alias("version"),
+                F.col(self.vec_col).cast("array<float>").alias("vv"),
+            )
+            # deterministic intra-batch tie-break per ADMISSION KEY:
+            # conflicting duplicate (id, version) rows keep the
+            # lexicographically-smallest vector (replay-stable)
+            .groupBy("vec_id", "version")
+            .agg(F.min("vv").alias("vv"))
+        )
+        # redelivery guard on the admission key — reads ONLY the slim
+        # (vec_id, version) ledger, never the vectors
+        for rel in self._ledger_relations(spark, batch_id):
+            vecs = vecs.join(
+                rel.select("vec_id", "version"),
+                ["vec_id", "version"],
+                "left_anti",
+            )
+        assigned = self._assign(spark, vecs)
+        assigned = assigned.localCheckpoint(eager=True)
+        if not assigned.take(1):
+            return None
+        return assigned
+
+    def _assign(self, spark, vecs: DataFrame) -> DataFrame:
+        """(vec_id, version, vv) -> the stamped storage relation. Cells
+        are assigned from the FULL-precision vector of THAT version via
+        the shared similarity.ivf_assign argmin (carry_cols threads the
+        version through the per-row argmin), so a re-embedding lands in
+        its own correct cell — the geometry every probe relies on."""
+        assigned = similarity.ivf_assign(
+            vecs,
+            self._centroids_df(spark),
+            id_col="vec_id",
+            vec_col="vv",
+            carry_cols=("version",),
+        )
+        if self.storage == "sq8":
+            return assigned.select(
+                "vec_id",
+                "version",
+                _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
+                F.col("cell").alias("cell", metadata=self._stamp),
+            )
+        return assigned.select(
+            "vec_id",
+            "version",
+            "vv",
+            F.col("cell").alias("cell", metadata=self._stamp),
+        )
+
+
+def versioned_ann_topk_over_events(
+    events: list[tuple[str, DataFrame]],
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    version_col: str = "version",
+    vec_col: str = "embedding",
+    quantize_bp: int | None = 10000,
+) -> DataFrame:
+    """Fold ("upsert", (vec_id, version, embedding) df) / ("delete",
+    (vec_id) df) event slices through versioned first-wins admission and
+    probe the latest live image — the in-memory harness for the q139
+    registry entry, mirroring retrieval_index.versioned_bm25_over_events.
+    Bit-equal to `similarity.ivf_ann_topk` over the version-max
+    compaction of the live events."""
+    members: DataFrame | None = None
+    tombs: DataFrame | None = None
+    for kind, df in events:
+        if kind == "delete":
+            ids = df.select(F.col(id_col).cast("long").alias("vec_id"))
+            tombs = (
+                ids if tombs is None else tombs.unionByName(ids)
+            ).distinct().localCheckpoint(eager=True)
+            continue
+        vecs = (
+            df.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(version_col).cast("long").alias("version"),
+                F.col(vec_col).cast("array<float>").alias("vv"),
+            )
+            .groupBy("vec_id", "version")
+            .agg(F.min("vv").alias("vv"))
+        )
+        if members is not None:
+            vecs = vecs.join(
+                members.select("vec_id", "version"),
+                ["vec_id", "version"],
+                "left_anti",
+            )
+        assigned = similarity.ivf_assign(
+            vecs, centroids, id_col="vec_id", vec_col="vv",
+            carry_cols=("version",),
+        ).select("vec_id", "version", "vv", "cell")
+        members = (
+            members.unionByName(assigned) if members is not None else assigned
+        ).localCheckpoint(eager=True)
+    if members is None:
+        raise ValueError("versioned_ann_topk_over_events: no upsert events")
+    live = (
+        members
+        if tombs is None
+        else members.join(tombs, "vec_id", "left_anti")
+    )
+    latest = live.groupBy("vec_id").agg(F.max("version").alias("version"))
+    index = live.join(
+        F.broadcast(latest), ["vec_id", "version"]
+    ).select("vec_id", "vv", "cell")
+    return similarity.ivf_probe_topk(
+        index, queries, centroids, k, nprobe, id_col, vec_col, quantize_bp
     )

@@ -6166,6 +6166,134 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "q139_versioned_ann_updates",
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    v1 AS (SELECT vec_id, 1 AS version, CAST(embedding AS DOUBLE[]) AS vv
+           FROM embeddings),
+    v2 AS (SELECT vec_id, 2 AS version,
+                  list_reverse(CAST(embedding AS DOUBLE[])) AS vv
+           FROM embeddings WHERE vec_id % 4 = 1),
+    allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    live AS (SELECT * FROM allv WHERE vec_id % 10 <> 3),
+    latest AS (
+      SELECT vec_id, vv FROM (
+        SELECT vec_id, vv,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY version DESC)
+                 AS rn
+        FROM live
+      ) WHERE rn = 1
+    ),
+    d AS (
+      SELECT vec_id, vv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(vv, vv)
+                                 - 2 * list_dot_product(vv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT)
+               AS dist_bp
+      FROM latest, c
+    ),
+    assign AS (
+      SELECT vec_id, vv, cid AS cell FROM (
+        SELECT vec_id, vv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_bp, cid)
+                 AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qd AS (
+      SELECT q_id, qv, cid,
+             CAST(FLOOR(10000 * (list_dot_product(qv, qv)
+                                 - 2 * list_dot_product(qv, cv)
+                                 + list_dot_product(cv, cv))) AS BIGINT)
+               AS dist_bp
+      FROM q, c
+    ),
+    probes AS (
+      SELECT q_id, qv, cid AS cell FROM (
+        SELECT q_id, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_bp, cid)
+                 AS rn
+        FROM qd
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             CAST(FLOOR(10000 * list_cosine_similarity(p.qv, a.vv)) AS BIGINT)
+               AS sim_bp
+      FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, sim_bp, rank FROM (
+      SELECT q_id, c_id, sim_bp,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_bp DESC, c_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY q_id, rank
+    """,
+    doc="VERSIONED ANN index with embedding UPDATES — the symmetric "
+    "CDC widening of q138 (streaming/ann_index.py "
+    "versioned_ann_topk_over_events / VersionedAnnIndexSnapshot): the "
+    "embedding corpus arrives as interleaved insert/update/delete "
+    "events — every vec_id%4==1 vector is RE-EMBEDDED to a version-2 "
+    "image (the reversed embedding: exact in every engine, moves "
+    "cells, neighbors and scores), every vec_id%10==3 id is deleted "
+    "mid-stream (and the delete replayed), version 2 of some ids "
+    "arrives BEFORE version 1 (out-of-order), and both versions are "
+    "redelivered — folded through versioned first-wins admission "
+    "(exactly-once per (vec_id, version), append-only writes, "
+    "version-max read rule) and probed at nprobe=2/k=5 over only the "
+    "LATEST LIVE vector of each id. The oracle composes q03-style "
+    "latest-image compaction (ROW_NUMBER over version DESC) with "
+    "q44's one-shot IVF SQL over the compacted corpus, so the driver "
+    "check proves update supersession, delete permanence, and "
+    "order/redelivery insensitivity in one hash. The statedir-"
+    "persisted twin holds the same equality across restarts, replays, "
+    "bucketed folds, superseded-code-erasing folds and both storage "
+    "tiers in tests/test_versioned_ann.py.",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.ann_index import (
+        versioned_ann_topk_over_events,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<float>").alias("cv"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    v1 = emb.select(
+        "vec_id", F.lit(1).cast("bigint").alias("version"), "embedding"
+    )
+    v2 = emb.filter(F.col("vec_id") % 4 == 1).select(
+        "vec_id",
+        F.lit(2).cast("bigint").alias("version"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    dead = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    events = [
+        ("upsert", v1.filter(F.col("vec_id") % 3 != 2)),
+        # v2 precedes v1 for %3==2 ids (out-of-order); redelivered v1s
+        ("upsert", v2.unionByName(
+            v1.filter((F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 7 == 0))
+        )),
+        ("delete", dead),
+        # late v1 vectors (must not displace v2 or resurrect deletes);
+        # redelivered v2s
+        ("upsert", v1.filter(F.col("vec_id") % 3 == 2).unionByName(
+            v2.filter(F.col("vec_id") % 7 == 1)
+        )),
+        ("delete", dead),  # delete replay
+    ]
+    return versioned_ann_topk_over_events(
+        events, cents, q, k=5, nprobe=2, quantize_bp=10000
+    ).orderBy("q_id", "rank")
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -6734,12 +6862,86 @@ _DRIVER_WINDOW_R12 = [
 
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 
+# Driver verification window, round 13 — the round-12 verdict's task 3:
+# after the r12 rotation the latest-green distribution was 50 r12 /
+# 49 r11 / 39 r10, so
+#  (1) the 39 queries whose most-recent driver-green row is r10 lead
+#      the window (computed from CORRECTNESS_r01..r12: every query
+#      whose last fully-green appearance was round 10);
+#  (2) the query ADDED this round (q139, never driver-green yet);
+#  (3) code-change anchors for round-13 diffs: q136 (ann_index.py
+#      gained the versioned sink alongside the plain one), q137/q138
+#      (retrieval_index.py constructor + probe broadcast guard);
+#  (4) remaining 7 slots from the r11 cohort sitting on code changed
+#      this round — the similarity.py IVF probe refactor
+#      (ivf_query_probes/ivf_score_probes/ivf_assign carry_cols) and
+#      the shared ANN/BM25 scoring bodies: q44, q25, q29, q107, q30,
+#      q42, q89.
+_DRIVER_WINDOW_R13 = [
+    # (1) 39 stale r10-green queries:
+    "q01_envelope_filter_project",
+    "q07_cdc_apply_join",
+    "q100_language_mix_report",
+    "q101_cross_source_duplication",
+    "q102_vocab_growth",
+    "q103_lm_doc_fluency",
+    "q106_gapfill_locf",
+    "q108_heavy_hitters",
+    "q109_source_capped_sample",
+    "q110_incremental_dedup",
+    "q115_document_chunks",
+    "q116_equidepth_histogram",
+    "q125_source_drift_kl",
+    "q126_zscore_anomaly",
+    "q127_centroid_similarity",
+    "q128_cross_source_near_dup",
+    "q130_media_dup_clusters",
+    "q135_incremental_components",
+    "q18_rollup_value",
+    "q19_exact_dedup",
+    "q31_sessionization",
+    "q43_ivf_cells",
+    "q48_cdc_merge_apply",
+    "q49_topk_per_group",
+    "q53_tpch_q18",
+    "q55_tpch_q10",
+    "q57_tpch_q5_local_supplier",
+    "q58_tpch_q12_priority_counts",
+    "q59_tpch_q4_late_orders",
+    "q60_tpch_q2_min_cost_supplier",
+    "q61_tpch_q16_supplier_variety",
+    "q62_tpch_q11_value_concentration",
+    "q63_tpch_q22_dormant_customers",
+    "q69_tpch_q7_nation_volume",
+    "q70_tpch_q9_product_profit",
+    "q71_tpch_q13_order_distribution",
+    "q72_tpch_q17_small_quantity",
+    "q73_tpch_q21_waiting_suppliers",
+    "q88_pagerank",
+    # (2) new this round:
+    "q139_versioned_ann_updates",
+    # (3) round-13 code-change anchors:
+    "q136_incremental_ann_index",
+    "q137_incremental_retrieval_index",
+    "q138_versioned_retrieval_updates",
+    # (4) r11-cohort queries on this round's refactored code:
+    "q44_ivf_ann_topk",
+    "q25_ann_bruteforce_topk",
+    "q29_ann_lsh_topk",
+    "q107_sq8_ann_topk",
+    "q30_embedding_near_dup",
+    "q42_vector_stats",
+    "q89_bm25_topk",
+]
+
+assert len(_DRIVER_WINDOW_R13) == 50, len(_DRIVER_WINDOW_R13)
+
 # Reorder the registry so the driver's 50-query verification window (the
-# first 50 entries) is exactly _DRIVER_WINDOW_R12. This must stay the last
+# first 50 entries) is exactly _DRIVER_WINDOW_R13. This must stay the last
 # statement in the module — every @_register call above contributes.
-_window = set(_DRIVER_WINDOW_R12)
+_window = set(_DRIVER_WINDOW_R13)
 assert _window <= set(QUERIES), sorted(_window - set(QUERIES))
 QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R12},
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW_R13},
     **{n: s for n, s in QUERIES.items() if n not in _window},
 }

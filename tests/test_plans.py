@@ -79,68 +79,77 @@ def test_no_cartesian_outside_intended(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_driver_window_matches_round12_rotation():
+def test_driver_window_matches_round13_rotation():
     """The external driver verifies only the first 50 registry entries.
-    Round-12 policy: the 48 queries whose latest driver-green row dates
-    to r9 lead (the round-11 verdict's task-3 cohort), then the query
-    NEW this round (q138 versioned retrieval updates — never driver-
-    green, so it must be in-window) and this round's code-change anchor
-    (q136 on the ANN admission-ledger + tombstone-applying-fold work);
-    rationale above _DRIVER_WINDOW_R12 in plans/queries.py. Everything
-    outside the window has an r10/r11 green driver row and stays
+    Round-13 policy (the round-12 verdict's task 3): the 39 queries
+    whose latest driver-green row dates to r10 lead, then the query NEW
+    this round (q139 versioned ANN updates — never driver-green, so it
+    must be in-window), this round's code-change anchors (q136 on
+    ann_index.py, q137/q138 on retrieval_index.py), and 7 r11-cohort
+    queries sitting on the refactored similarity.py IVF probe bodies;
+    rationale above _DRIVER_WINDOW_R13 in plans/queries.py. Everything
+    outside the window has an r11/r12 green driver row and stays
     value-checked by the repo oracle suite."""
-    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R12
+    from stream_cdc_spark.plans.queries import QUERIES, _DRIVER_WINDOW_R13
 
     names = list(QUERIES)
-    assert len(_DRIVER_WINDOW_R12) == 50
-    assert len(set(_DRIVER_WINDOW_R12)) == 50
-    assert names[:50] == _DRIVER_WINDOW_R12
-    # the 48 stale r9-green queries all rotated in:
+    assert len(_DRIVER_WINDOW_R13) == 50
+    assert len(set(_DRIVER_WINDOW_R13)) == 50
+    assert names[:50] == _DRIVER_WINDOW_R13
+    # the 39 stale r10-green queries all rotated in:
     stale_ids = (
-        [3, 6, 10, 20, 21, 22, 26, 47, 51, 65, 66, 67, 68]
-        + list(range(74, 88)) + list(range(90, 100))
-        + [104, 105, 112, 113, 114, 117, 122, 131, 132, 133, 134]
+        [1, 7, 18, 19, 31, 43, 48, 49, 53, 88]
+        + [55, 57, 58, 59, 60, 61, 62, 63, 69, 70, 71, 72, 73]
+        + [100, 101, 102, 103, 106, 108, 109, 110, 115, 116]
+        + [125, 126, 127, 128, 130, 135]
     )
     stale = [
         n for n in names
         if n.split("_")[0][1:].isdigit()
         and int(n.split("_")[0][1:]) in stale_ids
     ]
-    assert len(stale) == 48, len(stale)
-    assert set(stale) <= set(_DRIVER_WINDOW_R12)
-    # the round-12 addition is in-window (never driver-green before r12):
-    assert "q138_versioned_retrieval_updates" in _DRIVER_WINDOW_R12
-    # this round's code-change anchor is inside the window:
-    assert "q136_incremental_ann_index" in _DRIVER_WINDOW_R12
+    assert len(stale) == 39, len(stale)
+    assert set(stale) <= set(_DRIVER_WINDOW_R13)
+    # the round-13 addition is in-window (never driver-green before r13):
+    assert "q139_versioned_ann_updates" in _DRIVER_WINDOW_R13
+    # this round's code-change anchors are inside the window:
+    assert {
+        "q136_incremental_ann_index",
+        "q137_incremental_retrieval_index",
+        "q138_versioned_retrieval_updates",
+    } <= set(_DRIVER_WINDOW_R13)
+    # the similarity.py refactor cohort:
+    assert {
+        "q44_ivf_ann_topk", "q25_ann_bruteforce_topk", "q29_ann_lsh_topk",
+        "q107_sq8_ann_topk", "q30_embedding_near_dup", "q42_vector_stats",
+        "q89_bm25_topk",
+    } <= set(_DRIVER_WINDOW_R13)
     # headline continuity: the in-cohort headliners are timed and
     # value-verified in the same round; every headliner missing from
-    # this window is r11-green (one round old)
+    # this window is r11/r12-green (at most two rounds old)
     from stream_cdc_spark.plans.queries import QUERIES as Q
 
     headline = {n for n, s in Q.items() if s.headline}
     assert {
-        "q03_log_compaction", "q10_hourly_window", "q51_asof_join",
-        "q66_winnow_fingerprints",
-    } <= set(_DRIVER_WINDOW_R12)
-    missing = headline - set(_DRIVER_WINDOW_R12)
+        "q07_cdc_apply_join", "q19_exact_dedup", "q31_sessionization",
+        "q48_cdc_merge_apply", "q136_incremental_ann_index",
+        "q137_incremental_retrieval_index",
+    } <= set(_DRIVER_WINDOW_R13)
+    missing = headline - set(_DRIVER_WINDOW_R13)
     assert missing <= {
-        "q01_envelope_filter_project",
-        "q07_cdc_apply_join",
+        "q03_log_compaction",
+        "q10_hourly_window",
         "q13_tpch_q1",
         "q14_tpch_q3",
         "q15_star_join_revenue",
-        "q19_exact_dedup",
         "q24_ngram_jaccard_pairs",
-        "q25_ann_bruteforce_topk",
         "q27_minhash_lsh_pairs",
-        "q31_sessionization",
         "q34_tpch_q6",
-        "q48_cdc_merge_apply",
-        "q136_incremental_ann_index",
-        "q137_incremental_retrieval_index",
+        "q51_asof_join",
+        "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 138
+    assert len(names) == len(set(names)) == 139
 
 
 def test_q69_q70_dims_broadcast(spark):

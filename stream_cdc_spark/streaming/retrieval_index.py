@@ -534,17 +534,27 @@ class VersionedRetrievalIndexSnapshot:
     State (no stats/ table — see below):
 
         <root>/docs/      (doc_id, version, dl)            ledger
+        <root>/latest/    (doc_id, version, dl)            materialized
+                          latest-live tier (folds reduce to the per-doc
+                          version-max and drop tombstoned docs)
         <root>/postings/  (doc_id, version, word, tf, dl)  index
         <root>/tombstones/ (doc_id)
 
     Corpus stats (N, L) cannot be per-batch integer partials here: a
     new version REPLACES its predecessor's dl, and with out-of-order
     arrival a batch cannot know locally whether its rows are latest.
-    They are instead computed at read from the latest-live reduction of
-    the ledger — a slim (3 int columns) relation ~1/1000 the postings'
-    bytes, one aggregation per probe, Exchange-free up to the groupBy
-    on the bucketed tier's doc_id clustering. That is the price of
-    update semantics and it is paid at probe time, never per trigger.
+    They are computed at read from the latest-live reduction — but over
+    the FOLD-MATERIALIZED latest/ tier plus its un-folded tail
+    (O(live + recent) rows), not the full version history: each fold of
+    latest/ collapses the folded subset to its per-doc version-max,
+    which is exact under the union-then-reduce read rule because
+    per-doc version-argmax is an idempotent commutative monoid and
+    versions are monotone (docs/ keeps the complete ledger — admission
+    never consults latest/). A pre-tier state root (r12 layout) keeps
+    working: reads fall back to the docs/ reduction and the next
+    trigger seeds the tier (``_maybe_seed_latest``). That closes the
+    round-12 design note: the probe-time reduction price of update
+    semantics is now O(recent), paid per probe, never per trigger.
 
     Scale shape per trigger (the hot path): identical to the
     insert-only sink — tokenize + per-doc tf is a narrow map over the
@@ -588,6 +598,13 @@ class VersionedRetrievalIndexSnapshot:
         self.state_dir = state_dir
         self.docs_dir = os.path.join(state_dir, "docs")
         self.postings_dir = os.path.join(state_dir, "postings")
+        # the fold-materialized latest-live tier (round-13): same slim
+        # (doc_id, version, dl) rows as docs/, but its FOLDS reduce to
+        # the per-doc version-max — probe-time reductions read this
+        # tier + the un-folded tail (O(live + recent)) instead of the
+        # full version history (O(corpus)). docs/ stays the complete
+        # admission ledger (never reduced).
+        self.latest_dir = os.path.join(state_dir, "latest")
         self._tomb = statedir.TombstoneLog(
             os.path.join(state_dir, "tombstones"),
             store_col="doc_id",
@@ -653,16 +670,41 @@ class VersionedRetrievalIndexSnapshot:
     def tombstones(self, spark) -> DataFrame:
         return self._tomb.read(spark)
 
+    def _latest_source(self, spark) -> DataFrame:
+        """The slim (doc_id, version, dl) relation the version-max read
+        rule reduces: the fold-materialized latest/ tier + its un-folded
+        tail when the tier exists (O(live + recent) rows — folds already
+        collapsed superseded history), else the full docs/ ledger (a
+        pre-tier state root; the next trigger seeds the tier). Rows here
+        may still contain superseded versions (the tail) and tombstoned
+        ids (deletes after the fold) — every reader re-applies the
+        reduction and the tombstone exclusion, which is what makes the
+        fold-time collapse a pure optimization (per-doc version-argmax
+        is an idempotent, commutative monoid)."""
+        if statedir.state_paths(self.latest_dir, 1 << 62, self.fs):
+            return statedir.read_state(
+                spark, self.latest_dir, RETR_VDOCS_SCHEMA, 1 << 62,
+                fs=self.fs,
+            )
+        return self.docs(spark)
+
+    @staticmethod
+    def _reduce_latest(df: DataFrame) -> DataFrame:
+        """Per-doc version-max over a (doc_id, version, dl) relation —
+        the monoid both the latest/ folds and the read rule apply.
+        (doc_id, version) is unique by first-wins admission, so max_by
+        has no ties to break."""
+        return df.groupBy("doc_id").agg(
+            F.max("version").alias("version"),
+            F.max_by("dl", "version").alias("dl"),
+        )
+
     def _latest_live(self, spark) -> DataFrame:
         """(doc_id, version, dl) of the LATEST version of every LIVE doc
-        — the version-max read rule. One aggregation over the slim
-        ledger (class doc)."""
-        live = self._tomb.exclude(spark, self.docs(spark))
-        return live.groupBy("doc_id").agg(
-            F.max("version").alias("version"),
-            # (doc_id, version) is unique by first-wins admission, so
-            # max_by has no ties to break
-            F.max_by("dl", "version").alias("dl"),
+        — the version-max read rule over the materialized tier + tail
+        (class doc)."""
+        return self._reduce_latest(
+            self._tomb.exclude(spark, self._latest_source(spark))
         )
 
     def corpus_stats(self, spark) -> DataFrame:
@@ -701,7 +743,10 @@ class VersionedRetrievalIndexSnapshot:
         small = ids.limit(cap + 1).count() <= cap
         hint = F.broadcast if small else (lambda df: df)
         mx = (
-            self.docs(spark)
+            # the materialized tier + tail (not the full ledger): the
+            # max over per-fold maxima is the max, and tombstoned ids
+            # are already absent from `matching`
+            self._latest_source(spark)
             .join(hint(ids), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.max("version").alias("version"))
@@ -745,20 +790,68 @@ class VersionedRetrievalIndexSnapshot:
         (they admit append-only but can never be read)."""
         self._tomb.append(batch_df, batch_id)
 
+    def _maybe_seed_latest(self, spark, batch_id: int) -> None:
+        """Upgrade a pre-tier state root (r12 layout: no latest/) by
+        publishing the docs ledger rows VISIBLE TO THIS BATCH as the
+        tier's compact=0 base snapshot — one column-pruned slim pass,
+        once. Probes on a never-again-written root keep working without
+        the seed (the read rule falls back to docs/); the seed is what
+        lets a RESUMED stream's tier cover history older than its own
+        batch dirs. Reading at ``batch_id`` keeps replays exact (the
+        ann_index ledger-seeding rule), though here even an over-read
+        would be harmless: the reduction is idempotent on duplicates."""
+        if statedir.state_paths(self.latest_dir, 1 << 62, self.fs):
+            return  # tier exists (normal path after the first trigger)
+        if not statedir.state_paths(self.docs_dir, batch_id, self.fs):
+            return  # fresh root: nothing to seed
+        statedir.publish_snapshot(
+            spark,
+            self.latest_dir,
+            statedir.read_state(
+                spark, self.docs_dir, RETR_VDOCS_SCHEMA, batch_id,
+                fs=self.fs,
+            ),
+            fs=self.fs,
+        )
+
     # -- the sink ---------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # refuse mismatched state BEFORE restructuring any statedir
         self._postings(spark, batch_id)
+        # pre-tier roots seed the latest/ tier before any fold
+        self._maybe_seed_latest(spark, batch_id)
         statedir.maybe_compact(
             spark, self.docs_dir, RETR_VDOCS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
             # bucketed by the ADMISSION KEY (doc_id, version): the
             # anti-join's keys are exactly the bucket columns, so the
             # per-trigger guard reads the snapshot Exchange-free. The
-            # probe-side latest-live groupBy(doc_id) pays one slim
-            # shuffle instead — per probe, never per trigger (class doc)
+            # probe-side latest-live groupBy(doc_id) reads the
+            # materialized latest/ tier instead (below)
             bucket_cols=["doc_id", "version"] if self.bucketed else None,
+            num_buckets=self.num_buckets,
+            fs=self.fs,
+        )
+        # latest/ folds REDUCE: per-doc version-max (+ tombstone
+        # exclusion — dead docs leave the tier physically) over the
+        # folded subset. Correct under the union-then-reduce read rule
+        # because per-doc version-argmax is an idempotent commutative
+        # monoid and versions are monotone (docs/ keeps the full ledger,
+        # so admission never consults this tier). Cross-state tombstone
+        # read -> reduction-only fallback (read-equivalent: the read
+        # rule re-applies the exclusion).
+        statedir.maybe_compact_with_fallback(
+            spark, self.latest_dir, RETR_VDOCS_SCHEMA, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=lambda df: self._reduce_latest(
+                self._tomb.exclude(df.sparkSession, df)
+            ),
+            fallback_transform=self._reduce_latest,
+            # bucketed by doc_id — the probe-side reduction's grouping
+            # key, so the tier side of the read-time groupBy is
+            # Exchange-free past broadcast size
+            bucket_cols=["doc_id"] if self.bucketed else None,
             num_buckets=self.num_buckets,
             fs=self.fs,
         )
@@ -789,6 +882,15 @@ class VersionedRetrievalIndexSnapshot:
             .coalesce(self.commit_files)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.docs_dir, batch_id))
+        )
+        # the same slim rows feed the latest/ tier's un-folded tail (a
+        # replayed batch overwrites identical rows, and duplicates are
+        # harmless to the idempotent reduction either way)
+        (
+            new_docs.select("doc_id", "version", "dl")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.latest_dir, batch_id))
         )
         (
             new_postings.coalesce(self.commit_files)

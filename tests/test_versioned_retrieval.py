@@ -760,3 +760,102 @@ def test_probe_broadcast_guard_falls_back_past_cap(spark, tmp_path):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_latest_tier_bounds_probe_reduction(spark, tmp_path):
+    """The fold-materialized latest/ tier (round-13): folds collapse
+    the per-doc version history to the version-max and drop tombstoned
+    docs, so the probe-time reduction reads O(live + recent tail) rows;
+    the probe plans scan latest/, never the full docs/ ledger; and the
+    read rule stays bit-equal across fold boundaries under updates,
+    deletes and replays (the 20 pre-tier tests re-prove the equality —
+    this one pins the tier's physical shape)."""
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1
+    )
+    _drain(snap, spark)
+    # one more trigger folds the full prefix of latest/
+    snap.foreach_batch(
+        spark.createDataFrame(
+            [], "doc_id bigint, version bigint, text string"
+        ),
+        9,
+    )
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark)
+    folded = [
+        p for p in statedir.state_paths(snap.latest_dir, 1 << 62)
+        if f"{os.sep}compact=" in p
+    ]
+    assert folded, "expected a folded latest/ tier"
+    tier = spark.read.parquet(*folded)
+    # one row per LIVE doc: superseded versions and deleted docs gone
+    live_n = _latest_live(spark).count()
+    assert tier.count() == live_n
+    assert tier.select("doc_id").distinct().count() == live_n
+    assert tier.join(_dead_ids(spark), "doc_id", "left_semi").count() == 0
+    # while the full docs/ ledger keeps every admitted (doc_id, version)
+    n_all = _v1(spark).count() + _v2(spark).count()
+    assert snap.docs(spark).count() == n_all
+    # the probe-time reduction scans latest/, not docs/
+    stats = snap.corpus_stats(spark)
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        stats._jdf.queryExecution(), "formatted"
+    )
+    assert f"{os.sep}latest" in plan, plan
+    assert f"{os.sep}docs" not in plan, plan
+
+
+def test_pre_tier_root_falls_back_and_seeds(spark, tmp_path):
+    """An r12-layout state root (no latest/) keeps working: probes fall
+    back to the docs/ ledger reduction, and the next trigger seeds the
+    tier from the ledger rows visible to it — after which probes read
+    the tier and equality holds, including across a replayed batch."""
+    import shutil
+
+    events = _events(spark)
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    _drain(snap, spark)
+    shutil.rmtree(snap.latest_dir)  # forge the pre-r13 layout
+    resumed = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    # pure probe on the old layout: docs/ fallback
+    assert _snap_bm25(resumed, spark) == _batch_bm25(spark)
+    # a replayed trigger seeds the tier (and admits nothing new)
+    resumed.foreach_batch(events[3][1], 3)
+    assert statedir.state_paths(resumed.latest_dir, 1 << 62)
+    assert _snap_bm25(resumed, spark) == _batch_bm25(spark)
+    # the seeded tier now serves the probe-time reduction
+    stats = resumed.corpus_stats(spark)
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        stats._jdf.queryExecution(), "formatted"
+    )
+    assert f"{os.sep}latest" in plan, plan
+
+
+def test_bucketed_latest_tier_folds_by_doc_id(spark, tmp_path):
+    """bucketed=True buckets the latest/ tier by doc_id (the probe-side
+    reduction's grouping key) while the docs/ ledger stays bucketed by
+    the admission key — both specs stamped in the fold manifests."""
+    import glob
+    import json as _json
+
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1, bucketed=True, num_buckets=4
+    )
+    snap.foreach_batch(_v1(spark), 0)
+    snap.foreach_batch(_v2(spark), 1)
+    snap.foreach_batch(
+        spark.createDataFrame(
+            [], "doc_id bigint, version bigint, text string"
+        ),
+        2,
+    )
+    assert _snap_bm25(snap, spark) == _batch_bm25(spark, deletes=False)
+
+    def specs(root):
+        return [
+            _json.loads(open(m).read()).get("bucket")
+            for m in glob.glob(os.path.join(root, "*.commit"))
+        ]
+
+    assert {"cols": ["doc_id", "version"], "n": 4} in specs(snap.docs_dir)
+    assert {"cols": ["doc_id"], "n": 4} in specs(snap.latest_dir)

@@ -204,14 +204,17 @@ def _bucketed_kw() -> dict:
 
 
 def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
-                         drain: bool):
+                         drain: bool, sink_fn=None):
     """The optional right-to-be-forgotten feed of the index pipeline
     modes: DELETES_PATH names a parquet dir of id rows (column name =
     the index's id column; DELETES_ID_COL overrides), streamed into the
     index's TombstoneLog as a SECOND query with its own checkpoint (its
     batch ids never collide with the admit stream's — separate state
-    root, reads-only tombstones). Returns the started query, or None
-    when no feed is configured."""
+    root, reads-only tombstones). ``sink_fn`` overrides the sink body
+    (the composed cdc_full mode fans one feed into BOTH indexes'
+    tombstone logs); it receives (df with the ids as ``id_col``,
+    batch_id). Returns the started query, or None when no feed is
+    configured."""
     from stream_cdc_spark.streaming.statedir import TombstoneLog
 
     deletes_path = os.environ.get("DELETES_PATH", "")
@@ -240,13 +243,18 @@ def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
             f"would read the missing column as all-null and delete "
             f"nothing."
         )
-    tomb = TombstoneLog(
-        os.path.join(state_dir, "tombstones"),
-        store_col=id_col,
-        source_col=src_col,
-        compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
-        major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
-    )
+    if sink_fn is not None:
+        def fb(df, bid, _fn=sink_fn, _src=src_col, _id=id_col):
+            _fn(df.select(F.col(_src).cast("long").alias(_id)), bid)
+    else:
+        tomb = TombstoneLog(
+            os.path.join(state_dir, "tombstones"),
+            store_col=id_col,
+            source_col=src_col,
+            compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
+            major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+        )
+        fb = tomb.append
     stream = (
         spark.readStream.schema(f"{src_col} bigint")
         .option("pathGlobFilter", glob)
@@ -254,7 +262,7 @@ def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
         .select(src_col)
     )
     writer = (
-        stream.writeStream.foreachBatch(tomb.append)
+        stream.writeStream.foreachBatch(fb)
         .option("checkpointLocation", ckpt + "-deletes")
     )
     return (writer.trigger(availableNow=True) if drain else writer).start()
@@ -499,11 +507,80 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
     return 0
 
 
+def _cdc_full_main(cfg) -> int:
+    """PIPELINE=cdc_full: the composed production pipeline — one typed
+    CDC envelope feed (event_type, gtid_seq, content struct with
+    doc_id/text/embedding) driving the curation quality gate, the
+    versioned retrieval index AND the versioned ANN index under ONE
+    checkpoint (streaming/cdc_full.py). DELETES_PATH adds an
+    out-of-band deletion feed applied to both indexes.
+
+      EVENTS_PATH=<envelope parquet dir>   (EVENTS_GLOB filters files)
+      CDC_STATE_DIR=<root>                 sub-roots retr/ and ann/
+      CENTROIDS_PATH=<(cid, cv) parquet>   REQUIRED (IVF quantizer)
+      MIN_TOKENS=<n>                       quality gate (default 5)
+      COMPACT_EVERY / COMPACT_MAJOR_EVERY / STATE_BUCKETED /
+      STATE_NUM_BUCKETS                    shared state knobs
+    """
+    from stream_cdc_spark.sources import sink_registry
+    from stream_cdc_spark.streaming.cdc_full import CDC_FULL_FEED_SCHEMA
+
+    spark = get_spark(app_name="stream-cdc-spark-cdc-full")
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    events_path = os.environ.get("EVENTS_PATH", "/root/testdata/sf0.001")
+    state_dir = os.environ.get(
+        "CDC_STATE_DIR", "/tmp/stream-cdc-spark-cdc-full"
+    )
+    ckpt = os.environ.get("CHECKPOINT_DIR", state_dir + "-ckpt")
+    drain = os.environ.get("DRAIN_AND_EXIT", "0") == "1"
+    # the registry-created sink is the pipeline OBJECT's foreach_batch;
+    # keep the object for the deletion feed's two-index fan-out
+    pipe = sink_registry.create(
+        "cdc_full",
+        state_dir=state_dir,
+        centroids_path=os.environ.get("CENTROIDS_PATH", ""),
+        min_tokens=int(os.environ.get("MIN_TOKENS", "5")),
+        compact_every=int(os.environ.get("COMPACT_EVERY", "16")),
+        major_every=int(os.environ.get("COMPACT_MAJOR_EVERY", "0")),
+        _return_pipeline=True,
+        **_bucketed_kw(),
+    )
+    stream = (
+        spark.readStream.schema(CDC_FULL_FEED_SCHEMA)
+        .option(
+            "pathGlobFilter", os.environ.get("EVENTS_GLOB", "*.parquet")
+        )
+        .parquet(events_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(pipe.foreach_batch)
+        .option("checkpointLocation", ckpt)
+    )
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
+    del_query = _maybe_delete_stream(
+        spark, state_dir, "doc_id", ckpt, drain, sink_fn=pipe.delete_batch
+    )
+
+    def _stop(signum, frame):
+        print(f"signal {signum}: stopping cdc_full", file=sys.stderr)
+        query.stop()
+        if del_query is not None:
+            del_query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+    _await_streams(spark, [query, del_query], drain)
+    print(f"cdc_full stopped; state at {state_dir}, checkpoint at {ckpt}")
+    return 0
+
+
 def main() -> int:
     cfg = AppConfig.load()
     pipeline = os.environ.get("PIPELINE", "cdc")
     if pipeline in ("curation", "lsh_dedup"):
         return _curation_main(cfg, pipeline)
+    if pipeline == "cdc_full":
+        return _cdc_full_main(cfg)
     if pipeline == "ann_index":
         return _ann_index_main(cfg)
     if pipeline == "ann_index_versioned":

@@ -179,6 +179,22 @@ def _register_builtins() -> None:
     # PIPELINE=ann_index_versioned (streaming/ann_index.py)
     sink_registry.register("ann_index_versioned", _versioned_ann_sink)
 
+    def _cdc_full_sink(state_dir, centroids=None, centroids_path=None,
+                       _return_pipeline=False, **kw):
+        from stream_cdc_spark.streaming.cdc_full import CdcFullPipeline
+
+        kw.pop("min_tokens_unused", None)
+        centroids = _load_centroids("cdc_full", centroids, centroids_path)
+        pipe = CdcFullPipeline(state_dir, centroids, **kw)
+        # the CLI keeps the object (its delete_batch fans the deletion
+        # feed into both indexes); plain sink wiring gets the callable
+        return pipe if _return_pipeline else pipe.foreach_batch
+
+    # The composed production pipeline: one CDC envelope feed -> quality
+    # gate + versioned retrieval index + versioned ANN index under one
+    # checkpoint: PIPELINE=cdc_full (streaming/cdc_full.py)
+    sink_registry.register("cdc_full", _cdc_full_sink)
+
     def _retrieval_index_sink(state_dir, **kw):
         from stream_cdc_spark.streaming.retrieval_index import (
             RetrievalIndexSnapshot,

@@ -710,6 +710,7 @@ class VersionedAnnIndexSnapshot:
         bucketed: bool = False,
         num_buckets: int = 32,
         broadcast_max_ids: int = 4_000_000,
+        extra_tombstones_roots: tuple[str, ...] = (),
         fs: statedir.LocalFS | None = None,
     ):
         if not centroids:
@@ -742,6 +743,9 @@ class VersionedAnnIndexSnapshot:
             compact_every=compact_every,
             major_every=major_every,
             commit_files=commit_files,
+            # read-unioned second-channel tombstones (cdc_full's
+            # out-of-band deletion feed) — never written here
+            extra_read_roots=extra_tombstones_roots,
             fs=fs,
         )
         self.tombstones_dir = self._tomb.root

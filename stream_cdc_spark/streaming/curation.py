@@ -70,6 +70,13 @@ MEDIA_SIGS_SCHEMA = "doc_id bigint, bands array<int>"
 MEDIA_INDEX_SCHEMA = "doc_id bigint, band_idx int, band_val int"
 
 
+def default_quality_predicate(text_col: str, min_tokens: int) -> Column:
+    """The default whitespace-token quality gate — shared verbatim by
+    CurationPipeline and the composed CDC pipeline
+    (streaming/cdc_full.py), so the two gates cannot drift."""
+    return F.size(F.split(F.col(text_col), " ")) >= min_tokens
+
+
 def _subdirs_before(root: str, batch_id: int) -> list[str]:
     """Back-compat shim for pre-compaction callers: the read set for
     ``batch_id`` (now including the compacted snapshot)."""
@@ -188,7 +195,7 @@ class CurationPipeline:
                 self.bpe_alphabet,
             )
             return n >= self._min_tokens
-        return F.size(F.split(F.col(self.text_col), " ")) >= self._min_tokens
+        return default_quality_predicate(self.text_col, self._min_tokens)
 
     # -- state ------------------------------------------------------------
     def _read(self, spark, root: str, schema: str, batch_id: int) -> DataFrame:

@@ -593,6 +593,7 @@ class VersionedRetrievalIndexSnapshot:
         bucketed: bool = False,
         num_buckets: int = 32,
         broadcast_max_ids: int = 4_000_000,
+        extra_tombstones_roots: tuple[str, ...] = (),
         fs: statedir.LocalFS | None = None,
     ):
         self.state_dir = state_dir
@@ -612,6 +613,10 @@ class VersionedRetrievalIndexSnapshot:
             compact_every=compact_every,
             major_every=major_every,
             commit_files=commit_files,
+            # tombstones arriving over OTHER independently-checkpointed
+            # channels (the composed cdc_full pipeline's out-of-band
+            # deletion feed) — read-unioned, never written here
+            extra_read_roots=extra_tombstones_roots,
             fs=fs,
         )
         self.tombstones_dir = self._tomb.root

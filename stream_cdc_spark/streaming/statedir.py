@@ -1044,7 +1044,17 @@ class TombstoneLog:
     dedupe too (read-equivalent).
 
     ``source_col`` names the id column on incoming delete batches;
-    ``store_col`` the persisted (and joinable) name."""
+    ``store_col`` the persisted (and joinable) name.
+
+    ``extra_read_roots``: additional TombstoneLog roots whose ids this
+    log's READS union in (``append`` never writes them). This is how a
+    sink consults tombstones arriving over SEVERAL independently-
+    checkpointed channels — e.g. the composed cdc_full pipeline's
+    in-band Delete envelopes (the sink's own root, main-stream batch
+    ids) plus its out-of-band DELETES_PATH feed (a separate root with
+    its own batch-id space). Two channels must NEVER share one root:
+    their batch ids collide and the later batch=N overwrite silently
+    destroys the earlier channel's ids."""
 
     def __init__(
         self,
@@ -1054,6 +1064,7 @@ class TombstoneLog:
         compact_every: int = 16,
         major_every: int = 0,
         commit_files: int = 1,
+        extra_read_roots: tuple[str, ...] = (),
         fs: LocalFS | None = None,
     ):
         self.root = root
@@ -1063,20 +1074,31 @@ class TombstoneLog:
         self.compact_every = compact_every
         self.major_every = major_every
         self.commit_files = commit_files
+        self.extra_read_roots = tuple(extra_read_roots)
         self.fs = fs
 
+    def _roots_with_state(self) -> list[str]:
+        return [
+            r
+            for r in (self.root, *self.extra_read_roots)
+            if state_paths(r, 1 << 62, self.fs)
+        ]
+
     def read(self, spark: SparkSession) -> DataFrame:
-        """Every deleted id, distinct."""
-        return read_state(
-            spark, self.root, self.schema, 1 << 62, fs=self.fs
-        ).distinct()
+        """Every deleted id across all read roots, distinct."""
+        roots = self._roots_with_state() or [self.root]
+        out = None
+        for r in roots:
+            part = read_state(spark, r, self.schema, 1 << 62, fs=self.fs)
+            out = part if out is None else out.unionByName(part)
+        return out.distinct()
 
     def read_or_none(self, spark: SparkSession) -> DataFrame | None:
-        """None when no deletion was ever committed — the common case —
-        so probes skip the exclusion join entirely and keep the exact
-        pre-deletion plan (an anti-join against a provably-empty
-        relation still costs a join stage)."""
-        if not state_paths(self.root, 1 << 62, self.fs):
+        """None when no deletion was ever committed on any read root —
+        the common case — so probes skip the exclusion join entirely
+        and keep the exact pre-deletion plan (an anti-join against a
+        provably-empty relation still costs a join stage)."""
+        if not self._roots_with_state():
             return None
         return self.read(spark)
 

@@ -1,0 +1,318 @@
+"""The composed production pipeline (streaming/cdc_full.py
+CdcFullPipeline): ONE typed CDC envelope feed — interleaved insert/
+update/delete events with out-of-order versions, redeliveries, a
+mid-stream restart and a quality-gated UPDATE — drives the curation
+gate, the versioned retrieval index and the versioned ANN index in a
+single foreachBatch. Final probes must be bit-equal to the batch
+references on both index surfaces, with deletions applied from both the
+in-band Delete envelopes and the out-of-band DELETES_PATH feed.
+Reference anchor: the one wired object graph of the reference's main()
+(stream_cdc/main.py:16-66)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_spark.operators import similarity, text
+from stream_cdc_spark.streaming.cdc_full import CdcFullPipeline
+from stream_cdc_spark.tables import load
+from tests.conftest import SF_SMALL
+
+TERMS = ["stream", "vector", "join"]
+MIN_TOKENS = 5
+
+
+def _base(spark):
+    """(doc_id, text, embedding) — the enriched row image."""
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    e = load(spark, SF_SMALL, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    return d.join(e, "doc_id")
+
+
+def _centroids_df(spark):
+    return load(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") % 100 == 0
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<float>").alias("cv"),
+    )
+
+
+def _centroids(spark):
+    return [(r["cid"], list(r["cv"])) for r in _centroids_df(spark).collect()]
+
+
+def _queries(spark):
+    return load(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 5)
+
+
+def _upsert_env(df, etype):
+    """(doc_id, version, text, embedding) rows -> typed envelopes."""
+    return df.select(
+        F.lit(etype).alias("event_type"),
+        F.col("version").cast("long").alias("gtid_seq"),
+        F.struct(
+            F.col("doc_id"), F.col("text"), F.col("embedding")
+        ).alias("content"),
+    )
+
+
+def _delete_env(ids):
+    return ids.select(
+        F.lit("Delete").alias("event_type"),
+        F.lit(10 ** 6).cast("long").alias("gtid_seq"),
+        F.struct(
+            F.col("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        ).alias("content"),
+    )
+
+
+def _v1(spark):
+    return _base(spark).select(
+        "doc_id", F.lit(1).cast("long").alias("version"), "text", "embedding"
+    )
+
+
+def _v2(spark):
+    """Good updates: %4==1 docs get version 2 with two query terms
+    appended and the REVERSED embedding — both surfaces move."""
+    return _base(spark).filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("version"),
+        F.concat(F.col("text"), F.lit(" vector stream")).alias("text"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+
+
+def _v2_bad(spark):
+    """Low-quality updates: %4==2 docs get a version-2 image BELOW the
+    token gate — neither index may admit it; the version-max read keeps
+    serving version 1 (the last image that PASSED the gate)."""
+    return _base(spark).filter(F.col("doc_id") % 4 == 2).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("tiny doc").alias("text"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+
+
+def _dead_ids(spark):
+    return _base(spark).filter(F.col("doc_id") % 10 == 3).select("doc_id")
+
+
+def _event_batches(spark):
+    v1, v2, v2b = _v1(spark), _v2(spark), _v2_bad(spark)
+    dead = _dead_ids(spark)
+    return [
+        _upsert_env(v1.filter(F.col("doc_id") % 3 != 2), "Insert"),
+        # good + bad updates; v2 precedes v1 for %3==2 docs; redelivered
+        # v1 rows (%7==0)
+        _upsert_env(v2.unionByName(v2b), "Update").unionByName(
+            _upsert_env(
+                v1.filter(
+                    (F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 7 == 0)
+                ),
+                "Insert",
+            )
+        ),
+        _delete_env(dead),
+        # late v1 images + redelivered v2 rows (%7==1)
+        _upsert_env(v1.filter(F.col("doc_id") % 3 == 2), "Insert")
+        .unionByName(
+            _upsert_env(v2.filter(F.col("doc_id") % 7 == 1), "Update")
+        ),
+        _delete_env(dead),  # delete replay
+    ]
+
+
+def _latest_gated(spark, extra_dead=None):
+    """The batch reference corpus: the max-version image per doc among
+    GATE-PASSING versions, minus deleted docs."""
+    allv = (
+        _v1(spark).unionByName(_v2(spark)).unionByName(_v2_bad(spark))
+    ).filter(F.size(F.split(F.col("text"), " ")) >= MIN_TOKENS)
+    w_max = allv.groupBy("doc_id").agg(F.max("version").alias("version"))
+    latest = allv.join(w_max, ["doc_id", "version"])
+    latest = latest.join(_dead_ids(spark), "doc_id", "left_anti")
+    if extra_dead is not None:
+        latest = latest.join(extra_dead, "doc_id", "left_anti")
+    return latest
+
+
+def _retr_ref(spark, extra_dead=None):
+    return sorted(
+        map(
+            tuple,
+            text.bm25_topk(
+                _latest_gated(spark, extra_dead).select("doc_id", "text"),
+                TERMS,
+                top_k=15,
+            ).collect(),
+        )
+    )
+
+
+def _ann_ref(spark, extra_dead=None):
+    corpus = _latest_gated(spark, extra_dead).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                corpus, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+
+
+def _probe(pipe, spark):
+    retr = sorted(
+        map(tuple, pipe.retr.bm25_topk(spark, TERMS, top_k=15).collect())
+    )
+    ann = sorted(
+        map(tuple, pipe.ann.topk(spark, _queries(spark)).collect())
+    )
+    return retr, ann
+
+
+def test_composed_drain_with_restart_matches_batch_on_both_surfaces(
+    spark, tmp_path
+):
+    """The headline e2e: interleaved envelopes through the composed
+    sink, a replayed batch, a mid-stream RESTART (fresh pipeline object
+    over the same state — the checkpoint-resume shape), folds crossing
+    the stream — then both probes equal their batch references over the
+    latest live GATED images."""
+    batches = _event_batches(spark)
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), _centroids(spark),
+        min_tokens=MIN_TOKENS, compact_every=2,
+    )
+    for i, b in enumerate(batches[:3]):
+        pipe.foreach_batch(b, i)
+    pipe.foreach_batch(batches[1], 1)  # replay of the in-flight batch
+    pipe2 = CdcFullPipeline(  # mid-stream restart
+        str(tmp_path / "s"), _centroids(spark),
+        min_tokens=MIN_TOKENS, compact_every=2,
+    )
+    for i, b in enumerate(batches[3:], start=3):
+        pipe2.foreach_batch(b, i)
+    retr, ann = _probe(pipe2, spark)
+    assert retr == _retr_ref(spark)
+    assert ann == _ann_ref(spark)
+    # the gate blocked every bad update on BOTH surfaces: no %4==2 doc
+    # carries version 2 anywhere
+    assert pipe2.retr.docs(spark).filter(
+        (F.col("doc_id") % 4 == 2) & (F.col("version") == 2)
+    ).count() == 0
+    assert pipe2.ann.ledger(spark).filter(
+        (F.col("vec_id") % 4 == 2) & (F.col("version") == 2)
+    ).count() == 0
+
+
+def test_gated_update_keeps_serving_last_good_version(spark, tmp_path):
+    """Explicit tiny case: v2 fails the gate -> probes serve v1; a
+    gate-passing v3 then supersedes."""
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), cents, min_tokens=MIN_TOKENS
+    )
+    mk = lambda ver, txt, emb: spark.createDataFrame(
+        [(1, ver, txt, emb)],
+        "doc_id bigint, version bigint, text string, "
+        "embedding array<float>",
+    )
+    pipe.foreach_batch(
+        _upsert_env(mk(1, "stream join vector query engine", [0.9, 0.1]),
+                    "Insert"), 0,
+    )
+    pipe.foreach_batch(_upsert_env(mk(2, "tiny doc", [-0.9, 0.1]),
+                                   "Update"), 1)
+    latest = pipe.retr._latest_live(spark).collect()
+    assert [(r["doc_id"], r["version"]) for r in latest] == [(1, 1)]
+    assert [
+        tuple(r) for r in pipe.ann._latest_live(spark).collect()
+    ] == [(1, 1)]
+    pipe.foreach_batch(
+        _upsert_env(mk(3, "stream engines join vectors fast now",
+                       [-0.8, 0.2]), "Update"), 2,
+    )
+    assert [
+        tuple(r) for r in pipe.ann._latest_live(spark).collect()
+    ] == [(1, 3)]
+
+
+def test_out_of_band_delete_feed_hits_both_indexes(spark, tmp_path):
+    """delete_batch (the DELETES_PATH leg) tombstones the id on BOTH
+    surfaces — the two-channel right-to-be-forgotten story."""
+    batches = _event_batches(spark)
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), _centroids(spark), min_tokens=MIN_TOKENS
+    )
+    for i, b in enumerate(batches):
+        pipe.foreach_batch(b, i)
+    extra = _base(spark).filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    pipe.delete_batch(extra, 0)
+    retr, ann = _probe(pipe, spark)
+    assert retr == _retr_ref(spark, extra_dead=extra)
+    assert ann == _ann_ref(spark, extra_dead=extra)
+
+
+def test_deletes_only_batch_commits_no_index_rows(spark, tmp_path):
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), _centroids(spark), min_tokens=MIN_TOKENS
+    )
+    pipe.foreach_batch(_delete_env(_dead_ids(spark)), 0)
+    from stream_cdc_spark.streaming import statedir
+
+    assert not statedir.state_paths(pipe.retr.docs_dir, 1 << 62)
+    assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)
+    assert pipe.retr.tombstones(spark).count() == _dead_ids(spark).count()
+    assert pipe.ann.tombstones(spark).count() == _dead_ids(spark).count()
+
+
+def test_cdc_full_cli_drains_envelopes_and_delete_feed(
+    spark, tmp_path, monkeypatch
+):
+    """PIPELINE=cdc_full entrypoint: one availableNow drain of the
+    envelope feed (inserts + good/bad updates + in-band Deletes) AND an
+    out-of-band DELETES_PATH feed; both probes equal the batch
+    references with both delete channels applied."""
+    from stream_cdc_spark import main as M
+    from stream_cdc_spark.streaming.cdc_full import CdcFullPipeline as P
+
+    feed = (
+        _upsert_env(_v1(spark), "Insert")
+        .unionByName(_upsert_env(_v2(spark), "Update"))
+        .unionByName(_upsert_env(_v2_bad(spark), "Update"))
+        .unionByName(_delete_env(_dead_ids(spark)))
+    )
+    feed_dir = str(tmp_path / "feed")
+    feed.coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    extra = _base(spark).filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    deletes_dir = str(tmp_path / "deletes")
+    extra.coalesce(1).write.mode("overwrite").parquet(deletes_dir)
+    cents_path = str(tmp_path / "centroids.parquet")
+    _centroids_df(spark).toPandas().to_parquet(cents_path)
+    state = str(tmp_path / "cli-state")
+    monkeypatch.setenv("PIPELINE", "cdc_full")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("EVENTS_PATH", feed_dir)
+    monkeypatch.setenv("DELETES_PATH", deletes_dir)
+    monkeypatch.setenv("CENTROIDS_PATH", cents_path)
+    monkeypatch.setenv("CDC_STATE_DIR", state)
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "cli-ckpt"))
+    monkeypatch.setenv("MIN_TOKENS", str(MIN_TOKENS))
+    assert M.main() == 0
+    pipe = P(state, _centroids(spark), min_tokens=MIN_TOKENS)
+    retr, ann = _probe(pipe, spark)
+    assert retr == _retr_ref(spark, extra_dead=extra)
+    assert ann == _ann_ref(spark, extra_dead=extra)

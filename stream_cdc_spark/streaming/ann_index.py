@@ -27,6 +27,18 @@ appended to the persisted cell-assigned vector table:
                                            reads-only exclusion, same
                                            design as the retrieval
                                            index's; rebuild = vacuum)
+    <root>/moments/   (cell, n, s, s2)     per-cell quantization-residual
+                                           moments — the centroid-drift
+                                           monitor (drift_report): free
+                                           at ingest (the argmin's own
+                                           dist_bp), folded as a sum
+                                           monoid, compared against the
+                                           offline train_residual_baseline
+                                           to tell an operator WHEN to
+                                           rebuild_ann_index. Covers
+                                           ingest since the monitor
+                                           exists (drift is a property
+                                           of the ARRIVING stream).
 
 The ledger/ state closes the sink's own round-11 scale boundary
 (SCALE_BENCH_r11.md §1): vectors/ used to double as the admission
@@ -130,6 +142,13 @@ ANN_VVECTORS_SCHEMA_SQ8 = (
 )
 ANN_VLEDGER_SCHEMA = "vec_id bigint, version bigint"
 
+# per-cell quantization-residual moments (the centroid-drift monitor):
+# n / sum / sum-of-squares of the assignment's own dist_bp (FLOOR(10000
+# * squared distance to the assigned centroid) — already computed by
+# the argmin, so the monitor adds no scoring work). DECIMAL(38,0) sums:
+# dist_bp^2 summed over 100 TB of rows overflows BIGINT.
+ANN_MOMENTS_SCHEMA = "cell bigint, n bigint, s decimal(38,0), s2 decimal(38,0)"
+
 # Versioned id of the assignment/scoring math the persisted cells bake
 # in: argmin of FLOOR(10000 * squared distance) with min-cid ties, cosine
 # scoring. A change here (different quantization, different tie rule)
@@ -169,6 +188,26 @@ def sq_ranges_digest(ranges: list[tuple[float, float]]) -> str:
         f"{float(lo).hex()},{float(hi).hex()}" for lo, hi in ranges
     )
     return hashlib.sha256(canon.encode()).hexdigest()[:16]
+
+
+def train_residual_baseline(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell residual distribution of the TRAINING sample under the
+    given centroids — (cell, n_train, mean_bp, std_bp) of the
+    assignment dist_bp. Recorded once, offline, next to the centroids
+    themselves (the same artifact family as train_sq_ranges): it is the
+    yardstick ``AnnIndexSnapshot.drift_report`` compares the live
+    corpus against. One distributed agg; num_cells rows."""
+    assigned = similarity.ivf_assign(df, centroids, id_col, vec_col)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.avg("dist_bp").alias("mean_bp"),
+        F.coalesce(F.stddev_pop("dist_bp"), F.lit(0.0)).alias("std_bp"),
+    )
 
 
 def train_sq_ranges(
@@ -283,6 +322,10 @@ class AnnIndexSnapshot:
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
         self.ledger_dir = os.path.join(state_dir, "ledger")
+        # per-cell residual moments — the centroid-drift monitor's
+        # state (num_cells rows per trigger, folded as an integer-sum
+        # monoid; see drift_report)
+        self.moments_dir = os.path.join(state_dir, "moments")
         self._tomb = statedir.TombstoneLog(
             os.path.join(state_dir, "tombstones"),
             store_col="vec_id",
@@ -525,24 +568,116 @@ class AnnIndexSnapshot:
             fallback_transform=lambda df: df.sortWithinPartitions("cell"),
             fs=self.fs,
         )
-        assigned = self._build(spark, batch_df, batch_id)
-        if assigned is None:
+        # the drift monitor's moments fold: component-wise sums per cell
+        # (a commutative monoid — minor/major folds and the read-time
+        # reduction all compose)
+        statedir.maybe_compact(
+            spark, self.moments_dir, ANN_MOMENTS_SCHEMA, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            transform=self._reduce_moments,
+            fs=self.fs,
+        )
+        raw = self._build(spark, batch_df, batch_id)
+        if raw is None:
             return  # empty trigger: commit nothing (missing == empty)
         (
-            assigned.coalesce(self.commit_files)
+            self._storage(raw)
+            .coalesce(self.commit_files)
             .sortWithinPartitions("cell")
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
         )
         (
-            assigned.select("vec_id")
+            raw.select("vec_id")
             .coalesce(self.commit_files)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
         )
+        # the drift monitor's per-cell residual partials: the argmin's
+        # own dist_bp, reduced to num_cells rows — free at ingest (no
+        # extra scoring), folded as a sum monoid above
+        (
+            self._moments_of(raw)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.moments_dir, batch_id))
+        )
+
+    @staticmethod
+    def _moments_of(raw: DataFrame) -> DataFrame:
+        """(cell, n, s, s2) residual partials of an assigned relation —
+        the same reduction the moments/ folds apply (a commutative
+        monoid: component-wise sums)."""
+        d = F.col("dist_bp").cast("decimal(38,0)")
+        return raw.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d).cast("decimal(38,0)").alias("s"),
+            F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+        )
+
+    @staticmethod
+    def _reduce_moments(df: DataFrame) -> DataFrame:
+        return df.groupBy("cell").agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+        )
+
+    def moments(self, spark) -> DataFrame:
+        """The accumulated per-cell residual moments (fully reduced)."""
+        return self._reduce_moments(
+            statedir.read_state(
+                spark, self.moments_dir, ANN_MOMENTS_SCHEMA, 1 << 62,
+                fs=self.fs,
+            )
+        )
+
+    def drift_report(
+        self, spark, baseline: DataFrame, z: float = 3.0, min_n: int = 100
+    ) -> DataFrame:
+        """The 'when to migrate' signal (round-13): compare the LIVE
+        corpus's per-cell mean quantization residual against the
+        training-time distribution (``train_residual_baseline``, the
+        artifact recorded next to the centroids). A continuously-
+        ingested corpus drifts off its offline-trained centroids and
+        recall decays silently — a cell whose live mean residual
+        exceeds mean_bp + z * std_bp (with at least ``min_n`` live
+        admissions) is flagged. A flagged report is the documented
+        trigger for operators/migration.rebuild_ann_index with
+        re-trained centroids. Returns (cell, n, live_mean_bp, mean_bp,
+        std_bp, drifted), num_cells rows."""
+        live = self.moments(spark).withColumn(
+            "live_mean_bp",
+            (F.col("s") / F.col("n")).cast("double"),
+        )
+        return (
+            live.join(
+                F.broadcast(
+                    baseline.select("cell", "n_train", "mean_bp", "std_bp")
+                ),
+                "cell",
+                "left",
+            )
+            .withColumn(
+                "drifted",
+                (F.col("n") >= F.lit(int(min_n)))
+                & (
+                    F.col("mean_bp").isNull()  # cell unseen in training
+                    | (
+                        F.col("live_mean_bp")
+                        > F.col("mean_bp") + F.lit(float(z)) * F.col("std_bp")
+                    )
+                ),
+            )
+            .select(
+                "cell", "n", "live_mean_bp", "mean_bp", "std_bp", "drifted"
+            )
+        )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
-        """The micro-batch's new (vec_id, vv, cell) rows, or None for an
+        """The micro-batch's new assigned rows (vec_id, vv, cell,
+        dist_bp — full precision, pre-storage), or None for an
         effectively-empty batch. Separated from the commit so plan tests
         can assert scale shape on the exact relation written."""
         vecs = (
@@ -565,33 +700,42 @@ class AnnIndexSnapshot:
         # (anti-joins compose over union; statedir.state_relations doc).
         for rel in self._ledger_relations(spark, batch_id):
             vecs = vecs.join(rel.select("vec_id"), "vec_id", "left_anti")
-        assigned = self._assign(spark, vecs)
-        # pin: feeds both the emptiness probe and the commit write —
-        # unpinned, the assignment (and the state anti-join behind it)
-        # would recompute per action
-        assigned = assigned.localCheckpoint(eager=True)
-        if not assigned.take(1):
-            return None
-        return assigned
-
-    def _assign(self, spark, vecs: DataFrame) -> DataFrame:
-        """(vec_id, vv) -> this sink's stamped storage relation: cells
-        assigned from the FULL-precision vectors (same geometry on both
-        tiers), payload quantized only for sq8 storage (1 B/dim on
-        disk). Shared by the per-trigger _build and the offline
-        migration publish (operators/migration.rebuild_ann_index), so
-        the two paths cannot drift."""
-        assigned = similarity.ivf_assign(
+        raw = similarity.ivf_assign(
             vecs, self._centroids_df(spark), id_col="vec_id", vec_col="vv"
         )
+        # pin: feeds the emptiness probe and all three commit writes —
+        # unpinned, the assignment (and the state anti-join behind it)
+        # would recompute per action
+        raw = raw.localCheckpoint(eager=True)
+        if not raw.take(1):
+            return None
+        return raw
+
+    def _storage(self, raw: DataFrame) -> DataFrame:
+        """An assigned relation -> this sink's stamped storage rows:
+        payload quantized only for sq8 storage (1 B/dim on disk)."""
         if self.storage == "sq8":
-            return assigned.select(
+            return raw.select(
                 "vec_id",
                 _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
                 F.col("cell").alias("cell", metadata=self._stamp),
             )
-        return assigned.select(
+        return raw.select(
             "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
+        )
+
+    def _assign(self, spark, vecs: DataFrame) -> DataFrame:
+        """(vec_id, vv) -> the stamped storage relation: cells assigned
+        from the FULL-precision vectors (same geometry on both tiers).
+        Shared by the per-trigger _build (via ivf_assign + _storage) and
+        the offline migration publish
+        (operators/migration.rebuild_ann_index), so the two paths
+        cannot drift."""
+        return self._storage(
+            similarity.ivf_assign(
+                vecs, self._centroids_df(spark), id_col="vec_id",
+                vec_col="vv",
+            )
         )
 
 

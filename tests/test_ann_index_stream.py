@@ -595,3 +595,114 @@ def test_folds_apply_tombstones_to_vectors(spark, tmp_path):
     snap.foreach_batch(emb.filter(F.col("vec_id") % 5 == 0), 4)
     assert _snap_topk(snap, spark) == want
     assert snap.vectors(spark).join(dead, "vec_id", "left_semi").count() == 0
+
+
+def _moments_ref(spark):
+    """Batch reference: per-cell residual moments over the whole corpus
+    assigned one-shot."""
+    assigned = similarity.ivf_assign(
+        _emb(spark), _centroids_df(spark)
+    )
+    d = F.col("dist_bp").cast("decimal(38,0)")
+    return sorted(
+        map(
+            tuple,
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(d).cast("decimal(38,0)").alias("s"),
+                F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+            )
+            .collect(),
+        )
+    )
+
+
+def test_drift_moments_equal_batch_across_folds_and_restart(
+    spark, tmp_path
+):
+    """The drift monitor's per-cell residual moments are a sum monoid:
+    after overlapping redeliveries, folds and a restart, the reduced
+    moments equal the one-shot batch reduction over the admitted
+    corpus."""
+    slices = _slices(spark)
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    for i, b in enumerate(slices[:2]):
+        snap.foreach_batch(b, i)
+    snap.foreach_batch(slices[1], 1)  # replay across a fold
+    snap2 = AnnIndexSnapshot(  # restart
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    snap2.foreach_batch(slices[2], 2)
+    got = sorted(map(tuple, snap2.moments(spark).collect()))
+    assert got == _moments_ref(spark)
+
+
+def test_drift_report_flags_synthetic_drift_and_stays_quiet(
+    spark, tmp_path
+):
+    """drift_report is the 'when to migrate' signal: a corpus drawn
+    from the training distribution stays quiet; a synthetically
+    drifted ingest (vectors far off every centroid) flags its cells.
+    min_n suppresses noise cells; the report is fold/restart-stable."""
+    from stream_cdc_spark.streaming.ann_index import (
+        train_residual_baseline,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    cents_df = spark.createDataFrame(cents, "cid bigint, cv array<float>")
+    # training sample: tight clusters around each centroid
+    train = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * (i % 5), 0.01 * (i % 3)]) for i in range(50)]
+        + [(100 + i, [-1.0 - 0.01 * (i % 5), 0.01 * (i % 3)])
+           for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    baseline = train_residual_baseline(train, cents_df)
+    # stationary ingest: same distribution, new ids
+    snap = AnnIndexSnapshot(
+        str(tmp_path / "s"), cents, compact_every=1
+    )
+    stationary = spark.createDataFrame(
+        [(1000 + i, [1.0 + 0.01 * (i % 5), 0.01 * (i % 3)])
+         for i in range(200)]
+        + [(2000 + i, [-1.0 - 0.01 * (i % 5), 0.01 * (i % 3)])
+           for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    snap.foreach_batch(stationary, 0)
+    quiet = snap.drift_report(spark, baseline, z=3.0, min_n=100)
+    assert quiet.filter(F.col("drifted")).count() == 0, quiet.collect()
+    # drifted ingest: cell 0's arrivals move far off its centroid
+    drifted = spark.createDataFrame(
+        [(3000 + i, [0.3, 0.9 + 0.01 * (i % 5)]) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    snap.foreach_batch(drifted, 1)
+    # materialize NOW: a later fold deletes the files this lazy plan
+    # listed (the statedir single-reader rule)
+    report = sorted(
+        map(
+            tuple,
+            snap.drift_report(spark, baseline, z=3.0, min_n=100).collect(),
+        )
+    )
+    flagged = {r[0] for r in report if r[5]}
+    assert 0 in flagged, report
+    # cell 1 saw only stationary arrivals: still quiet
+    assert 1 not in flagged
+    # restart + fold invariance of the report
+    snap.foreach_batch(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        2,
+    )
+    again = AnnIndexSnapshot(str(tmp_path / "s"), cents, compact_every=1)
+    r2 = sorted(
+        map(
+            tuple,
+            again.drift_report(spark, baseline, z=3.0, min_n=100).collect(),
+        )
+    )
+    assert r2 == report

@@ -21,6 +21,32 @@ from stream_cdc_spark.session import get_spark  # noqa: E402
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
 
 
+def _calibration(spark, sf_dir: str, repeats: int = 3) -> dict:
+    """A fixed calibration workload timed alongside every bench run
+    (round-12 verdict task 7): a scheduling-floor count over a 1-row
+    relation, a CPU-bound shuffle-free reduction, and a fixed parquet
+    scan. The work is identical run-to-run (data- and code-change-
+    independent at a given sf), so the ratio of two runs' calibration
+    walls measures AMBIENT LOAD from the artifacts alone — r12's
+    isolated embed ran ~25% hot under a background soak and
+    adjudicating that required cross-referencing soak logs. The drift
+    check divides by this load factor before flagging."""
+    runs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        spark.range(1).count()
+        spark.range(4_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).selectExpr("count(o_orderkey)").collect()
+        runs.append(round(time.time() - t0, 3))
+    return {
+        "wall": sorted(runs)[(len(runs) - 1) // 2],
+        "wall_min": min(runs),
+        "runs": runs,
+    }
+
+
 def _load_baseline() -> dict | None:
     try:
         with open(BASELINE_PATH) as f:
@@ -127,6 +153,8 @@ def run_sweep() -> None:
         _identity, schema="id long"
     ).count()
 
+    calibration = _calibration(spark, sf_dir)
+
     walls: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -139,6 +167,10 @@ def run_sweep() -> None:
         "source_round": _current_round(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": 1,
+        "calibration": {
+            "wall": calibration["wall"],
+            "wall_min": calibration["wall_min"],
+        },
         "n_queries": len(walls),
         "total": round(sum(walls.values()), 3),
         "queries": walls,
@@ -146,14 +178,26 @@ def run_sweep() -> None:
     if prev and str(prev.get("sf")) == str(rec["sf"]):
         pq = prev.get("queries") or {}
         shared = [n for n in walls if n in pq]
+        # ambient-load normalization (r12's 6 sweep flags were all
+        # load): divide by the calibration ratio before flagging
+        prev_cal = (prev.get("calibration") or {}).get("wall_min")
+        load = (
+            max(
+                1.0,
+                round(calibration["wall_min"] / max(prev_cal, 1e-9), 3),
+            )
+            if prev_cal
+            else 1.0
+        )
         rec["drift"] = {
             "vs_round": prev.get("source_round"),
             "n_shared": len(shared),
+            "load_factor": load,
             # single-repeat sf0.01 walls are noisy; the band is wide on
             # purpose — anything inside it is session noise, anything
             # outside is a plan change worth reading
             "flagged": sorted(
-                n for n in shared if walls[n] > 1.5 * pq[n] + 0.3
+                n for n in shared if walls[n] > 1.5 * pq[n] * load + 0.3
             ),
             "improved": sorted(
                 n for n in shared if walls[n] < pq[n] / 1.5 - 0.3
@@ -227,6 +271,11 @@ def main() -> None:
         _identity, schema="id long"
     ).count()
 
+    # fixed calibration workload: the load yardstick recorded into the
+    # artifact so ambient-load inflation is measurable without soak-log
+    # forensics (_calibration doc)
+    calibration = _calibration(spark, sf_dir)
+
     # Per-query repeats (round-3 verdict: single-run sf0.1 numbers carry
     # ±30% noise, which made 1.2x ratios unresolvable). The reported
     # per-query second is the MEDIAN of the repeats; min/max ride along in
@@ -292,6 +341,10 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
+        "calibration": {
+            "wall": calibration["wall"],
+            "wall_min": calibration["wall_min"],
+        },
         "metric": "headline_queries_total"
         + ("_isolated" if isolated else ""),
         # per-query best-of-repeats next to the medians: wall_min strips
@@ -321,6 +374,10 @@ def main() -> None:
                 "value": iso.get("value"),
                 "value_min": iso.get("value_min"),
                 "repeats": iso.get("repeats"),
+                # the isolated run's own calibration wall: load
+                # inflation between the isolated and default runs is
+                # now a ratio of two recorded numbers (task 7)
+                "calibration": iso.get("calibration"),
                 "source_round": iso_round,
                 "stale": iso_round is None
                 or (this_round is not None and iso_round < this_round),
@@ -339,13 +396,24 @@ def main() -> None:
             for n in timings
             if n in prev["queries"]
         }
+        # self-calibrating drift (round-12 task 7): divide out ambient
+        # load before flagging — the calibration workload is identical
+        # across runs, so cal_now/cal_prev IS the load ratio. Rounds
+        # before r13 recorded no calibration; factor 1.0 there.
+        prev_cal = (prev.get("calibration") or {}).get("wall_min")
+        load_factor = (
+            max(1.0, round(calibration["wall_min"] / max(prev_cal, 1e-9), 3))
+            if prev_cal
+            else 1.0
+        )
         out["drift"] = {
             "vs": prev["source"],
+            "load_factor": load_factor,
             "min_over_prev_median": pq,
             "flagged": sorted(
                 n
                 for n in pq
-                if wall_min[n] > 1.25 * prev["queries"][n] + 0.1
+                if wall_min[n] > 1.25 * prev["queries"][n] * load_factor + 0.1
             ),
         }
 
@@ -426,9 +494,9 @@ def main() -> None:
             or (this_round is not None and sweep_round < this_round),
         }
     order = [
-        "unit", "sf", "repeats", "metric", "detail_file", "drift",
-        "isolated", "queries", "value_min", "value", "vs_baseline",
-        "regressed",
+        "unit", "sf", "repeats", "calibration", "metric", "detail_file",
+        "drift", "isolated", "queries", "value_min", "value",
+        "vs_baseline", "regressed",
     ]
     if isolated:
         iso_rec = {k: out[k] for k in order if k in out}

@@ -323,6 +323,7 @@ def vacuum_versioned_retrieval_index(spark, src, dst) -> int:
         {
             "docs": dst.docs_dir,
             "postings": dst.postings_dir,
+            "latest": dst.latest_dir,
             "tombstones": dst.tombstones_dir,
         },
     )
@@ -345,10 +346,87 @@ def vacuum_versioned_retrieval_index(spark, src, dst) -> int:
         live_docs.select("doc_id", "version", "dl"),
         fs=dst.fs,
     )
+    # the materialized latest-live tier (round-13): publish the reduced
+    # relation directly so the destination's probes are O(live) from
+    # the first read instead of waiting for the seed-on-next-trigger
+    statedir.publish_snapshot(
+        spark,
+        dst.latest_dir,
+        dst._reduce_latest(live_docs.select("doc_id", "version", "dl")),
+        fs=dst.fs,
+    )
     statedir.publish_snapshot(
         spark,
         dst.postings_dir,
         latest_postings.sortWithinPartitions("word"),
         fs=dst.fs,
+    )
+    return latest.count()
+
+
+def vacuum_versioned_ann_index(spark, src, dst) -> int:
+    """Physically remove tombstoned ids AND superseded re-embeddings
+    from the versioned ANN index at ``src`` (a VersionedAnnIndexSnapshot)
+    by rewriting into the fresh statedir of ``dst``. Returns the number
+    of live vectors. The exact design of
+    ``vacuum_versioned_retrieval_index`` on the embedding surface:
+
+    vectors/ rewrites as the LATEST LIVE rows only (fold-time erasure
+    already trims folded tiers continuously; the vacuum is the
+    immediate, complete pass), while ledger/ keeps EVERY live
+    (vec_id, version) row — superseded ledger rows are 2 slim ints and
+    dropping them would re-open admission to a redelivered superseded
+    version (exactly-once would silently degrade to at-least-once).
+    Tombstoned ids are erased from both, and the destination starts
+    with no tombstones — a vacuumed-away vec_id CAN be re-ingested
+    (erasure removes the deletion history too, by design). Probes
+    against the vacuumed index are bit-equal to the source's (tests
+    assert it): the version-max reduction of the same live ledger finds
+    exactly the latest rows, which the vacuum preserved. Storage tier,
+    stamp and cell-sorted layout carry over unchanged (a vacuum
+    preserves the scheme; re-quantization needs rebuild_ann_index)."""
+    from pyspark.sql import functions as F
+
+    if src.state_dir == dst.state_dir:
+        raise ValueError(
+            "vacuum_versioned_ann_index: src and dst share a state dir "
+            "— a vacuum writes a FRESH statedir"
+        )
+    if src._stamp != dst._stamp:
+        raise ValueError(
+            f"vacuum_versioned_ann_index: scheme mismatch (src "
+            f"{src._stamp!r}, dst {dst._stamp!r}) — a vacuum preserves "
+            f"centroids, tier and scheme; changing any needs "
+            f"rebuild_ann_index over a corpus replay"
+        )
+    _require_empty(
+        "vacuum_versioned_ann_index",
+        {
+            "vectors": dst.vectors_dir,
+            "ledger": dst.ledger_dir,
+            "tombstones": dst.tombstones_dir,
+        },
+    )
+    dead = src.tombstones(spark).localCheckpoint(eager=True)
+    live_ledger = (
+        src.ledger(spark).join(dead, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    latest = live_ledger.groupBy("vec_id").agg(
+        F.max("version").alias("version")
+    )
+    latest_vectors = (
+        src.vectors(spark)
+        .join(dead, "vec_id", "left_anti")
+        .join(latest, ["vec_id", "version"], "left_semi")
+    )
+    statedir.publish_snapshot(
+        spark,
+        dst.vectors_dir,
+        latest_vectors.sortWithinPartitions("cell"),
+        fs=dst.fs,
+    )
+    statedir.publish_snapshot(
+        spark, dst.ledger_dir, live_ledger, fs=dst.fs
     )
     return latest.count()

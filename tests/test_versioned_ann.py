@@ -538,3 +538,63 @@ def test_versioned_cli_refuses_missing_version_column(
             ).collect(),
         )
     )
+
+
+def test_vacuum_drops_superseded_and_tombstoned_vectors(spark, tmp_path):
+    """vacuum_versioned_ann_index: the immediate, complete erasure pass
+    — vectors/ keeps only the latest live rows, ledger/ keeps every
+    LIVE (vec_id, version) so exactly-once admission survives, deletion
+    history is erased by design, and probes are bit-equal before/after."""
+    from stream_cdc_spark.operators.migration import (
+        vacuum_versioned_ann_index,
+    )
+
+    cents = _centroids(spark)
+    src = VersionedAnnIndexSnapshot(str(tmp_path / "src"), cents)
+    _drain(src, spark)
+    dst = VersionedAnnIndexSnapshot(str(tmp_path / "dst"), cents)
+    n = vacuum_versioned_ann_index(spark, src, dst)
+    live_n = _latest_live(spark).count()
+    assert n == live_n
+    assert _snap_topk(dst, spark) == _snap_topk(src, spark) == _batch_topk(
+        spark
+    )
+    vecs = dst.vectors(spark)
+    assert vecs.count() == live_n  # latest live rows only
+    assert vecs.join(_dead_ids(spark), "vec_id", "left_semi").count() == 0
+    assert vecs.filter(
+        (F.col("vec_id") % 4 == 1) & (F.col("version") == 1)
+    ).count() == 0  # superseded erased
+    # the ledger keeps every LIVE (id, version) — superseded included
+    led = dst.ledger(spark)
+    n_all_live = (
+        _v1(spark).unionByName(
+            _v2(spark).select("vec_id", "version", "embedding")
+        )
+        .join(_dead_ids(spark), "vec_id", "left_anti")
+        .count()
+    )
+    assert led.count() == n_all_live
+    assert dst.tombstones(spark).count() == 0  # history erased by design
+    # exactly-once survives: redelivered LIVE superseded v1 rows drop;
+    # a genuinely new update admits
+    live_v1 = _v1(spark).join(_dead_ids(spark), "vec_id", "left_anti")
+    new_upd = spark.createDataFrame(
+        [(1, 9, [0.5] * len(cents[0][1]))],
+        "vec_id bigint, version bigint, embedding array<float>",
+    )
+    before = dst.ledger(spark).count()
+    dst.foreach_batch(live_v1.limit(20).unionByName(new_upd), 0)
+    assert dst.ledger(spark).count() == before + 1
+    mx = dst._latest_live(spark).filter(F.col("vec_id") == 1).collect()
+    assert mx and mx[0]["version"] == 9
+    # guards
+    with pytest.raises(ValueError, match="share a state dir"):
+        vacuum_versioned_ann_index(spark, src, src)
+    with pytest.raises(ValueError, match="not\\s+empty"):
+        vacuum_versioned_ann_index(spark, src, dst)
+    drifted = VersionedAnnIndexSnapshot(
+        str(tmp_path / "x"), [(c, [x + 0.5 for x in v]) for c, v in cents]
+    )
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        vacuum_versioned_ann_index(spark, src, drifted)

@@ -268,6 +268,32 @@ def _maybe_delete_stream(spark, state_dir: str, id_col: str, ckpt: str,
     return (writer.trigger(availableNow=True) if drain else writer).start()
 
 
+def _require_version_column(
+    spark, path: str, glob: str, ver: str, env_name: str, consequence: str
+) -> None:
+    """The versioned feed modes' shared silent-no-op guard: a missing
+    version column would read as all-null under the forced streaming
+    schema, coalesce every row to (id, 0), and first-wins admission
+    would drop every update as a redelivery — stale images served
+    forever with exit 0. Best effort: only checkable once the feed has
+    files (a not-yet-written feed dir is legitimate in continuous
+    mode)."""
+    try:
+        avail = (
+            spark.read.option("pathGlobFilter", glob).parquet(path).columns
+        )
+    except Exception:
+        return  # no files yet: nothing to contradict
+    if ver not in avail:
+        raise ValueError(
+            f"versioned feed at {path!r} has columns {avail} but the "
+            f"version column is {ver!r} (override with {env_name}; set "
+            f"{env_name}= empty to opt a version-less feed into "
+            f"versioned mode as version 0). A forced schema would read "
+            f"the missing column as all-null and {consequence}."
+        )
+
+
 def _await_streams(spark, queries, drain: bool) -> None:
     """Await the mode's streaming queries. Drain mode: every
     availableNow query must complete — await each (completion order is
@@ -337,30 +363,13 @@ def _ann_index_main(cfg, versioned: bool = False) -> int:
         else "*.parquet"
     )
     emb_glob = os.environ.get("EMB_GLOB", default_glob)
-    # same silent-no-op guard as the versioned retrieval mode: a missing
-    # version column would read as all-null, every row would admit as
-    # (vec_id, 0), and every re-embedding would be dropped as a
-    # redelivery — stale vectors matching forever with exit 0
     ver = os.environ.get("EMB_VERSION_COL", "version")
     versionless = versioned and not ver
     if versioned and not versionless:
-        try:
-            avail = (
-                spark.read.option("pathGlobFilter", emb_glob)
-                .parquet(emb_path)
-                .columns
-            )
-        except Exception:
-            avail = None  # no files yet: nothing to contradict
-        if avail is not None and ver not in avail:
-            raise ValueError(
-                f"versioned feed at {emb_path!r} has columns {avail} but "
-                f"the version column is {ver!r} (override with "
-                f"EMB_VERSION_COL; set EMB_VERSION_COL= empty to opt a "
-                f"version-less feed into versioned mode as version 0). A "
-                f"forced schema would read the missing column as all-null "
-                f"and drop every re-embedding as a redelivery."
-            )
+        _require_version_column(
+            spark, emb_path, emb_glob, ver, "EMB_VERSION_COL",
+            "drop every re-embedding as a redelivery",
+        )
     feed_schema = (
         f"vec_id bigint, {ver} bigint, embedding array<float>"
         if versioned and not versionless
@@ -387,8 +396,14 @@ def _ann_index_main(cfg, versioned: bool = False) -> int:
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
     )
-    query = (writer.trigger(availableNow=True) if drain else writer).start()
+    # the deletion feed (and its loud column validation) starts FIRST:
+    # a validation failure after the admit query started would leak a
+    # running orphan query into the session — it keeps admitting while
+    # main() has already failed, and a retry trips over its half-written
+    # checkpoint. Tombstones are reads-only exclusion, so the relative
+    # start order never changes the final state.
     del_query = _maybe_delete_stream(spark, state_dir, "vec_id", ckpt, drain)
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
 
     def _stop(signum, frame):
         print(f"signal {signum}: stopping {mode}", file=sys.stderr)
@@ -437,34 +452,16 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
     )
     # RETR_VERSION_COL= (explicitly empty) opts a version-less feed into
     # versioned mode: every row admits as version 0 (insert-only
-    # first-wins). Otherwise fail LOUDLY when the version column is
-    # missing from the feed: the forced streaming schema would read it
-    # as all-null, coalesce every row to (doc_id, 0), and first-wins
-    # admission would drop every CDC update as a redelivery — stale
-    # images scored forever with exit 0. Same silent-no-op class the
-    # DELETES_PATH guard closes; same best-effort rule (a not-yet-
-    # written feed dir has nothing to contradict).
+    # first-wins); otherwise the shared guard fails loudly on a feed
+    # missing the version column (_require_version_column doc).
     ver = os.environ.get("RETR_VERSION_COL", "version")
     versionless = versioned and not ver
     docs_glob = os.environ.get("DOCS_GLOB", default_glob)
     if versioned and not versionless:
-        try:
-            avail = (
-                spark.read.option("pathGlobFilter", docs_glob)
-                .parquet(docs_path)
-                .columns
-            )
-        except Exception:
-            avail = None  # no files yet: nothing to contradict
-        if avail is not None and ver not in avail:
-            raise ValueError(
-                f"versioned feed at {docs_path!r} has columns {avail} but "
-                f"the version column is {ver!r} (override with "
-                f"RETR_VERSION_COL; set RETR_VERSION_COL= empty to opt a "
-                f"version-less feed into versioned mode as version 0). A "
-                f"forced schema would read the missing column as all-null "
-                f"and drop every update as a redelivery."
-            )
+        _require_version_column(
+            spark, docs_path, docs_glob, ver, "RETR_VERSION_COL",
+            "drop every update as a redelivery",
+        )
     feed_schema = (
         f"doc_id bigint, {ver} bigint, text string"
         if versioned and not versionless
@@ -491,8 +488,9 @@ def _retrieval_index_main(cfg, versioned: bool = False) -> int:
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
     )
-    query = (writer.trigger(availableNow=True) if drain else writer).start()
+    # deletion feed first — orphan-query rule, see _ann_index_main
     del_query = _maybe_delete_stream(spark, state_dir, "doc_id", ckpt, drain)
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
 
     def _stop(signum, frame):
         print(f"signal {signum}: stopping {mode}", file=sys.stderr)
@@ -545,21 +543,42 @@ def _cdc_full_main(cfg) -> int:
         _return_pipeline=True,
         **_bucketed_kw(),
     )
+    events_glob = os.environ.get("EVENTS_GLOB", "*.parquet")
+    # loud startup guard (best effort, like _require_version_column): a
+    # feed missing any envelope column reads all-null under the forced
+    # schema; the sink ALSO fails per-batch on null upsert versions
+    try:
+        avail = (
+            spark.read.option("pathGlobFilter", events_glob)
+            .parquet(events_path)
+            .columns
+        )
+    except Exception:
+        avail = None  # no files yet: nothing to contradict
+    if avail is not None:
+        missing = {"event_type", "gtid_seq", "content"} - set(avail)
+        if missing:
+            raise ValueError(
+                f"cdc_full feed at {events_path!r} has columns {avail} "
+                f"but the envelope schema needs {sorted(missing)} — a "
+                f"forced schema would read them as all-null (upserts "
+                f"with null versions break exactly-once admission and "
+                f"vanish from probes)."
+            )
     stream = (
         spark.readStream.schema(CDC_FULL_FEED_SCHEMA)
-        .option(
-            "pathGlobFilter", os.environ.get("EVENTS_GLOB", "*.parquet")
-        )
+        .option("pathGlobFilter", events_glob)
         .parquet(events_path)
     )
     writer = (
         stream.writeStream.foreachBatch(pipe.foreach_batch)
         .option("checkpointLocation", ckpt)
     )
-    query = (writer.trigger(availableNow=True) if drain else writer).start()
+    # deletion feed first — orphan-query rule, see _ann_index_main
     del_query = _maybe_delete_stream(
         spark, state_dir, "doc_id", ckpt, drain, sink_fn=pipe.delete_batch
     )
+    query = (writer.trigger(availableNow=True) if drain else writer).start()
 
     def _stop(signum, frame):
         print(f"signal {signum}: stopping cdc_full", file=sys.stderr)

@@ -183,7 +183,6 @@ def _register_builtins() -> None:
                        _return_pipeline=False, **kw):
         from stream_cdc_spark.streaming.cdc_full import CdcFullPipeline
 
-        kw.pop("min_tokens_unused", None)
         centroids = _load_centroids("cdc_full", centroids, centroids_path)
         pipe = CdcFullPipeline(state_dir, centroids, **kw)
         # the CLI keeps the object (its delete_batch fans the deletion

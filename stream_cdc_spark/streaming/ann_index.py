@@ -578,18 +578,18 @@ class AnnIndexSnapshot:
             transform=self._reduce_moments,
             fs=self.fs,
         )
-        raw = self._build(spark, batch_df, batch_id)
-        if raw is None:
+        staged = self._build(spark, batch_df, batch_id)
+        if staged is None:
             return  # empty trigger: commit nothing (missing == empty)
         (
-            self._storage(raw)
+            staged.drop("dist_bp")
             .coalesce(self.commit_files)
             .sortWithinPartitions("cell")
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
         )
         (
-            raw.select("vec_id")
+            staged.select("vec_id")
             .coalesce(self.commit_files)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
@@ -598,7 +598,7 @@ class AnnIndexSnapshot:
         # own dist_bp, reduced to num_cells rows — free at ingest (no
         # extra scoring), folded as a sum monoid above
         (
-            self._moments_of(raw)
+            self._moments_of(staged)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.moments_dir, batch_id))
@@ -676,10 +676,14 @@ class AnnIndexSnapshot:
         )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
-        """The micro-batch's new assigned rows (vec_id, vv, cell,
-        dist_bp — full precision, pre-storage), or None for an
-        effectively-empty batch. Separated from the commit so plan tests
-        can assert scale shape on the exact relation written."""
+        """The micro-batch's new STORAGE rows plus the residual column
+        (vec_id, vv|code, cell, dist_bp), or None for an effectively-
+        empty batch. The pin happens on this projection — on the sq8
+        tier that is 1 B/dim codes, not the 4 B/dim full-precision
+        vectors (pinning raw would quadruple per-trigger checkpoint
+        bytes on the tier whose point is quartering state). Separated
+        from the commit so plan tests can assert scale shape on the
+        exact relation written."""
         vecs = (
             batch_df.select(
                 F.col(self.id_col).cast("long").alias("vec_id"),
@@ -705,23 +709,35 @@ class AnnIndexSnapshot:
         )
         # pin: feeds the emptiness probe and all three commit writes —
         # unpinned, the assignment (and the state anti-join behind it)
-        # would recompute per action
-        raw = raw.localCheckpoint(eager=True)
-        if not raw.take(1):
+        # would recompute per action. Pinned AFTER the storage
+        # projection (class doc: code-size blocks on the sq8 tier).
+        staged = self._storage(raw, keep_residual=True).localCheckpoint(
+            eager=True
+        )
+        if not staged.take(1):
             return None
-        return raw
+        return staged
 
-    def _storage(self, raw: DataFrame) -> DataFrame:
+    def _storage(
+        self, raw: DataFrame, keep_residual: bool = False
+    ) -> DataFrame:
         """An assigned relation -> this sink's stamped storage rows:
-        payload quantized only for sq8 storage (1 B/dim on disk)."""
+        payload quantized only for sq8 storage (1 B/dim on disk).
+        ``keep_residual`` carries dist_bp through for the drift
+        monitor's partials (the per-trigger _build path)."""
+        extra = [F.col("dist_bp")] if keep_residual else []
         if self.storage == "sq8":
             return raw.select(
                 "vec_id",
                 _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
                 F.col("cell").alias("cell", metadata=self._stamp),
+                *extra,
             )
         return raw.select(
-            "vec_id", "vv", F.col("cell").alias("cell", metadata=self._stamp)
+            "vec_id",
+            "vv",
+            F.col("cell").alias("cell", metadata=self._stamp),
+            *extra,
         )
 
     def _assign(self, spark, vecs: DataFrame) -> DataFrame:

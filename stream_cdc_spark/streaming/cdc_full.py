@@ -178,6 +178,28 @@ class CdcFullPipeline:
         if not batch_df.take(1):
             return  # empty trigger: no leg commits (missing == empty)
         envelopes = batch_df.localCheckpoint(eager=True)
+        # fail LOUDLY on upserts with a NULL version (a feed file
+        # missing gtid_seq reads all-null under the forced schema; a
+        # malformed envelope carries one): null keys never match the
+        # admission anti-join (every redelivery re-admits, state grows
+        # unbounded) NOR the version-max equi-join (the doc silently
+        # vanishes from every probe) — the same silent-no-op class the
+        # versioned CLI modes guard at startup, which a column check
+        # alone cannot catch row-wise. One cheap scan of the pinned
+        # batch.
+        bad = envelopes.filter(
+            F.col(self.event_type_col).isin("Insert", "Update")
+            & F.col(self.version_col).isNull()
+        )
+        if bad.take(1):
+            raise ValueError(
+                f"cdc_full batch {batch_id}: upsert envelopes with a "
+                f"NULL {self.version_col!r} — the feed is missing the "
+                f"version column (forced schema reads it all-null) or "
+                f"carries malformed envelopes. Null versions would "
+                f"break exactly-once admission AND drop the docs from "
+                f"every probe, silently."
+            )
         gated_text, gated_vec, deletes = self._split(envelopes)
         self.retr.foreach_batch(gated_text, batch_id)
         self.ann.foreach_batch(gated_vec, batch_id)

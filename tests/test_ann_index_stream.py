@@ -285,6 +285,12 @@ def test_ann_index_cli_mode_drains_corpus_and_deletes(
     monkeypatch.setenv("DELETES_ID_COL", "wrong_col")
     with _pytest.raises(ValueError, match="DELETES_PATH feed"):
         M.main()
+    # the refused startup left NO orphan query behind: the deletion
+    # feed validates (and starts) BEFORE the admit query, so a
+    # validation failure cannot leak a running admit stream whose
+    # half-written checkpoint breaks the retry (round-13 fix — this
+    # exact test flaked on the collision)
+    assert not spark.streams.active
     monkeypatch.delenv("DELETES_ID_COL")
     assert M.main() == 0
     snap = AnnIndexSnapshot(state, cents)

@@ -316,3 +316,29 @@ def test_cdc_full_cli_drains_envelopes_and_delete_feed(
     retr, ann = _probe(pipe, spark)
     assert retr == _retr_ref(spark, extra_dead=extra)
     assert ann == _ann_ref(spark, extra_dead=extra)
+
+
+def test_null_upsert_version_fails_loudly(spark, tmp_path):
+    """An upsert envelope with a NULL gtid_seq (a feed file missing the
+    column reads all-null under the forced schema, or a malformed
+    envelope) must fail the batch loudly: null versions match neither
+    the admission anti-join (every redelivery re-admits) nor the
+    version-max equi-join (the doc vanishes from probes) — the silent
+    no-op class the versioned CLI guards close at startup, caught here
+    row-wise."""
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), [(0, [1.0, 0.0])], min_tokens=1
+    )
+    bad = spark.createDataFrame(
+        [("Insert", None, (1, "some text here", [0.5, 0.5]))],
+        "event_type string, gtid_seq bigint, "
+        "content struct<doc_id bigint, text string, "
+        "embedding array<float>>",
+    )
+    with pytest.raises(ValueError, match="NULL 'gtid_seq'"):
+        pipe.foreach_batch(bad, 0)
+    # nothing committed on any leg
+    from stream_cdc_spark.streaming import statedir
+
+    assert not statedir.state_paths(pipe.retr.docs_dir, 1 << 62)
+    assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)

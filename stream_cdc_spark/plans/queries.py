@@ -6115,6 +6115,8 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
     FROM scored ORDER BY score DESC, doc_id LIMIT 15
     """,
+    headline=True,
+    eager=True,
     doc="VERSIONED retrieval-index maintenance with document UPDATES — "
     "the CDC-native widening (streaming/retrieval_index.py "
     "versioned_bm25_over_events / VersionedRetrievalIndexSnapshot): the "
@@ -6234,6 +6236,8 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     ) WHERE rank <= 5
     ORDER BY q_id, rank
     """,
+    headline=True,
+    eager=True,
     doc="VERSIONED ANN index with embedding UPDATES — the symmetric "
     "CDC widening of q138 (streaming/ann_index.py "
     "versioned_ann_topk_over_events / VersionedAnnIndexSnapshot): the "

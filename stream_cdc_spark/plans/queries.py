@@ -6298,6 +6298,128 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+@_register(
+    "q140_gated_versioned_updates",
+    """
+    WITH v1 AS (SELECT doc_id, 1 AS version, text FROM documents),
+    v2 AS (SELECT doc_id, 2 AS version, text || ' vector stream' AS text
+           FROM documents WHERE doc_id % 4 = 1),
+    v2bad AS (SELECT doc_id, 2 AS version, 'tiny doc' AS text
+              FROM documents WHERE doc_id % 4 = 2),
+    allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             UNION ALL SELECT * FROM v2bad),
+    gated AS (SELECT * FROM allv
+              WHERE len(string_split(text, ' ')) >= 5),
+    live AS (SELECT * FROM gated WHERE doc_id % 10 <> 3),
+    latest AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC)
+                 AS rn
+        FROM live
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM latest),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(t)) AS BIGINT) AS l FROM toks),
+    w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w WHERE word IN ('stream', 'vector', 'join')
+           GROUP BY doc_id, word),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    idf AS (SELECT word,
+                   CAST(FLOOR(1000000.0 *
+                        LN(1.0 + (c.n - df + 0.5) / (df + 0.5))) AS BIGINT)
+                     AS idf_q
+            FROM df CROSS JOIN corpus c),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM((idf.idf_q * 22 * c.l * tf.tf)
+                 // (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n)) AS score
+      FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="COMPOSED pipeline semantics — the curation quality gate inside "
+    "the CDC update flow (streaming/cdc_full.py "
+    "composed_bm25_over_envelopes / CdcFullPipeline): typed envelope "
+    "batches carry inserts, GOOD updates (two query terms appended), "
+    "LOW-QUALITY updates (an image below the 5-token gate — it must be "
+    "admitted NOWHERE, and the version-max read keeps serving the last "
+    "image that PASSED), deletes and their replay, out-of-order and "
+    "redelivered versions — split and gated by the exact CdcFullPipeline "
+    "path (curation.default_quality_predicate + cdc_upserts_and_deletes "
+    "on the gate-filtered envelope stream) and folded through versioned "
+    "first-wins admission. The oracle composes the gate predicate with "
+    "q138's latest-image compaction and q89's integer BM25, so one hash "
+    "proves the gate-supersession interaction: a doc whose newest "
+    "version failed quality still scores as its older good image. The "
+    "statedir twin holds the same equality with mid-stream restarts and "
+    "both delete channels in tests/test_cdc_full.py.",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    from stream_cdc_spark.streaming.cdc_full import (
+        composed_bm25_over_envelopes,
+    )
+
+    d = load(spark, sf, "documents")
+
+    def env(df, etype):
+        return df.select(
+            F.lit(etype).alias("event_type"),
+            F.col("version").cast("long").alias("gtid_seq"),
+            F.struct(F.col("doc_id"), F.col("text")).alias("content"),
+        )
+
+    def delete_env(ids):
+        return ids.select(
+            F.lit("Delete").alias("event_type"),
+            F.lit(10 ** 6).cast("long").alias("gtid_seq"),
+            F.struct(
+                F.col("doc_id"), F.lit(None).cast("string").alias("text")
+            ).alias("content"),
+        )
+
+    v1 = d.select("doc_id", F.lit(1).cast("bigint").alias("version"), "text")
+    v2 = d.filter(F.col("doc_id") % 4 == 1).select(
+        "doc_id",
+        F.lit(2).cast("bigint").alias("version"),
+        F.concat(F.col("text"), F.lit(" vector stream")).alias("text"),
+    )
+    v2bad = d.filter(F.col("doc_id") % 4 == 2).select(
+        "doc_id",
+        F.lit(2).cast("bigint").alias("version"),
+        F.lit("tiny doc").alias("text"),
+    )
+    dead = d.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    batches = [
+        env(v1.filter(F.col("doc_id") % 3 != 2), "Insert"),
+        # good + bad updates (v2 precedes v1 for %3==2 docs);
+        # redelivered v1 rows
+        env(v2.unionByName(v2bad), "Update").unionByName(
+            env(
+                v1.filter(
+                    (F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 7 == 0)
+                ),
+                "Insert",
+            )
+        ),
+        delete_env(dead),
+        # late v1 images + redelivered v2s + the delete replay in ONE
+        # envelope batch (the composed split fans it out)
+        env(v1.filter(F.col("doc_id") % 3 == 2), "Insert")
+        .unionByName(env(v2.filter(F.col("doc_id") % 7 == 1), "Update"))
+        .unionByName(delete_env(dead)),
+    ]
+    return composed_bm25_over_envelopes(
+        batches, ["stream", "vector", "join"], min_tokens=5, top_k=15
+    )
+
+
 # Driver verification window, round 6 — the rotation policy (round-5
 # verdict task 4): every query's most-recent driver-green row should be
 # no older than two rounds.
@@ -6872,15 +6994,16 @@ assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 #  (1) the 39 queries whose most-recent driver-green row is r10 lead
 #      the window (computed from CORRECTNESS_r01..r12: every query
 #      whose last fully-green appearance was round 10);
-#  (2) the query ADDED this round (q139, never driver-green yet);
+#  (2) the queries ADDED this round (q139, q140 — never driver-green
+#      yet);
 #  (3) code-change anchors for round-13 diffs: q136 (ann_index.py
 #      gained the versioned sink alongside the plain one), q137/q138
 #      (retrieval_index.py constructor + probe broadcast guard);
-#  (4) remaining 7 slots from the r11 cohort sitting on code changed
+#  (4) remaining 6 slots from the r11 cohort sitting on code changed
 #      this round — the similarity.py IVF probe refactor
 #      (ivf_query_probes/ivf_score_probes/ivf_assign carry_cols) and
 #      the shared ANN/BM25 scoring bodies: q44, q25, q29, q107, q30,
-#      q42, q89.
+#      q89.
 _DRIVER_WINDOW_R13 = [
     # (1) 39 stale r10-green queries:
     "q01_envelope_filter_project",
@@ -6924,6 +7047,7 @@ _DRIVER_WINDOW_R13 = [
     "q88_pagerank",
     # (2) new this round:
     "q139_versioned_ann_updates",
+    "q140_gated_versioned_updates",
     # (3) round-13 code-change anchors:
     "q136_incremental_ann_index",
     "q137_incremental_retrieval_index",
@@ -6934,7 +7058,6 @@ _DRIVER_WINDOW_R13 = [
     "q29_ann_lsh_topk",
     "q107_sq8_ann_topk",
     "q30_embedding_near_dup",
-    "q42_vector_stats",
     "q89_bm25_topk",
 ]
 

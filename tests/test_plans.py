@@ -110,8 +110,11 @@ def test_driver_window_matches_round13_rotation():
     ]
     assert len(stale) == 39, len(stale)
     assert set(stale) <= set(_DRIVER_WINDOW_R13)
-    # the round-13 addition is in-window (never driver-green before r13):
-    assert "q139_versioned_ann_updates" in _DRIVER_WINDOW_R13
+    # the round-13 additions are in-window (never driver-green before):
+    assert {
+        "q139_versioned_ann_updates",
+        "q140_gated_versioned_updates",
+    } <= set(_DRIVER_WINDOW_R13)
     # this round's code-change anchors are inside the window:
     assert {
         "q136_incremental_ann_index",
@@ -121,8 +124,7 @@ def test_driver_window_matches_round13_rotation():
     # the similarity.py refactor cohort:
     assert {
         "q44_ivf_ann_topk", "q25_ann_bruteforce_topk", "q29_ann_lsh_topk",
-        "q107_sq8_ann_topk", "q30_embedding_near_dup", "q42_vector_stats",
-        "q89_bm25_topk",
+        "q107_sq8_ann_topk", "q30_embedding_near_dup", "q89_bm25_topk",
     } <= set(_DRIVER_WINDOW_R13)
     # headline continuity: the in-cohort headliners are timed and
     # value-verified in the same round; every headliner missing from
@@ -149,7 +151,7 @@ def test_driver_window_matches_round13_rotation():
         "q66_winnow_fingerprints",
     }, missing
     # nothing was lost in the reorder: same registry, same specs
-    assert len(names) == len(set(names)) == 139
+    assert len(names) == len(set(names)) == 140
 
 
 def test_q69_q70_dims_broadcast(spark):

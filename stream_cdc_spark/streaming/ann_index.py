@@ -275,7 +275,91 @@ def _sq8_decode(code, ranges: list[tuple[float, float]]):
     )
 
 
-class AnnIndexSnapshot:
+class _DriftMonitor:
+    """The centroid-drift monitor shared by BOTH ANN sinks (round-13):
+    per-cell quantization-residual moments maintained in a ``moments/``
+    statedir (the owning sink commits ``_moments_of(staged)`` per
+    trigger and folds with ``_reduce_moments`` — a commutative
+    component-wise sum monoid), compared against the offline
+    ``train_residual_baseline`` by ``drift_report``. Expects the owning
+    sink to define ``moments_dir`` and ``fs``."""
+
+    @staticmethod
+    def _moments_of(raw: DataFrame) -> DataFrame:
+        """(cell, n, s, s2) residual partials of an assigned relation —
+        the same reduction the moments/ folds apply (a commutative
+        monoid: component-wise sums)."""
+        d = F.col("dist_bp").cast("decimal(38,0)")
+        return raw.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d).cast("decimal(38,0)").alias("s"),
+            F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+        )
+
+    @staticmethod
+    def _reduce_moments(df: DataFrame) -> DataFrame:
+        return df.groupBy("cell").agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+        )
+
+    def moments(self, spark) -> DataFrame:
+        """The accumulated per-cell residual moments (fully reduced)."""
+        return self._reduce_moments(
+            statedir.read_state(
+                spark, self.moments_dir, ANN_MOMENTS_SCHEMA, 1 << 62,
+                fs=self.fs,
+            )
+        )
+
+    def drift_report(
+        self, spark, baseline: DataFrame, z: float = 3.0, min_n: int = 100
+    ) -> DataFrame:
+        """The 'when to migrate' signal (round-13): compare the LIVE
+        corpus's per-cell mean quantization residual against the
+        training-time distribution (``train_residual_baseline``, the
+        artifact recorded next to the centroids). A continuously-
+        ingested corpus drifts off its offline-trained centroids and
+        recall decays silently — a cell whose live mean residual
+        exceeds mean_bp + z * std_bp (with at least ``min_n`` live
+        admissions) is flagged. A flagged report is the documented
+        trigger for operators/migration.rebuild_ann_index with
+        re-trained centroids. On the versioned sink the moments cover
+        every ADMITTED version (drift is a property of the arriving
+        stream — superseded re-embeddings still measured what arrived).
+        Returns (cell, n, live_mean_bp, mean_bp, std_bp, drifted),
+        num_cells rows."""
+        live = self.moments(spark).withColumn(
+            "live_mean_bp",
+            (F.col("s") / F.col("n")).cast("double"),
+        )
+        return (
+            live.join(
+                F.broadcast(
+                    baseline.select("cell", "n_train", "mean_bp", "std_bp")
+                ),
+                "cell",
+                "left",
+            )
+            .withColumn(
+                "drifted",
+                (F.col("n") >= F.lit(int(min_n)))
+                & (
+                    F.col("mean_bp").isNull()  # cell unseen in training
+                    | (
+                        F.col("live_mean_bp")
+                        > F.col("mean_bp") + F.lit(float(z)) * F.col("std_bp")
+                    )
+                ),
+            )
+            .select(
+                "cell", "n", "live_mean_bp", "mean_bp", "std_bp", "drifted"
+            )
+        )
+
+
+class AnnIndexSnapshot(_DriftMonitor):
     """foreachBatch sink: continuous IVF index admission over a
     (vec_id, embedding) stream, plus the `topk` probe over the persisted
     index. See module doc.
@@ -604,77 +688,6 @@ class AnnIndexSnapshot:
             .parquet(statedir.batch_dir(self.moments_dir, batch_id))
         )
 
-    @staticmethod
-    def _moments_of(raw: DataFrame) -> DataFrame:
-        """(cell, n, s, s2) residual partials of an assigned relation —
-        the same reduction the moments/ folds apply (a commutative
-        monoid: component-wise sums)."""
-        d = F.col("dist_bp").cast("decimal(38,0)")
-        return raw.groupBy("cell").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(d).cast("decimal(38,0)").alias("s"),
-            F.sum(d * d).cast("decimal(38,0)").alias("s2"),
-        )
-
-    @staticmethod
-    def _reduce_moments(df: DataFrame) -> DataFrame:
-        return df.groupBy("cell").agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.sum("s").cast("decimal(38,0)").alias("s"),
-            F.sum("s2").cast("decimal(38,0)").alias("s2"),
-        )
-
-    def moments(self, spark) -> DataFrame:
-        """The accumulated per-cell residual moments (fully reduced)."""
-        return self._reduce_moments(
-            statedir.read_state(
-                spark, self.moments_dir, ANN_MOMENTS_SCHEMA, 1 << 62,
-                fs=self.fs,
-            )
-        )
-
-    def drift_report(
-        self, spark, baseline: DataFrame, z: float = 3.0, min_n: int = 100
-    ) -> DataFrame:
-        """The 'when to migrate' signal (round-13): compare the LIVE
-        corpus's per-cell mean quantization residual against the
-        training-time distribution (``train_residual_baseline``, the
-        artifact recorded next to the centroids). A continuously-
-        ingested corpus drifts off its offline-trained centroids and
-        recall decays silently — a cell whose live mean residual
-        exceeds mean_bp + z * std_bp (with at least ``min_n`` live
-        admissions) is flagged. A flagged report is the documented
-        trigger for operators/migration.rebuild_ann_index with
-        re-trained centroids. Returns (cell, n, live_mean_bp, mean_bp,
-        std_bp, drifted), num_cells rows."""
-        live = self.moments(spark).withColumn(
-            "live_mean_bp",
-            (F.col("s") / F.col("n")).cast("double"),
-        )
-        return (
-            live.join(
-                F.broadcast(
-                    baseline.select("cell", "n_train", "mean_bp", "std_bp")
-                ),
-                "cell",
-                "left",
-            )
-            .withColumn(
-                "drifted",
-                (F.col("n") >= F.lit(int(min_n)))
-                & (
-                    F.col("mean_bp").isNull()  # cell unseen in training
-                    | (
-                        F.col("live_mean_bp")
-                        > F.col("mean_bp") + F.lit(float(z)) * F.col("std_bp")
-                    )
-                ),
-            )
-            .select(
-                "cell", "n", "live_mean_bp", "mean_bp", "std_bp", "drifted"
-            )
-        )
-
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
         """The micro-batch's new STORAGE rows plus the residual column
         (vec_id, vv|code, cell, dist_bp), or None for an effectively-
@@ -796,7 +809,7 @@ def ann_topk_over_batches(
     )
 
 
-class VersionedAnnIndexSnapshot:
+class VersionedAnnIndexSnapshot(_DriftMonitor):
     """foreachBatch sink: UPDATE-capable continuous IVF index — the
     CDC-native widening of AnnIndexSnapshot, the exact q138 design the
     versioned retrieval index uses (streaming/retrieval_index.py
@@ -896,6 +909,9 @@ class VersionedAnnIndexSnapshot:
         self.state_dir = state_dir
         self.vectors_dir = os.path.join(state_dir, "vectors")
         self.ledger_dir = os.path.join(state_dir, "ledger")
+        # centroid-drift monitor state (_DriftMonitor) — on the
+        # versioned sink it measures every ADMITTED version
+        self.moments_dir = os.path.join(state_dir, "moments")
         self._tomb = statedir.TombstoneLog(
             os.path.join(state_dir, "tombstones"),
             store_col="vec_id",
@@ -1103,25 +1119,42 @@ class VersionedAnnIndexSnapshot:
             fallback_transform=lambda df: df.sortWithinPartitions("cell"),
             fs=self.fs,
         )
-        assigned = self._build(spark, batch_df, batch_id)
-        if assigned is None:
+        # drift-monitor moments fold (sum monoid, _DriftMonitor doc)
+        statedir.maybe_compact(
+            spark, self.moments_dir, ANN_MOMENTS_SCHEMA, batch_id,
+            every=self.compact_every,
+            major_every=self.major_every,
+            transform=self._reduce_moments,
+            fs=self.fs,
+        )
+        staged = self._build(spark, batch_df, batch_id)
+        if staged is None:
             return  # empty trigger: commit nothing (missing == empty)
         (
-            assigned.coalesce(self.commit_files)
+            staged.drop("dist_bp")
+            .coalesce(self.commit_files)
             .sortWithinPartitions("cell")
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
         )
         (
-            assigned.select("vec_id", "version")
+            staged.select("vec_id", "version")
             .coalesce(self.commit_files)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
         )
+        (
+            self._moments_of(staged)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.moments_dir, batch_id))
+        )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
-        """The micro-batch's new (vec_id, version, vv|code, cell) rows,
-        or None for an effectively-empty batch."""
+        """The micro-batch's new STORAGE rows plus the residual column
+        (vec_id, version, vv|code, cell, dist_bp), or None for an
+        effectively-empty batch. The pin happens on this projection —
+        code-size blocks on the sq8 tier (the plain sink's rule)."""
         vecs = (
             batch_df.select(
                 F.col(self.id_col).cast("long").alias("vec_id"),
@@ -1142,18 +1175,22 @@ class VersionedAnnIndexSnapshot:
                 ["vec_id", "version"],
                 "left_anti",
             )
-        assigned = self._assign(spark, vecs)
-        assigned = assigned.localCheckpoint(eager=True)
-        if not assigned.take(1):
+        staged = self._assign(spark, vecs, keep_residual=True)
+        staged = staged.localCheckpoint(eager=True)
+        if not staged.take(1):
             return None
-        return assigned
+        return staged
 
-    def _assign(self, spark, vecs: DataFrame) -> DataFrame:
+    def _assign(
+        self, spark, vecs: DataFrame, keep_residual: bool = False
+    ) -> DataFrame:
         """(vec_id, version, vv) -> the stamped storage relation. Cells
         are assigned from the FULL-precision vector of THAT version via
         the shared similarity.ivf_assign argmin (carry_cols threads the
         version through the per-row argmin), so a re-embedding lands in
-        its own correct cell — the geometry every probe relies on."""
+        its own correct cell — the geometry every probe relies on.
+        ``keep_residual`` carries dist_bp through for the drift
+        monitor's partials (the per-trigger _build path)."""
         assigned = similarity.ivf_assign(
             vecs,
             self._centroids_df(spark),
@@ -1161,18 +1198,21 @@ class VersionedAnnIndexSnapshot:
             vec_col="vv",
             carry_cols=("version",),
         )
+        extra = [F.col("dist_bp")] if keep_residual else []
         if self.storage == "sq8":
             return assigned.select(
                 "vec_id",
                 "version",
                 _sq8_encode(F.col("vv"), self.sq_ranges).alias("code"),
                 F.col("cell").alias("cell", metadata=self._stamp),
+                *extra,
             )
         return assigned.select(
             "vec_id",
             "version",
             "vv",
             F.col("cell").alias("cell", metadata=self._stamp),
+            *extra,
         )
 
 

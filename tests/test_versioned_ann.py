@@ -598,3 +598,50 @@ def test_vacuum_drops_superseded_and_tombstoned_vectors(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="scheme mismatch"):
         vacuum_versioned_ann_index(spark, src, drifted)
+
+
+def test_versioned_drift_moments_cover_every_admitted_version(
+    spark, tmp_path
+):
+    """The versioned sink shares the drift monitor (_DriftMonitor):
+    moments cover every ADMITTED (vec_id, version) — superseded
+    re-embeddings still measured what arrived — and equal the one-shot
+    reduction over v1 ∪ v2 across folds, redeliveries and a restart."""
+    snap = VersionedAnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    _drain(snap, spark)
+    again = VersionedAnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    got = sorted(map(tuple, again.moments(spark).collect()))
+    admitted = _v1(spark).unionByName(
+        _v2(spark).select("vec_id", "version", "embedding")
+    )
+    assigned = similarity.ivf_assign(
+        admitted, _centroids_df(spark), vec_col="embedding",
+        carry_cols=("version",),  # per-(id, version) argmin, like the sink
+    )
+    d = F.col("dist_bp").cast("decimal(38,0)")
+    want = sorted(
+        map(
+            tuple,
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(d).cast("decimal(38,0)").alias("s"),
+                F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # drift_report runs on the versioned sink (baseline = v1 corpus)
+    from stream_cdc_spark.streaming.ann_index import (
+        train_residual_baseline,
+    )
+
+    baseline = train_residual_baseline(_emb(spark), _centroids_df(spark))
+    rep = again.drift_report(spark, baseline, z=6.0, min_n=10 ** 9)
+    # min_n astronomically high: nothing can flag — shape check only
+    assert rep.filter(F.col("drifted")).count() == 0

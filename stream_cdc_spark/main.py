@@ -548,22 +548,47 @@ def _cdc_full_main(cfg) -> int:
     # feed missing any envelope column reads all-null under the forced
     # schema; the sink ALSO fails per-batch on null upsert versions
     try:
-        avail = (
+        feed_schema = (
             spark.read.option("pathGlobFilter", events_glob)
             .parquet(events_path)
-            .columns
+            .schema
         )
     except Exception:
-        avail = None  # no files yet: nothing to contradict
-    if avail is not None:
-        missing = {"event_type", "gtid_seq", "content"} - set(avail)
+        feed_schema = None  # no files yet: nothing to contradict
+    if feed_schema is not None:
+        avail = set(feed_schema.names)
+        missing = {"event_type", "gtid_seq", "content"} - avail
         if missing:
             raise ValueError(
-                f"cdc_full feed at {events_path!r} has columns {avail} "
-                f"but the envelope schema needs {sorted(missing)} — a "
-                f"forced schema would read them as all-null (upserts "
-                f"with null versions break exactly-once admission and "
-                f"vanish from probes)."
+                f"cdc_full feed at {events_path!r} has columns "
+                f"{sorted(avail)} but the envelope schema needs "
+                f"{sorted(missing)} — a forced schema would read them "
+                f"as all-null (upserts with null versions break "
+                f"exactly-once admission and vanish from probes)."
+            )
+        # the CONTENT STRUCT's fields too (ADVICE r13): a feed whose
+        # content struct lacks embedding (or doc_id/text) reads that
+        # field as all-null under the forced schema — the gate still
+        # passes on text while the ANN leg admits null vectors whose
+        # first-wins slots a corrected redelivery can never reclaim.
+        # The sink ALSO fails per-batch on null ids/embeddings.
+        from pyspark.sql.types import StructType
+
+        content_t = feed_schema["content"].dataType
+        content_fields = (
+            set(content_t.names)
+            if isinstance(content_t, StructType)
+            else set()
+        )
+        cmissing = {"doc_id", "text", "embedding"} - content_fields
+        if cmissing:
+            raise ValueError(
+                f"cdc_full feed at {events_path!r} has content fields "
+                f"{sorted(content_fields)} but the envelope schema "
+                f"needs {sorted(cmissing)} — a forced schema would "
+                f"read them as all-null (null doc_ids/embeddings "
+                f"would permanently occupy first-wins admission slots "
+                f"and surface null-cosine candidates, silently)."
             )
     stream = (
         spark.readStream.schema(CDC_FULL_FEED_SCHEMA)

@@ -672,20 +672,27 @@ class AnnIndexSnapshot(_DriftMonitor):
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
         )
-        (
-            staged.select("vec_id")
-            .coalesce(self.commit_files)
-            .write.mode("overwrite")
-            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
-        )
         # the drift monitor's per-cell residual partials: the argmin's
         # own dist_bp, reduced to num_cells rows — free at ingest (no
-        # extra scoring), folded as a sum monoid above
+        # extra scoring), folded as a sum monoid above. Committed
+        # BEFORE the ledger: the ledger is the admission commit point
+        # (a redelivery of these rows under a LATER batch id anti-joins
+        # to empty and writes nothing), so every state the batch owns
+        # must be durable before the ledger rows are — a crash between
+        # the two leaves the moments already written, and a same-id
+        # replay overwrites them identically while the ledger dir is
+        # still absent (ADVICE r13).
         (
             self._moments_of(staged)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.moments_dir, batch_id))
+        )
+        (
+            staged.select("vec_id")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
         )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):
@@ -1063,7 +1070,11 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
             if probed
             else state.filter(F.lit(False))
         )
-        ids = pruned.select("vec_id").distinct()
+        # pinned: the distinct-id set (bounded by the pruned scan's
+        # distinct ids) feeds the broadcast-cap count probe AND the
+        # max-version semi-join — unpinned, each would re-run the
+        # probed-cell parquet scan and its distinct (ADVICE r13)
+        ids = pruned.select("vec_id").distinct().localCheckpoint(eager=True)
         cap = self.broadcast_max_ids
         small = ids.limit(cap + 1).count() <= cap
         hint = F.broadcast if small else (lambda df: df)
@@ -1137,17 +1148,20 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.vectors_dir, batch_id))
         )
-        (
-            staged.select("vec_id", "version")
-            .coalesce(self.commit_files)
-            .write.mode("overwrite")
-            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
-        )
+        # moments BEFORE the ledger — the ledger is the admission
+        # commit point, so all batch-owned state must be durable first
+        # (the plain sink's ordering rationale, ADVICE r13)
         (
             self._moments_of(staged)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(statedir.batch_dir(self.moments_dir, batch_id))
+        )
+        (
+            staged.select("vec_id", "version")
+            .coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(statedir.batch_dir(self.ledger_dir, batch_id))
         )
 
     def _build(self, spark, batch_df: DataFrame, batch_id: int):

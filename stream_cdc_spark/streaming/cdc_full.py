@@ -201,6 +201,28 @@ class CdcFullPipeline:
                 f"every probe, silently."
             )
         gated_text, gated_vec, deletes = self._split(envelopes)
+        # same loud-failure rule for the row-image KEYS on gated
+        # upserts (ADVICE r13): a content struct missing its doc_id or
+        # embedding field reads all-null under the forced schema while
+        # the gate still passes on text — the ANN leg would admit null
+        # vectors whose first-wins (vec_id, version) slots a corrected
+        # redelivery can never reclaim, and null-cosine candidates can
+        # reach topk when a probed cell holds fewer than k real
+        # vectors. (Null TEXT is the gate's job: a null image fails
+        # the quality predicate and is skipped, not an error.)
+        bad_vec = gated_vec.filter(
+            F.col("vec_id").isNull() | F.col("embedding").isNull()
+        )
+        if bad_vec.take(1):
+            raise ValueError(
+                f"cdc_full batch {batch_id}: gated upsert envelopes "
+                f"with a NULL {self.id_field!r} or {self.vec_field!r} "
+                f"in {self.content_col!r} — the feed's content struct "
+                f"is missing the field (forced schema reads it "
+                f"all-null) or carries malformed images. Admitting "
+                f"them would permanently occupy first-wins slots and "
+                f"poison ANN candidates, silently."
+            )
         self.retr.foreach_batch(gated_text, batch_id)
         self.ann.foreach_batch(gated_vec, batch_id)
         self.retr.delete_batch(deletes, batch_id)

@@ -526,10 +526,21 @@ class VersionedRetrievalIndexSnapshot:
         (doc_id, version). Superseded images become invisible the
         instant the newer version commits — "updating" idf/df/N/L is
         free, exactly like the insert-only index's re-quantized idf.
-      - Deletes are doc-level tombstones (shared statedir.TombstoneLog;
-        reads-only, never-readmit: a deleted doc stays deleted even if
-        later versions arrive — they admit to the ledger but can never
-        be read).
+      - Deletes come over TWO channels with different permanence
+        (ADVICE r13). ``delete_batch`` takes bare ids — doc-level
+        tombstones (shared statedir.TombstoneLog; reads-only,
+        never-readmit: the doc stays deleted even if later versions
+        arrive — the right-to-be-forgotten contract of an out-of-band
+        deletion feed). ``delete_versions_batch`` takes (doc_id,
+        version) — the IN-BAND CDC Delete envelope carrying its GTID
+        sequence (statedir.VersionedTombstoneLog): it kills every
+        version AT OR BELOW that sequence, so a routinely
+        deleted-then-recreated row (the reference's mysql datasource
+        emits Delete then Insert) comes back to life when its
+        re-insert arrives with a higher sequence, while all killed
+        versions stay dead forever (the kill set per doc is a
+        monotonically-growing version prefix, which is what keeps
+        fold-time erasure read-equivalent).
 
     State (no stats/ table — see below):
 
@@ -539,6 +550,7 @@ class VersionedRetrievalIndexSnapshot:
                           version-max and drop tombstoned docs)
         <root>/postings/  (doc_id, version, word, tf, dl)  index
         <root>/tombstones/ (doc_id)
+        <root>/vtombstones/ (doc_id, dead_version)
 
     Corpus stats (N, L) cannot be per-batch integer partials here: a
     new version REPLACES its predecessor's dl, and with out-of-order
@@ -620,6 +632,19 @@ class VersionedRetrievalIndexSnapshot:
             fs=fs,
         )
         self.tombstones_dir = self._tomb.root
+        # in-band versioned deletes: (doc_id, version) rows killing the
+        # version prefix <= the delete's CDC sequence (class doc)
+        self._vtomb = statedir.VersionedTombstoneLog(
+            os.path.join(state_dir, "vtombstones"),
+            store_col="doc_id",
+            source_col=id_col,
+            version_col=version_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.vtombstones_dir = self._vtomb.root
         self.id_col = id_col
         self.version_col = version_col
         self.text_col = text_col
@@ -743,7 +768,11 @@ class VersionedRetrievalIndexSnapshot:
                 F.col("word").isin(list(query_terms))
             ),
         )
-        ids = matching.select("doc_id").distinct()
+        # pinned: the distinct matching-id set (bounded by the term-
+        # pruned scan) feeds the broadcast-cap count probe AND the
+        # max-version semi-join — unpinned, each would re-run the
+        # pruned postings scan and its distinct (ADVICE r13)
+        ids = matching.select("doc_id").distinct().localCheckpoint(eager=True)
         cap = self.broadcast_max_ids
         small = ids.limit(cap + 1).count() <= cap
         hint = F.broadcast if small else (lambda df: df)

@@ -121,13 +121,15 @@ one fs.listdir per state table per trigger, bounded by ``every`` +
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
-import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 _COMPACT_RE = re.compile(r"^compact=(\d+)$")
@@ -908,15 +910,19 @@ def maybe_compact_with_fallback(
         # tombstone state, persistent FS error) repeating on every fold
         # means erasure has quietly stopped being applied — an operator
         # must be able to see that from the logs, not just the TOCTOU
-        # race this retry exists for.
-        warnings.warn(
-            f"primary (tombstone-applying) fold of {root!r} at batch "
-            f"{batch_id} failed with {type(exc).__name__}: {exc}; "
-            f"retrying with the read-equivalent plain fold (erasure "
-            f"deferred to the next fold). A repeat of this warning on "
-            f"every fold indicates a persistent fault, not the race.",
-            RuntimeWarning,
-            stacklevel=2,
+        # race this retry exists for. logging, NOT warnings.warn: the
+        # default warning filter prints each (message, location) once
+        # per process, so the documented signal — "a repeat on every
+        # fold indicates a persistent fault" — would be suppressed
+        # after the first occurrence and a deterministic erasure
+        # failure would look like a one-off race.
+        _LOG.warning(
+            "primary (tombstone-applying) fold of %r at batch %s failed "
+            "with %s: %s; retrying with the read-equivalent plain fold "
+            "(erasure deferred to the next fold). A repeat of this "
+            "warning on every fold indicates a persistent fault, not "
+            "the race.",
+            root, batch_id, type(exc).__name__, exc,
         )
         return maybe_compact(
             spark, root, schema, batch_id, every=every,
@@ -1130,6 +1136,129 @@ class TombstoneLog:
             return  # empty trigger: commit nothing (missing == empty)
         (
             ids.coalesce(self.commit_files)
+            .write.mode("overwrite")
+            .parquet(batch_dir(self.root, batch_id))
+        )
+
+
+class VersionedTombstoneLog:
+    """Append-only (id, version-watermark) delete log — the VERSIONED
+    sibling of TombstoneLog for in-band CDC Delete envelopes (ADVICE
+    r13). A row (id, s) kills every version <= s of id: a real binlog
+    feed deletes and later RE-CREATES rows routinely (the reference's
+    mysql datasource emits Delete then Insert), so an in-band delete
+    must not make the doc_id permanently invisible — a re-insert
+    arriving with a HIGHER sequence than the delete is live again,
+    while every version at or below the delete's sequence stays dead
+    forever (the kill set per id is a monotonically-growing prefix, so
+    fold-time erasure of killed rows remains read-equivalent). The
+    permanent doc-level kill — right-to-be-forgotten — stays
+    TombstoneLog's contract (the out-of-band channel).
+
+    Same write discipline as TombstoneLog: ``append`` does no
+    cross-state read (replays rewrite identical rows), readers reduce
+    to the per-id max watermark, folds apply the same reduction
+    (read-equivalent)."""
+
+    def __init__(
+        self,
+        root: str,
+        store_col: str,
+        source_col: str | None = None,
+        version_col: str = "version",
+        compact_every: int = 16,
+        major_every: int = 0,
+        commit_files: int = 1,
+        fs: LocalFS | None = None,
+    ):
+        self.root = root
+        self.store_col = store_col
+        self.source_col = source_col or store_col
+        self.version_col = version_col
+        self.schema = f"{store_col} bigint, dead_version bigint"
+        self.compact_every = compact_every
+        self.major_every = major_every
+        self.commit_files = commit_files
+        self.fs = fs
+
+    def _reduce(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.groupBy(self.store_col).agg(
+            F.max("dead_version").alias("dead_version")
+        )
+
+    def read_or_none(self, spark: SparkSession) -> DataFrame | None:
+        """(store_col, dead_version) — the per-id kill watermark; None
+        when no versioned delete was ever committed, so readers skip
+        the exclusion join entirely (TombstoneLog's rule)."""
+        if not state_paths(self.root, 1 << 62, self.fs):
+            return None
+        return self._reduce(
+            read_state(spark, self.root, self.schema, 1 << 62, fs=self.fs)
+        )
+
+    def exclude(
+        self, spark: SparkSession, df: DataFrame, version_col: str = "version"
+    ) -> DataFrame:
+        """``df`` minus rows whose ``version_col`` is at or below the
+        id's kill watermark (joined on ``store_col``); the exact input
+        relation when no versioned delete exists. No broadcast hint:
+        the watermark relation is delete-sized but unbounded at 100 TB
+        — the optimizer broadcasts it while it fits and shuffles past
+        that (the TombstoneLog.exclude discipline)."""
+        from pyspark.sql import functions as F
+
+        dead = self.read_or_none(spark)
+        if dead is None:
+            return df
+        dead = dead.withColumnRenamed("dead_version", "__dead_v")
+        return (
+            df.join(dead, self.store_col, "left")
+            .filter(
+                F.col("__dead_v").isNull()
+                | (F.col(version_col) > F.col("__dead_v"))
+            )
+            .drop("__dead_v")
+        )
+
+    def append(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink body over an (id, version) delete stream.
+        Refuses null versions loudly — a null watermark kills nothing
+        (every comparison is false), the silent-no-op class the
+        versioned sinks guard everywhere."""
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        maybe_compact(
+            spark, self.root, self.schema, batch_id,
+            every=self.compact_every, major_every=self.major_every,
+            transform=self._reduce,
+            fs=self.fs,
+        )
+        rows = (
+            batch_df.select(
+                F.col(self.source_col).cast("long").alias(self.store_col),
+                F.col(self.version_col).cast("long").alias("dead_version"),
+            )
+            .groupBy(self.store_col)
+            .agg(F.max("dead_version").alias("dead_version"))
+            .localCheckpoint(eager=True)
+        )
+        if not rows.take(1):
+            return  # empty trigger: commit nothing (missing == empty)
+        if rows.filter(
+            F.col(self.store_col).isNull()
+            | F.col("dead_version").isNull()
+        ).take(1):
+            raise ValueError(
+                f"versioned tombstone batch {batch_id} at {self.root!r} "
+                f"carries a NULL {self.source_col!r} or "
+                f"{self.version_col!r} — a null watermark kills no "
+                f"version at all (silent no-op)."
+            )
+        (
+            rows.coalesce(self.commit_files)
             .write.mode("overwrite")
             .parquet(batch_dir(self.root, batch_id))
         )

@@ -342,3 +342,75 @@ def test_null_upsert_version_fails_loudly(spark, tmp_path):
 
     assert not statedir.state_paths(pipe.retr.docs_dir, 1 << 62)
     assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)
+
+
+def test_null_content_fields_on_gated_upserts_fail_loudly(spark, tmp_path):
+    """A content struct missing its embedding (or doc_id) field reads
+    all-null under the forced feed schema while the quality gate still
+    passes on text — the ANN leg would admit null vectors whose
+    first-wins slots a corrected redelivery can never reclaim (ADVICE
+    r13). The sink must fail the batch loudly instead, committing
+    nothing."""
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), [(0, [1.0, 0.0])], min_tokens=1
+    )
+    null_emb = spark.createDataFrame(
+        [("Insert", 1, (1, "good text that passes the gate", None))],
+        "event_type string, gtid_seq bigint, "
+        "content struct<doc_id bigint, text string, "
+        "embedding array<float>>",
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id' or 'embedding'"):
+        pipe.foreach_batch(null_emb, 0)
+    null_id = spark.createDataFrame(
+        [("Insert", 1, (None, "good text that passes the gate",
+                        [0.5, 0.5]))],
+        "event_type string, gtid_seq bigint, "
+        "content struct<doc_id bigint, text string, "
+        "embedding array<float>>",
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id' or 'embedding'"):
+        pipe.foreach_batch(null_id, 1)
+    from stream_cdc_spark.streaming import statedir
+
+    assert not statedir.state_paths(pipe.retr.docs_dir, 1 << 62)
+    assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)
+    # null TEXT is the gate's job, not an error: the image fails the
+    # quality predicate and is skipped on both surfaces
+    null_text = spark.createDataFrame(
+        [("Insert", 1, (1, None, [0.5, 0.5]))],
+        "event_type string, gtid_seq bigint, "
+        "content struct<doc_id bigint, text string, "
+        "embedding array<float>>",
+    )
+    pipe.foreach_batch(null_text, 2)
+    assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)
+
+
+def test_cli_startup_guard_refuses_feed_missing_content_fields(
+    spark, tmp_path, monkeypatch
+):
+    """The cdc_full CLI startup guard checks the CONTENT STRUCT's
+    fields, not just the top-level envelope columns (ADVICE r13): a
+    feed whose content struct lacks `embedding` would read it all-null
+    under the forced schema and silently poison the ANN leg."""
+    from stream_cdc_spark import main as M
+
+    feed = spark.createDataFrame(
+        [("Insert", 1, (1, "text without an embedding field"))],
+        "event_type string, gtid_seq bigint, "
+        "content struct<doc_id bigint, text string>",
+    )
+    feed_dir = str(tmp_path / "feed")
+    feed.coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    cents_path = str(tmp_path / "centroids.parquet")
+    _centroids_df(spark).toPandas().to_parquet(cents_path)
+    monkeypatch.setenv("PIPELINE", "cdc_full")
+    monkeypatch.setenv("DRAIN_AND_EXIT", "1")
+    monkeypatch.setenv("EVENTS_PATH", feed_dir)
+    monkeypatch.setenv("CENTROIDS_PATH", cents_path)
+    monkeypatch.setenv("CDC_STATE_DIR", str(tmp_path / "s"))
+    monkeypatch.setenv("CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.delenv("DELETES_PATH", raising=False)
+    with pytest.raises(ValueError, match="content fields"):
+        M.main()

@@ -384,3 +384,40 @@ def test_bucketed_folds_work_on_relative_roots(spark, tmp_path, monkeypatch):
         for r in statedir.read_state(spark, root, schema, 99).collect()
     )
     assert got == list(range(30))
+
+
+def test_fallback_fold_logs_on_every_occurrence(spark, tmp_path, caplog):
+    """The fallback-fold signal must be visible on EVERY retry, not
+    just the first (ADVICE r13): warnings.warn with the default filter
+    prints each location once per process, so the documented operator
+    signal — "a repeat on every fold indicates a persistent fault" —
+    was suppressed after the first occurrence. The module now logs
+    instead; two failing folds must produce two records."""
+    import logging
+
+    root = str(tmp_path / "log-root")
+    schema = "vec_id bigint"
+
+    def primary(df):
+        raise FileNotFoundError("tombstone dir vanished mid-fold")
+
+    def fallback(df):
+        return df
+
+    for b in range(2):
+        spark.range(b * 5, b * 5 + 5).select(
+            F.col("id").alias("vec_id")
+        ).write.mode("overwrite").parquet(statedir.batch_dir(root, b))
+    with caplog.at_level(
+        logging.WARNING, logger="stream_cdc_spark.streaming.statedir"
+    ):
+        assert statedir.maybe_compact_with_fallback(
+            spark, root, schema, 1, every=1,
+            transform=primary, fallback_transform=fallback,
+        )
+        assert statedir.maybe_compact_with_fallback(
+            spark, root, schema, 2, every=1,
+            transform=primary, fallback_transform=fallback,
+        )
+    hits = [r for r in caplog.records if "plain fold" in r.getMessage()]
+    assert len(hits) == 2

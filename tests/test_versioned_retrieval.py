@@ -662,12 +662,17 @@ def test_versioned_cli_refuses_missing_version_column(
     )
 
 
-def test_fallback_fold_warns_on_swallowed_primary_failure(spark, tmp_path):
+def test_fallback_fold_warns_on_swallowed_primary_failure(
+    spark, tmp_path, caplog
+):
     """The read-equivalent fallback retry must SURFACE the primary
-    failure (RuntimeWarning): a deterministic fault — corrupt tombstone
+    failure in the logs: a deterministic fault — corrupt tombstone
     state, persistent FS error — repeating on every fold means erasure
-    has quietly stopped; an operator must see that in the logs, not
-    just the TOCTOU race the retry exists for."""
+    has quietly stopped; an operator must see that on EVERY retry, not
+    just the TOCTOU race the retry exists for. (logging, not
+    warnings.warn — the default warning filter deduplicates per
+    location, suppressing the repeat signal; ADVICE r13.)"""
+    import logging
 
     def primary(df):
         raise FileNotFoundError("tombstone dir vanished mid-fold")
@@ -675,7 +680,9 @@ def test_fallback_fold_warns_on_swallowed_primary_failure(spark, tmp_path):
     snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
     snap.foreach_batch(_v1(spark), 0)
     snap.foreach_batch(_v2(spark), 1)
-    with pytest.warns(RuntimeWarning, match="read-equivalent plain fold"):
+    with caplog.at_level(
+        logging.WARNING, logger="stream_cdc_spark.streaming.statedir"
+    ):
         did = statedir.maybe_compact_with_fallback(
             spark,
             snap.docs_dir,
@@ -686,6 +693,10 @@ def test_fallback_fold_warns_on_swallowed_primary_failure(spark, tmp_path):
             fallback_transform=lambda df: df,
         )
     assert did
+    assert any(
+        "read-equivalent plain fold" in r.getMessage()
+        for r in caplog.records
+    )
     assert _snap_bm25(snap, spark) == _batch_bm25(spark, deletes=False)
 
 

@@ -325,20 +325,28 @@ def vacuum_versioned_retrieval_index(spark, src, dst) -> int:
             "postings": dst.postings_dir,
             "latest": dst.latest_dir,
             "tombstones": dst.tombstones_dir,
+            "vtombstones": dst.vtombstones_dir,
         },
     )
     dead = src.tombstones(spark).localCheckpoint(eager=True)
+    # doc-tombstoned ids are hard-erased from every state (re-ingest
+    # allowed — deletion history removed by design). Version-KILLED
+    # ledger rows (the in-band channel) are KEPT in docs/: the
+    # destination starts with no vtombstones, so dropping them would
+    # re-open first-wins admission to a redelivered killed version and
+    # resurrect it. Kept, they stay invisible — their payload is
+    # erased below and probes read the latest/ tier, which holds only
+    # truly-live rows.
     live_docs = (
         src.docs(spark).join(dead, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    latest = live_docs.groupBy("doc_id").agg(
+    truly_live = src._live(spark, live_docs).localCheckpoint(eager=True)
+    latest = truly_live.groupBy("doc_id").agg(
         F.max("version").alias("version")
     )
-    latest_postings = (
-        src.postings(spark)
-        .join(dead, "doc_id", "left_anti")
-        .join(latest, ["doc_id", "version"], "left_semi")
+    latest_postings = src._live(spark, src.postings(spark)).join(
+        latest, ["doc_id", "version"], "left_semi"
     )
     statedir.publish_snapshot(
         spark,
@@ -352,7 +360,7 @@ def vacuum_versioned_retrieval_index(spark, src, dst) -> int:
     statedir.publish_snapshot(
         spark,
         dst.latest_dir,
-        dst._reduce_latest(live_docs.select("doc_id", "version", "dl")),
+        dst._reduce_latest(truly_live.select("doc_id", "version", "dl")),
         fs=dst.fs,
     )
     statedir.publish_snapshot(
@@ -405,20 +413,26 @@ def vacuum_versioned_ann_index(spark, src, dst) -> int:
             "vectors": dst.vectors_dir,
             "ledger": dst.ledger_dir,
             "tombstones": dst.tombstones_dir,
+            "vtombstones": dst.vtombstones_dir,
         },
     )
     dead = src.tombstones(spark).localCheckpoint(eager=True)
+    # version-KILLED ledger rows are kept (admission closure — the
+    # destination has no vtombstones, so dropping them would let a
+    # redelivered killed version re-admit and resurrect); their
+    # payload is erased, so the version-max probe join finds nothing
+    # for a fully-killed id. Doc-tombstoned ids are hard-erased from
+    # both states (the retrieval vacuum's rationale).
     live_ledger = (
         src.ledger(spark).join(dead, "vec_id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    latest = live_ledger.groupBy("vec_id").agg(
+    truly_live = src._live(spark, live_ledger)
+    latest = truly_live.groupBy("vec_id").agg(
         F.max("version").alias("version")
     )
-    latest_vectors = (
-        src.vectors(spark)
-        .join(dead, "vec_id", "left_anti")
-        .join(latest, ["vec_id", "version"], "left_semi")
+    latest_vectors = src._live(spark, src.vectors(spark)).join(
+        latest, ["vec_id", "version"], "left_semi"
     )
     statedir.publish_snapshot(
         spark,

@@ -6306,11 +6306,14 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
            FROM documents WHERE doc_id % 4 = 1),
     v2bad AS (SELECT doc_id, 2 AS version, 'tiny doc' AS text
               FROM documents WHERE doc_id % 4 = 2),
+    v3 AS (SELECT doc_id, 3 AS version, text || ' reborn stream' AS text
+           FROM documents WHERE doc_id % 20 = 3),
     allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
-             UNION ALL SELECT * FROM v2bad),
+             UNION ALL SELECT * FROM v2bad UNION ALL SELECT * FROM v3),
     gated AS (SELECT * FROM allv
               WHERE len(string_split(text, ' ')) >= 5),
-    live AS (SELECT * FROM gated WHERE doc_id % 10 <> 3),
+    live AS (SELECT * FROM gated
+             WHERE NOT (doc_id % 10 = 3 AND version <= 2)),
     latest AS (
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
@@ -6350,16 +6353,20 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
     "batches carry inserts, GOOD updates (two query terms appended), "
     "LOW-QUALITY updates (an image below the 5-token gate — it must be "
     "admitted NOWHERE, and the version-max read keeps serving the last "
-    "image that PASSED), deletes and their replay, out-of-order and "
+    "image that PASSED), VERSIONED in-band deletes (sequence 2, killing "
+    "versions <= it) and their replay, a delete-then-RECREATE slice "
+    "(%20==3 docs re-inserted at version 3 > the kill watermark — live "
+    "again, the reference's routine Delete-then-Insert re-creation, "
+    "round-13 advice; the %20==13 half stays dead), out-of-order and "
     "redelivered versions — split and gated by the exact CdcFullPipeline "
     "path (curation.default_quality_predicate + cdc_upserts_and_deletes "
     "on the gate-filtered envelope stream) and folded through versioned "
     "first-wins admission. The oracle composes the gate predicate with "
-    "q138's latest-image compaction and q89's integer BM25, so one hash "
-    "proves the gate-supersession interaction: a doc whose newest "
-    "version failed quality still scores as its older good image. The "
-    "statedir twin holds the same equality with mid-stream restarts and "
-    "both delete channels in tests/test_cdc_full.py.",
+    "q138's latest-image compaction, the versioned-kill rule and q89's "
+    "integer BM25, so one hash proves the gate-supersession AND "
+    "delete-recreate interactions. The statedir twin holds the same "
+    "equality with mid-stream restarts and both delete channels in "
+    "tests/test_cdc_full.py.",
 )
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     from stream_cdc_spark.streaming.cdc_full import (
@@ -6376,9 +6383,11 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     def delete_env(ids):
+        # in-band versioned delete: sequence 2 kills versions 1 and 2
+        # only — the version-3 recreate below stays live
         return ids.select(
             F.lit("Delete").alias("event_type"),
-            F.lit(10 ** 6).cast("long").alias("gtid_seq"),
+            F.lit(2).cast("long").alias("gtid_seq"),
             F.struct(
                 F.col("doc_id"), F.lit(None).cast("string").alias("text")
             ).alias("content"),
@@ -6396,6 +6405,11 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("tiny doc").alias("text"),
     )
     dead = d.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    v3 = d.filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id",
+        F.lit(3).cast("bigint").alias("version"),
+        F.concat(F.col("text"), F.lit(" reborn stream")).alias("text"),
+    )
     batches = [
         env(v1.filter(F.col("doc_id") % 3 != 2), "Insert"),
         # good + bad updates (v2 precedes v1 for %3==2 docs);
@@ -6409,11 +6423,14 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
         delete_env(dead),
-        # late v1 images + redelivered v2s + the delete replay in ONE
-        # envelope batch (the composed split fans it out)
+        # late v1 images + redelivered v2s + the delete replay + the
+        # delete-then-RECREATE slice in ONE envelope batch (the
+        # composed split fans it out; the replayed delete must not
+        # kill the version-3 recreate)
         env(v1.filter(F.col("doc_id") % 3 == 2), "Insert")
         .unionByName(env(v2.filter(F.col("doc_id") % 7 == 1), "Update"))
-        .unionByName(delete_env(dead)),
+        .unionByName(delete_env(dead))
+        .unionByName(env(v3, "Insert")),
     ]
     return composed_bm25_over_envelopes(
         batches, ["stream", "vector", "join"], min_tokens=5, top_k=15

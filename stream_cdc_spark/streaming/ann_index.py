@@ -833,11 +833,23 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
         <root>/vectors/   (vec_id, version, vv|code, cell)  cell-sorted
         <root>/ledger/    (vec_id, version)  slim admission ledger
                           (bucketed=True folds it by the admission key)
-        <root>/tombstones/ (vec_id)  doc-level deletes: kill EVERY
-                          version, current and future (never re-admit
-                          is inherited from the ledger keeping all
-                          versions; a late higher version of a deleted
-                          id admits to the ledger but can never be read)
+        <root>/tombstones/ (vec_id)  doc-level deletes (delete_batch —
+                          the out-of-band right-to-be-forgotten feed):
+                          kill EVERY version, current and future (never
+                          re-admit is inherited from the ledger keeping
+                          all versions; a late higher version of a
+                          deleted id admits to the ledger but can never
+                          be read)
+        <root>/vtombstones/ (vec_id, dead_version)  in-band CDC Delete
+                          envelopes (delete_versions_batch — ADVICE
+                          r13): a delete carrying its CDC sequence
+                          kills versions <= it, so a routinely
+                          deleted-then-recreated row comes back to
+                          life when its re-insert arrives with a
+                          higher sequence, while killed versions stay
+                          dead forever (the kill set per id is a
+                          growing version prefix — what keeps
+                          fold-time erasure read-equivalent)
 
     Probe scale shape (mirrors the versioned retrieval probe): the
     probed-cell set enters the vectors/ scan as a pushed IN filter
@@ -932,6 +944,19 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
             fs=fs,
         )
         self.tombstones_dir = self._tomb.root
+        # in-band versioned deletes: (vec_id, version) rows killing the
+        # version prefix <= the delete's CDC sequence (class doc)
+        self._vtomb = statedir.VersionedTombstoneLog(
+            os.path.join(state_dir, "vtombstones"),
+            store_col="vec_id",
+            source_col=id_col,
+            version_col=version_col,
+            compact_every=compact_every,
+            major_every=major_every,
+            commit_files=commit_files,
+            fs=fs,
+        )
+        self.vtombstones_dir = self._vtomb.root
         self.centroids = [(int(c), [float(x) for x in v]) for c, v in centroids]
         self.id_col = id_col
         self.version_col = version_col
@@ -1034,10 +1059,26 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
     def tombstones(self, spark) -> DataFrame:
         return self._tomb.read(spark)
 
+    def versioned_tombstones(self, spark) -> DataFrame | None:
+        """(vec_id, dead_version) kill watermarks of the in-band delete
+        channel, or None when none was ever committed."""
+        return self._vtomb.read_or_none(spark)
+
+    def _live(self, spark, df: DataFrame) -> DataFrame:
+        """``df`` restricted to LIVE rows: doc-level tombstoned ids
+        dropped, then versions at or below the in-band kill watermark
+        dropped. ``df`` must carry vec_id and version."""
+        return self._vtomb.exclude(
+            spark, self._tomb.exclude(spark, df), version_col="version"
+        )
+
     def _latest_live(self, spark) -> DataFrame:
         """(vec_id, version) of the LATEST version of every LIVE id —
-        the version-max read rule over the slim ledger."""
-        live = self._tomb.exclude(spark, self.ledger(spark))
+        the version-max read rule over the slim ledger, both delete
+        channels applied. The exclusion MUST precede the max: a fully
+        version-killed id would otherwise surface its dead max, and a
+        stale pruned row could join it (resurrection)."""
+        live = self._live(spark, self.ledger(spark))
         return live.groupBy("vec_id").agg(F.max("version").alias("version"))
 
     def delete_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -1045,8 +1086,19 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
         right-to-be-forgotten: every version of the id, already admitted
         or still in flight, stops matching (the version-max read rule
         excludes tombstoned ids before taking the max). Physical erasure
-        of all versions is eventual via the fold (module doc)."""
+        of all versions is eventual via the fold (module doc). This is
+        the OUT-OF-BAND channel; in-band CDC Delete envelopes carry a
+        sequence and route through ``delete_versions_batch``."""
         self._tomb.append(batch_df, batch_id)
+
+    def delete_versions_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over an in-band (vec_id, version) Delete
+        stream — the CDC-native channel (ADVICE r13): the delete's CDC
+        sequence kills every version AT OR BELOW it, so a later
+        re-insert with a higher sequence is live again while killed
+        versions stay dead forever. No cross-state read (replays
+        rewrite identical rows); refuses null versions loudly."""
+        self._vtomb.append(batch_df, batch_id)
 
     def topk(
         self, spark, queries: DataFrame, k: int = 5, nprobe: int = 2
@@ -1079,7 +1131,11 @@ class VersionedAnnIndexSnapshot(_DriftMonitor):
         small = ids.limit(cap + 1).count() <= cap
         hint = F.broadcast if small else (lambda df: df)
         mx = (
-            self._tomb.exclude(spark, self.ledger(spark))
+            # LIVE ledger rows only (both delete channels) BEFORE the
+            # max: the pruned scan is not tombstone-excluded, so a
+            # fully-killed id surfacing its dead max here would let a
+            # stale pruned row join it (resurrection)
+            self._live(spark, self.ledger(spark))
             .join(hint(ids), "vec_id", "left_semi")
             .groupBy("vec_id")
             .agg(F.max("version").alias("version"))
@@ -1242,19 +1298,35 @@ def versioned_ann_topk_over_events(
     quantize_bp: int | None = 10000,
 ) -> DataFrame:
     """Fold ("upsert", (vec_id, version, embedding) df) / ("delete",
-    (vec_id) df) event slices through versioned first-wins admission and
-    probe the latest live image — the in-memory harness for the q139
-    registry entry, mirroring retrieval_index.versioned_bm25_over_events.
-    Bit-equal to `similarity.ivf_ann_topk` over the version-max
-    compaction of the live events."""
+    (vec_id) df) / ("vdelete", (vec_id, version) df) event slices
+    through versioned first-wins admission and probe the latest live
+    image — the in-memory harness for the q139 registry entry,
+    mirroring retrieval_index.versioned_bm25_over_events. 'delete' is
+    the permanent doc-level channel; 'vdelete' the in-band CDC Delete
+    carrying its sequence (kills versions <= it; a later re-insert is
+    live again — ADVICE r13). Bit-equal to `similarity.ivf_ann_topk`
+    over the version-max compaction of the live events."""
     members: DataFrame | None = None
     tombs: DataFrame | None = None
+    vtombs: DataFrame | None = None
     for kind, df in events:
         if kind == "delete":
             ids = df.select(F.col(id_col).cast("long").alias("vec_id"))
             tombs = (
                 ids if tombs is None else tombs.unionByName(ids)
             ).distinct().localCheckpoint(eager=True)
+            continue
+        if kind == "vdelete":
+            w = df.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(version_col).cast("long").alias("dead_version"),
+            )
+            vtombs = (
+                (vtombs.unionByName(w) if vtombs is not None else w)
+                .groupBy("vec_id")
+                .agg(F.max("dead_version").alias("dead_version"))
+                .localCheckpoint(eager=True)
+            )
             continue
         vecs = (
             df.select(
@@ -1285,6 +1357,15 @@ def versioned_ann_topk_over_events(
         if tombs is None
         else members.join(tombs, "vec_id", "left_anti")
     )
+    if vtombs is not None:
+        live = (
+            live.join(vtombs, "vec_id", "left")
+            .filter(
+                F.col("dead_version").isNull()
+                | (F.col("version") > F.col("dead_version"))
+            )
+            .drop("dead_version")
+        )
     latest = live.groupBy("vec_id").agg(F.max("version").alias("version"))
     index = live.join(
         F.broadcast(latest), ["vec_id", "version"]

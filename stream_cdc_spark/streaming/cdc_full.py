@@ -12,12 +12,22 @@ foreachBatch into
 
     upserts  -(quality gate)->  VersionedRetrievalIndexSnapshot (text)
              -(same gate)---->  VersionedAnnIndexSnapshot (embedding)
-    deletes  ----------------->  BOTH indexes' TombstoneLogs
+    deletes  ----------------->  BOTH indexes' VERSIONED tombstone logs
 
 under ONE checkpoint, so the three surfaces commit in lockstep: a
 replayed micro-batch re-runs all fan-out legs with the same batch_id,
 and each leg is individually replay-idempotent (their own statedir
 proofs carry over unchanged — composition adds no new state protocol).
+
+Delete permanence differs by channel (ADVICE r13). An IN-BAND Delete
+envelope carries its CDC sequence and kills only versions at or below
+it (statedir.VersionedTombstoneLog): a real binlog feed deletes and
+re-creates rows routinely (the reference's mysql datasource emits
+Delete then Insert), so a re-insert arriving with a higher sequence is
+live again on both indexes, while every killed version stays dead
+forever. The OUT-OF-BAND DELETES_PATH feed stays doc-level and
+permanent — the right-to-be-forgotten contract: bare ids, every
+version killed, current and future.
 
 The quality gate is curation.default_quality_predicate — shared
 verbatim with CurationPipeline, so the composed pipeline and the
@@ -178,27 +188,26 @@ class CdcFullPipeline:
         if not batch_df.take(1):
             return  # empty trigger: no leg commits (missing == empty)
         envelopes = batch_df.localCheckpoint(eager=True)
-        # fail LOUDLY on upserts with a NULL version (a feed file
+        # fail LOUDLY on ANY envelope with a NULL version (a feed file
         # missing gtid_seq reads all-null under the forced schema; a
-        # malformed envelope carries one): null keys never match the
-        # admission anti-join (every redelivery re-admits, state grows
-        # unbounded) NOR the version-max equi-join (the doc silently
-        # vanishes from every probe) — the same silent-no-op class the
-        # versioned CLI modes guard at startup, which a column check
-        # alone cannot catch row-wise. One cheap scan of the pinned
-        # batch.
-        bad = envelopes.filter(
-            F.col(self.event_type_col).isin("Insert", "Update")
-            & F.col(self.version_col).isNull()
-        )
+        # malformed envelope carries one): on upserts, null keys never
+        # match the admission anti-join (every redelivery re-admits,
+        # state grows unbounded) NOR the version-max equi-join (the doc
+        # silently vanishes from every probe); on in-band Deletes, a
+        # null sequence is a kill watermark that kills nothing — the
+        # same silent-no-op class the versioned CLI modes guard at
+        # startup, which a column check alone cannot catch row-wise.
+        # One cheap scan of the pinned batch.
+        bad = envelopes.filter(F.col(self.version_col).isNull())
         if bad.take(1):
             raise ValueError(
-                f"cdc_full batch {batch_id}: upsert envelopes with a "
+                f"cdc_full batch {batch_id}: envelopes with a "
                 f"NULL {self.version_col!r} — the feed is missing the "
                 f"version column (forced schema reads it all-null) or "
                 f"carries malformed envelopes. Null versions would "
-                f"break exactly-once admission AND drop the docs from "
-                f"every probe, silently."
+                f"break exactly-once admission, drop docs from every "
+                f"probe, and make in-band Deletes kill nothing — all "
+                f"silently."
             )
         gated_text, gated_vec, deletes = self._split(envelopes)
         # same loud-failure rule for the row-image KEYS on gated
@@ -225,9 +234,17 @@ class CdcFullPipeline:
             )
         self.retr.foreach_batch(gated_text, batch_id)
         self.ann.foreach_batch(gated_vec, batch_id)
-        self.retr.delete_batch(deletes, batch_id)
-        self.ann.delete_batch(
-            deletes.select(F.col("doc_id").alias("vec_id")), batch_id
+        # in-band Deletes carry their CDC sequence: versioned kill on
+        # both surfaces (versions <= the sequence; a later re-insert
+        # is live again — module doc). The deletes relation derives
+        # from the pinned envelope batch, so the two appends read it
+        # without re-running the source.
+        self.retr.delete_versions_batch(deletes, batch_id)
+        self.ann.delete_versions_batch(
+            deletes.select(
+                F.col("doc_id").alias("vec_id"), "version"
+            ),
+            batch_id,
         )
 
     # -- out-of-band deletion feed (DELETES_PATH second query) ------------
@@ -285,5 +302,7 @@ def composed_bm25_over_envelopes(
             content_col=content_col,
         )
         events.append(("upsert", upserts))
-        events.append(("delete", deletes))
+        # in-band deletes are VERSIONED (kill versions <= the delete's
+        # sequence — the CdcFullPipeline channel semantics, module doc)
+        events.append(("vdelete", deletes))
     return versioned_bm25_over_events(events, query_terms, top_k=top_k)

@@ -700,6 +700,20 @@ class VersionedRetrievalIndexSnapshot:
     def tombstones(self, spark) -> DataFrame:
         return self._tomb.read(spark)
 
+    def versioned_tombstones(self, spark) -> DataFrame | None:
+        """(doc_id, dead_version) kill watermarks of the in-band delete
+        channel, or None when none was ever committed."""
+        return self._vtomb.read_or_none(spark)
+
+    def _live(self, spark, df: DataFrame) -> DataFrame:
+        """``df`` restricted to LIVE rows: doc-level tombstoned ids
+        dropped (the permanent out-of-band channel), then versions at
+        or below the in-band kill watermark dropped (the CDC Delete
+        channel — class doc). ``df`` must carry doc_id and version."""
+        return self._vtomb.exclude(
+            spark, self._tomb.exclude(spark, df), version_col="version"
+        )
+
     def _latest_source(self, spark) -> DataFrame:
         """The slim (doc_id, version, dl) relation the version-max read
         rule reduces: the fold-materialized latest/ tier + its un-folded
@@ -731,10 +745,14 @@ class VersionedRetrievalIndexSnapshot:
 
     def _latest_live(self, spark) -> DataFrame:
         """(doc_id, version, dl) of the LATEST version of every LIVE doc
-        — the version-max read rule over the materialized tier + tail
-        (class doc)."""
+        — the version-max read rule over the materialized tier + tail,
+        with both delete channels applied (class doc). Versioned kills
+        compose with the tier's fold-time reduction because the kill
+        set per doc is a version PREFIX: killing the folded max implies
+        killing everything below it, so a reduced row is excluded iff
+        all its folded-away history was dead too."""
         return self._reduce_latest(
-            self._tomb.exclude(spark, self._latest_source(spark))
+            self._live(spark, self._latest_source(spark))
         )
 
     def corpus_stats(self, spark) -> DataFrame:
@@ -762,7 +780,7 @@ class VersionedRetrievalIndexSnapshot:
         corpus-Exchange plan runs; past it the hints are dropped and the
         optimizer picks shuffle joins (correct, and the only safe shape
         at that cardinality)."""
-        matching = self._tomb.exclude(
+        matching = self._live(
             spark,
             self.postings(spark).filter(
                 F.col("word").isin(list(query_terms))
@@ -778,8 +796,12 @@ class VersionedRetrievalIndexSnapshot:
         hint = F.broadcast if small else (lambda df: df)
         mx = (
             # the materialized tier + tail (not the full ledger): the
-            # max over per-fold maxima is the max, and tombstoned ids
-            # are already absent from `matching`
+            # max over per-fold maxima is the max. The lookup needs no
+            # tombstone exclusion of its own — doc-tombstoned ids are
+            # already absent from `matching`, and versioned kills are a
+            # version PREFIX, so whenever any live version exists the
+            # unexcluded max IS the live max, and a fully-dead doc's
+            # max joins no surviving matching row either way
             self._latest_source(spark)
             .join(hint(ids), "doc_id", "left_semi")
             .groupBy("doc_id")
@@ -809,7 +831,7 @@ class VersionedRetrievalIndexSnapshot:
         against the slim latest-live relation."""
         latest = self._latest_live(spark).select("doc_id", "version")
         tf = (
-            self._tomb.exclude(spark, self.postings(spark))
+            self._live(spark, self.postings(spark))
             .join(latest, ["doc_id", "version"], "left_semi")
             .select("doc_id", F.col("word").alias("tok"), "tf")
         )
@@ -821,8 +843,21 @@ class VersionedRetrievalIndexSnapshot:
         """foreachBatch sink over a (doc_id) deletion stream: doc-level
         tombstones kill EVERY version, present and future — a deleted
         doc stays deleted even when late versions arrive afterwards
-        (they admit append-only but can never be read)."""
+        (they admit append-only but can never be read). This is the
+        right-to-be-forgotten contract of an OUT-OF-BAND deletion feed;
+        in-band CDC Delete envelopes carry a sequence and route through
+        ``delete_versions_batch`` instead (class doc)."""
         self._tomb.append(batch_df, batch_id)
+
+    def delete_versions_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink over an in-band (doc_id, version) Delete
+        stream — the CDC-native channel (ADVICE r13): the delete's CDC
+        sequence kills every version AT OR BELOW it, so a later
+        re-insert with a higher sequence is live again while killed
+        versions stay dead forever. No cross-state read (replays
+        rewrite identical rows); refuses null versions loudly (a null
+        watermark kills nothing — the silent-no-op class)."""
+        self._vtomb.append(batch_df, batch_id)
 
     def _maybe_seed_latest(self, spark, batch_id: int) -> None:
         """Upgrade a pre-tier state root (r12 layout: no latest/) by
@@ -867,19 +902,21 @@ class VersionedRetrievalIndexSnapshot:
             num_buckets=self.num_buckets,
             fs=self.fs,
         )
-        # latest/ folds REDUCE: per-doc version-max (+ tombstone
-        # exclusion — dead docs leave the tier physically) over the
-        # folded subset. Correct under the union-then-reduce read rule
-        # because per-doc version-argmax is an idempotent commutative
-        # monoid and versions are monotone (docs/ keeps the full ledger,
-        # so admission never consults this tier). Cross-state tombstone
-        # read -> reduction-only fallback (read-equivalent: the read
-        # rule re-applies the exclusion).
+        # latest/ folds REDUCE: per-doc version-max (+ both delete
+        # channels' exclusions — dead docs and killed version prefixes
+        # leave the tier physically) over the folded subset. Correct
+        # under the union-then-reduce read rule because per-doc
+        # version-argmax is an idempotent commutative monoid, versions
+        # are monotone, and versioned kills are a growing version
+        # PREFIX (docs/ keeps the full ledger, so admission never
+        # consults this tier). Cross-state tombstone read ->
+        # reduction-only fallback (read-equivalent: the read rule
+        # re-applies the exclusions).
         statedir.maybe_compact_with_fallback(
             spark, self.latest_dir, RETR_VDOCS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
             transform=lambda df: self._reduce_latest(
-                self._tomb.exclude(df.sparkSession, df)
+                self._live(df.sparkSession, df)
             ),
             fallback_transform=self._reduce_latest,
             # bucketed by doc_id — the probe-side reduction's grouping
@@ -901,7 +938,11 @@ class VersionedRetrievalIndexSnapshot:
         statedir.maybe_compact_with_fallback(
             spark, self.postings_dir, RETR_VPOSTINGS_SCHEMA, batch_id,
             every=self.compact_every, major_every=self.major_every,
-            transform=lambda df: self._tomb.exclude(
+            # both delete channels erase physically at fold time:
+            # doc-level kills are append-only and versioned kills are a
+            # growing prefix, so a fold-dropped row can never become
+            # live again (read-equivalent)
+            transform=lambda df: self._live(
                 df.sparkSession, df
             ).sortWithinPartitions("word"),
             fallback_transform=lambda df: df.sortWithinPartitions("word"),
@@ -1012,21 +1053,38 @@ def versioned_bm25_over_events(
     read, doc-level deletes) and score the latest live images — the
     in-memory harness for the q138 registry entry and the equality
     tests. ``events``: [('upsert', df(doc_id, version, text)) |
-    ('delete', df(doc_id)), ...] applied in order (though the final
-    ranking is order-insensitive by construction — that is what the
-    oracle check proves). Bit-equal to `text.bm25_topk` over the
-    compacted corpus (latest version per non-deleted doc)."""
+    ('delete', df(doc_id)) | ('vdelete', df(doc_id, version)), ...]
+    applied in order (though the final ranking is order-insensitive by
+    construction — that is what the oracle check proves). 'delete' is
+    the permanent doc-level channel (kills every version, present and
+    future); 'vdelete' is the in-band CDC Delete carrying its sequence
+    (kills versions <= it; a later re-insert is live again — ADVICE
+    r13). Bit-equal to `text.bm25_topk` over the compacted corpus
+    (latest live version per doc)."""
     if not events:
         raise ValueError("versioned_bm25_over_events: no events given")
     ledger: DataFrame | None = None
     postings: DataFrame | None = None
     tombs: DataFrame | None = None
+    vtombs: DataFrame | None = None
     for kind, b in events:
         if kind == "delete":
             ids = b.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
             tombs = (
                 tombs.unionByName(ids).distinct() if tombs is not None else ids
             ).localCheckpoint(eager=True)
+            continue
+        if kind == "vdelete":
+            w = b.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(version_col).cast("long").alias("dead_version"),
+            )
+            vtombs = (
+                (vtombs.unionByName(w) if vtombs is not None else w)
+                .groupBy("doc_id")
+                .agg(F.max("dead_version").alias("dead_version"))
+                .localCheckpoint(eager=True)
+            )
             continue
         if kind != "upsert":
             raise ValueError(f"unknown event kind {kind!r}")
@@ -1072,9 +1130,22 @@ def versioned_bm25_over_events(
         ).localCheckpoint(eager=True)
     if ledger is None:
         raise ValueError("versioned_bm25_over_events: no upsert events")
-    live = (
-        ledger if tombs is None else ledger.join(tombs, "doc_id", "left_anti")
-    )
+
+    def _apply_deletes(df: DataFrame) -> DataFrame:
+        if tombs is not None:
+            df = df.join(tombs, "doc_id", "left_anti")
+        if vtombs is not None:
+            df = (
+                df.join(vtombs, "doc_id", "left")
+                .filter(
+                    F.col("dead_version").isNull()
+                    | (F.col("version") > F.col("dead_version"))
+                )
+                .drop("dead_version")
+            )
+        return df
+
+    live = _apply_deletes(ledger)
     latest = live.groupBy("doc_id").agg(
         F.max("version").alias("version"),
         F.max_by("dl", "version").alias("dl"),
@@ -1083,9 +1154,9 @@ def versioned_bm25_over_events(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
     )
-    matching = postings.filter(F.col("word").isin(list(query_terms)))
-    if tombs is not None:
-        matching = matching.join(tombs, "doc_id", "left_anti")
+    matching = _apply_deletes(
+        postings.filter(F.col("word").isin(list(query_terms)))
+    )
     matching = matching.join(
         F.broadcast(latest.select("doc_id", "version")),
         ["doc_id", "version"],
@@ -1107,11 +1178,15 @@ def cdc_upserts_and_deletes(
     event_type in Insert/Update/Delete, a monotone sequence column, a
     struct content image) into the versioned sink's two input streams:
     upserts (doc_id, version, text) from Insert/Update after-images and
-    deletes (doc_id) from Delete before-images. The version is the CDC
-    sequence (GTID order / binlog position — reference mysql.py's
-    gtid), which is exactly what makes out-of-order redelivery safe:
-    the version-max read rule recovers commit order regardless of
-    arrival order."""
+    deletes (doc_id, version) from Delete before-images. The version is
+    the CDC sequence (GTID order / binlog position — reference
+    mysql.py's gtid), which is exactly what makes out-of-order
+    redelivery safe: the version-max read rule recovers commit order
+    regardless of arrival order — and what gives in-band deletes their
+    versioned kill semantics (a Delete kills versions <= its sequence;
+    a later re-insert with a higher sequence is live again — the
+    reference's routine Delete-then-Insert row re-creation, ADVICE
+    r13)."""
     upserts = envelopes.filter(
         F.col(event_type_col).isin("Insert", "Update")
     ).select(
@@ -1120,6 +1195,7 @@ def cdc_upserts_and_deletes(
         F.col(f"{content_col}.{text_field}").cast("string").alias("text"),
     )
     deletes = envelopes.filter(F.col(event_type_col) == "Delete").select(
-        F.col(f"{content_col}.{id_field}").cast("long").alias("doc_id")
+        F.col(f"{content_col}.{id_field}").cast("long").alias("doc_id"),
+        F.col(version_col).cast("long").alias("version"),
     )
     return upserts, deletes

@@ -61,10 +61,13 @@ def _upsert_env(df, etype):
     )
 
 
+DELETE_SEQ = 2  # in-band kill watermark: kills versions 1 and 2
+
+
 def _delete_env(ids):
     return ids.select(
         F.lit("Delete").alias("event_type"),
-        F.lit(10 ** 6).cast("long").alias("gtid_seq"),
+        F.lit(DELETE_SEQ).cast("long").alias("gtid_seq"),
         F.struct(
             F.col("doc_id"),
             F.lit(None).cast("string").alias("text"),
@@ -106,6 +109,20 @@ def _dead_ids(spark):
     return _base(spark).filter(F.col("doc_id") % 10 == 3).select("doc_id")
 
 
+def _v3_reborn(spark):
+    """Delete-then-RECREATE: half the deleted docs (%20==3) come back
+    as a version-3 re-insert with a sequence ABOVE the in-band delete's
+    kill watermark — live again on both surfaces (the reference's
+    routine Delete-then-Insert row re-creation; ADVICE r13). The other
+    half (%20==13) stays dead, proving the killed prefix is permanent."""
+    return _base(spark).filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id",
+        F.lit(3).cast("long").alias("version"),
+        F.concat(F.col("text"), F.lit(" reborn stream")).alias("text"),
+        "embedding",
+    )
+
+
 def _event_batches(spark):
     v1, v2, v2b = _v1(spark), _v2(spark), _v2_bad(spark)
     dead = _dead_ids(spark)
@@ -127,19 +144,33 @@ def _event_batches(spark):
         .unionByName(
             _upsert_env(v2.filter(F.col("doc_id") % 7 == 1), "Update")
         ),
-        _delete_env(dead),  # delete replay
+        # delete replay + the RECREATE slice in ONE envelope batch:
+        # a redelivered delete must not kill the version-3 re-insert
+        # (3 > the kill watermark 2), regardless of intra-batch order
+        _delete_env(dead).unionByName(
+            _upsert_env(_v3_reborn(spark), "Insert")
+        ),
     ]
 
 
 def _latest_gated(spark, extra_dead=None):
     """The batch reference corpus: the max-version image per doc among
-    GATE-PASSING versions, minus deleted docs."""
+    GATE-PASSING versions, minus dead versions. In-band deletes are
+    VERSIONED: %10==3 docs were deleted at sequence DELETE_SEQ, killing
+    versions <= it — the %20==3 half is recreated at version 3 (live),
+    the %20==13 half stays dead. ``extra_dead`` is the out-of-band
+    doc-level channel (permanent, every version)."""
     allv = (
-        _v1(spark).unionByName(_v2(spark)).unionByName(_v2_bad(spark))
+        _v1(spark)
+        .unionByName(_v2(spark))
+        .unionByName(_v2_bad(spark))
+        .unionByName(_v3_reborn(spark))
     ).filter(F.size(F.split(F.col("text"), " ")) >= MIN_TOKENS)
+    allv = allv.filter(
+        ~((F.col("doc_id") % 10 == 3) & (F.col("version") <= DELETE_SEQ))
+    )
     w_max = allv.groupBy("doc_id").agg(F.max("version").alias("version"))
     latest = allv.join(w_max, ["doc_id", "version"])
-    latest = latest.join(_dead_ids(spark), "doc_id", "left_anti")
     if extra_dead is not None:
         latest = latest.join(extra_dead, "doc_id", "left_anti")
     return latest
@@ -275,8 +306,14 @@ def test_deletes_only_batch_commits_no_index_rows(spark, tmp_path):
 
     assert not statedir.state_paths(pipe.retr.docs_dir, 1 << 62)
     assert not statedir.state_paths(pipe.ann.vectors_dir, 1 << 62)
-    assert pipe.retr.tombstones(spark).count() == _dead_ids(spark).count()
-    assert pipe.ann.tombstones(spark).count() == _dead_ids(spark).count()
+    # in-band Deletes land in the VERSIONED tombstone channel (kill
+    # watermark = the delete's gtid_seq), not the permanent doc-level
+    # log — that one is the out-of-band DELETES_PATH contract
+    n = _dead_ids(spark).count()
+    assert pipe.retr.versioned_tombstones(spark).count() == n
+    assert pipe.ann.versioned_tombstones(spark).count() == n
+    assert pipe.retr.tombstones(spark).count() == 0
+    assert pipe.ann.tombstones(spark).count() == 0
 
 
 def test_cdc_full_cli_drains_envelopes_and_delete_feed(
@@ -294,6 +331,7 @@ def test_cdc_full_cli_drains_envelopes_and_delete_feed(
         .unionByName(_upsert_env(_v2(spark), "Update"))
         .unionByName(_upsert_env(_v2_bad(spark), "Update"))
         .unionByName(_delete_env(_dead_ids(spark)))
+        .unionByName(_upsert_env(_v3_reborn(spark), "Insert"))
     )
     feed_dir = str(tmp_path / "feed")
     feed.coalesce(1).write.mode("overwrite").parquet(feed_dir)
@@ -414,3 +452,73 @@ def test_cli_startup_guard_refuses_feed_missing_content_fields(
     monkeypatch.delenv("DELETES_PATH", raising=False)
     with pytest.raises(ValueError, match="content fields"):
         M.main()
+
+
+def test_inband_delete_then_recreate_restores_doc(spark, tmp_path):
+    """The in-band Delete channel is VERSIONED (ADVICE r13): a Delete
+    envelope kills only versions at or below its CDC sequence, so the
+    reference's routine Delete-then-Insert row re-creation works — the
+    re-insert (higher sequence) is live on BOTH surfaces, the killed
+    versions stay dead forever, and a replayed delete cannot kill the
+    recreate. The out-of-band channel stays permanent."""
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    pipe = CdcFullPipeline(
+        str(tmp_path / "s"), cents, min_tokens=MIN_TOKENS
+    )
+    mk = lambda ver, txt, emb: spark.createDataFrame(
+        [(1, ver, txt, emb)],
+        "doc_id bigint, version bigint, text string, "
+        "embedding array<float>",
+    )
+    dead = spark.createDataFrame([(1,)], "doc_id bigint")
+
+    def dele(seq):
+        return dead.select(
+            F.lit("Delete").alias("event_type"),
+            F.lit(seq).cast("long").alias("gtid_seq"),
+            F.struct(
+                F.col("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+            ).alias("content"),
+        )
+
+    pipe.foreach_batch(
+        _upsert_env(mk(1, "stream join vector query engine", [0.9, 0.1]),
+                    "Insert"), 0,
+    )
+    pipe.foreach_batch(dele(5), 1)  # kills versions <= 5
+    assert pipe.retr._latest_live(spark).count() == 0
+    assert pipe.ann._latest_live(spark).count() == 0
+    # a LATE version below the watermark admits but stays dead
+    pipe.foreach_batch(
+        _upsert_env(mk(4, "stale image arriving after the delete wins",
+                       [0.8, 0.2]), "Update"), 2,
+    )
+    assert pipe.retr._latest_live(spark).count() == 0
+    # the RECREATE (sequence 7 > watermark 5) is live again
+    pipe.foreach_batch(
+        _upsert_env(mk(7, "stream engines join vectors reborn now",
+                       [-0.8, 0.2]), "Insert"), 3,
+    )
+    assert [
+        (r["doc_id"], r["version"])
+        for r in pipe.retr._latest_live(spark).collect()
+    ] == [(1, 7)]
+    assert [
+        tuple(r) for r in pipe.ann._latest_live(spark).collect()
+    ] == [(1, 7)]
+    # a replayed delete (same watermark) cannot kill the recreate
+    pipe.foreach_batch(dele(5), 4)
+    assert [
+        tuple(r) for r in pipe.ann._latest_live(spark).collect()
+    ] == [(1, 7)]
+    # the OUT-OF-BAND channel stays doc-level and permanent: it kills
+    # the recreate too, and no future version resurrects it
+    pipe.delete_batch(dead, 0)
+    assert pipe.retr._latest_live(spark).count() == 0
+    pipe.foreach_batch(
+        _upsert_env(mk(9, "no resurrection after right to be forgotten",
+                       [0.7, 0.3]), "Update"), 5,
+    )
+    assert pipe.ann._latest_live(spark).count() == 0

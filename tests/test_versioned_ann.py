@@ -645,3 +645,146 @@ def test_versioned_drift_moments_cover_every_admitted_version(
     rep = again.drift_report(spark, baseline, z=6.0, min_n=10 ** 9)
     # min_n astronomically high: nothing can flag — shape check only
     assert rep.filter(F.col("drifted")).count() == 0
+
+
+def test_versioned_delete_then_recreate_statedir_ann(spark, tmp_path):
+    """delete_versions_batch on the ANN surface (in-band CDC Delete
+    channel, ADVICE r13): the kill watermark removes versions <= it, a
+    recreate with a higher version is live again (and probes score ITS
+    vector, not the killed one), a replayed delete cannot kill it, a
+    fully-killed id never resurrects through its stale pruned rows, and
+    folds erase killed rows physically."""
+    v1, v2 = _v1(spark), _v2(spark)
+    v3 = (
+        _emb(spark)
+        .filter(F.col("vec_id") % 20 == 3)
+        .select(
+            "vec_id",
+            F.lit(3).cast("bigint").alias("version"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+    )
+    vdel = _dead_ids(spark).select(
+        "vec_id", F.lit(2).cast("bigint").alias("version")
+    )
+    snap = VersionedAnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=2
+    )
+    snap.foreach_batch(v1.filter(F.col("vec_id") % 3 != 2), 0)
+    snap.foreach_batch(
+        v2.unionByName(
+            v1.filter((F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 7 == 0))
+        ),
+        1,
+    )
+    snap.delete_versions_batch(vdel, 2)
+    snap2 = VersionedAnnIndexSnapshot(  # mid-stream restart
+        str(tmp_path / "s"), _centroids(spark), compact_every=2
+    )
+    snap2.foreach_batch(v1.filter(F.col("vec_id") % 3 == 2), 3)
+    snap2.delete_versions_batch(vdel, 4)  # replay
+    snap2.foreach_batch(v3, 5)
+    # batch reference: versions <= 2 dead for %10==3 ids; %20==3 ids
+    # live again at v3 (their reversed embedding)
+    allv = v1.unionByName(v2).unionByName(v3).filter(
+        ~((F.col("vec_id") % 10 == 3) & (F.col("version") <= 2))
+    )
+    w_max = allv.groupBy("vec_id").agg(F.max("version").alias("version"))
+    latest = allv.join(w_max, ["vec_id", "version"]).select(
+        "vec_id", "embedding"
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                latest, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert _snap_topk(snap2, spark) == want
+    live = snap2._latest_live(spark)
+    assert live.filter(
+        (F.col("vec_id") % 20 == 13) & (F.col("vec_id") % 10 == 3)
+    ).count() == 0
+    reborn = live.filter(F.col("vec_id") % 20 == 3)
+    assert reborn.count() > 0 and reborn.filter(
+        F.col("version") != 3
+    ).count() == 0
+    # fold crossing the stream erases killed rows physically
+    snap3 = VersionedAnnIndexSnapshot(
+        str(tmp_path / "s"), _centroids(spark), compact_every=1
+    )
+    snap3.foreach_batch(
+        spark.createDataFrame(
+            [], "vec_id bigint, version bigint, embedding array<float>"
+        ),
+        6,
+    )
+    statedir.maybe_compact(
+        spark, snap3.vectors_dir, snap3._schema, 7, every=1,
+        transform=lambda df: df.join(
+            snap3._latest_live(df.sparkSession),
+            ["vec_id", "version"], "left_semi",
+        ),
+    )
+    stored = statedir.read_state(
+        spark, snap3.vectors_dir, snap3._schema, 1 << 62
+    )
+    assert stored.filter(
+        (F.col("vec_id") % 10 == 3) & (F.col("version") <= 2)
+    ).count() == 0
+    assert _snap_topk(snap3, spark) == want
+
+
+def test_vdelete_harness_matches_statedir_ann(spark, tmp_path):
+    """versioned_ann_topk_over_events with 'vdelete' events equals the
+    same version-max compaction reference."""
+    v1, v2 = _v1(spark), _v2(spark)
+    v3 = (
+        _emb(spark)
+        .filter(F.col("vec_id") % 20 == 3)
+        .select(
+            "vec_id",
+            F.lit(3).cast("bigint").alias("version"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+    )
+    vdel = _dead_ids(spark).select(
+        "vec_id", F.lit(2).cast("bigint").alias("version")
+    )
+    events = [
+        ("upsert", v1),
+        ("vdelete", vdel),
+        ("upsert", v2),
+        ("vdelete", vdel),
+        ("upsert", v3),
+    ]
+    got = sorted(
+        map(
+            tuple,
+            versioned_ann_topk_over_events(
+                events, _centroids_df(spark), _queries(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).orderBy("q_id", "rank").collect(),
+        )
+    )
+    # v2 (version 2) of %10==3 ids is killed even though it arrived
+    # AFTER the first delete (watermark rule, not arrival order)
+    allv = v1.unionByName(v2).unionByName(v3).filter(
+        ~((F.col("vec_id") % 10 == 3) & (F.col("version") <= 2))
+    )
+    w_max = allv.groupBy("vec_id").agg(F.max("version").alias("version"))
+    latest = allv.join(w_max, ["vec_id", "version"]).select(
+        "vec_id", "embedding"
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_ann_topk(
+                latest, _queries(spark), _centroids_df(spark),
+                k=5, nprobe=2, quantize_bp=10000,
+            ).collect(),
+        )
+    )
+    assert got == want

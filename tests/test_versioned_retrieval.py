@@ -870,3 +870,234 @@ def test_bucketed_latest_tier_folds_by_doc_id(spark, tmp_path):
 
     assert {"cols": ["doc_id", "version"], "n": 4} in specs(snap.docs_dir)
     assert {"cols": ["doc_id"], "n": 4} in specs(snap.latest_dir)
+
+
+def _vdel_events(spark):
+    """The in-band versioned-delete drain: %10==3 docs deleted at
+    sequence 2 (killing v1 and v2), then HALF of them (%20==3)
+    recreated at version 3 — live again; %20==13 stays dead. Built on
+    the standard interleaving (out-of-order, redeliveries, replay)."""
+    v1, v2 = _v1(spark), _v2(spark)
+    v3 = (
+        _docs(spark)
+        .filter(F.col("doc_id") % 20 == 3)
+        .select(
+            "doc_id",
+            F.lit(3).cast("bigint").alias("version"),
+            F.concat(F.col("text"), F.lit(" reborn stream")).alias("text"),
+        )
+    )
+    vdel = _dead_ids(spark).select(
+        "doc_id", F.lit(2).cast("bigint").alias("version")
+    )
+    return [
+        ("upsert", v1.filter(F.col("doc_id") % 3 != 2)),
+        ("upsert", v2.unionByName(
+            v1.filter((F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 7 == 0))
+        )),
+        ("vdelete", vdel),
+        # late v1 images admit but stay dead for %10==3 docs (version 1
+        # <= the kill watermark 2); the recreate arrives WITH the
+        # delete replay in one slice — order inside must not matter
+        ("upsert", v1.filter(F.col("doc_id") % 3 == 2).unionByName(
+            v2.filter(F.col("doc_id") % 7 == 1)
+        )),
+        ("vdelete", vdel),  # replay
+        ("upsert", v3),
+    ]
+
+
+def _vdel_reference(spark):
+    """Latest live image under the versioned-kill rule: versions <= 2
+    dead for %10==3 docs, the %20==3 recreates live at v3."""
+    allv = (
+        _v1(spark)
+        .unionByName(_v2(spark))
+        .unionByName(
+            _docs(spark)
+            .filter(F.col("doc_id") % 20 == 3)
+            .select(
+                "doc_id",
+                F.lit(3).cast("bigint").alias("version"),
+                F.concat(
+                    F.col("text"), F.lit(" reborn stream")
+                ).alias("text"),
+            )
+        )
+    ).filter(
+        ~((F.col("doc_id") % 10 == 3) & (F.col("version") <= 2))
+    )
+    w_max = allv.groupBy("doc_id").agg(F.max("version").alias("version"))
+    latest = allv.join(w_max, ["doc_id", "version"]).select("doc_id", "text")
+    return sorted(
+        map(tuple, text.bm25_topk(latest, TERMS, top_k=15).collect())
+    )
+
+
+def test_versioned_delete_then_recreate_statedir(spark, tmp_path):
+    """delete_versions_batch (the in-band CDC Delete channel, ADVICE
+    r13) through the persisted sink: the kill watermark removes only
+    versions <= it, a recreate with a higher version is live again, a
+    replayed delete cannot kill it, folds crossing the stream erase
+    killed rows physically, and a mid-stream restart (fresh object over
+    the same state) preserves it all."""
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=2
+    )
+    ev = _vdel_events(spark)
+    for i, (kind, b) in enumerate(ev[:3]):
+        if kind == "vdelete":
+            snap.delete_versions_batch(b, i)
+        else:
+            snap.foreach_batch(b, i)
+    snap2 = VersionedRetrievalIndexSnapshot(  # mid-stream restart
+        str(tmp_path / "s"), compact_every=2
+    )
+    for i, (kind, b) in enumerate(ev[3:], start=3):
+        if kind == "vdelete":
+            snap2.delete_versions_batch(b, i)
+        else:
+            snap2.foreach_batch(b, i)
+    assert _snap_bm25(snap2, spark) == _vdel_reference(spark)
+    # fully-killed docs (%20==13) are absent from the latest-live view;
+    # recreated ones (%20==3) serve exactly version 3
+    live = snap2._latest_live(spark)
+    assert live.filter(
+        (F.col("doc_id") % 20 == 13) & (F.col("doc_id") % 10 == 3)
+    ).count() == 0
+    reborn = live.filter(F.col("doc_id") % 20 == 3)
+    assert reborn.count() > 0
+    assert reborn.filter(F.col("version") != 3).count() == 0
+    # tfidf + corpus stats ride the same rule: n equals the reference
+    n_ref = _vdel_reference_count(spark)
+    assert snap2.corpus_stats(spark).collect()[0]["n"] == n_ref
+
+
+def _vdel_reference_count(spark):
+    allv = (
+        _v1(spark)
+        .unionByName(_v2(spark))
+        .unionByName(
+            _docs(spark)
+            .filter(F.col("doc_id") % 20 == 3)
+            .select(
+                "doc_id",
+                F.lit(3).cast("bigint").alias("version"),
+                F.concat(
+                    F.col("text"), F.lit(" reborn stream")
+                ).alias("text"),
+            )
+        )
+    ).filter(~((F.col("doc_id") % 10 == 3) & (F.col("version") <= 2)))
+    return allv.select("doc_id").distinct().count()
+
+
+def test_vdelete_harness_equals_statedir_and_reference(spark, tmp_path):
+    """versioned_bm25_over_events with 'vdelete' events equals the
+    batch reference — the q140 composition's in-memory leg."""
+    got = sorted(
+        map(
+            tuple,
+            versioned_bm25_over_events(
+                _vdel_events(spark), TERMS, top_k=15
+            ).collect(),
+        )
+    )
+    assert got == _vdel_reference(spark)
+
+
+def test_vdelete_null_version_fails_loudly(spark, tmp_path):
+    """A versioned delete with a NULL sequence kills nothing — the
+    silent-no-op class; the append must refuse loudly and commit
+    nothing."""
+    snap = VersionedRetrievalIndexSnapshot(str(tmp_path / "s"))
+    snap.foreach_batch(_v1(spark), 0)
+    bad = spark.createDataFrame(
+        [(3, None)], "doc_id bigint, version bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        snap.delete_versions_batch(bad, 1)
+    assert not statedir.state_paths(snap.vtombstones_dir, 1 << 62)
+
+
+def test_vdelete_fold_erases_killed_rows_physically(spark, tmp_path):
+    """Postings/latest folds apply the versioned kill: after a fold
+    crossing the delete, killed versions leave the folded tier
+    physically (the stored relations, not just the probes)."""
+    snap = VersionedRetrievalIndexSnapshot(
+        str(tmp_path / "s"), compact_every=1
+    )
+    snap.foreach_batch(_v1(spark), 0)
+    vdel = _dead_ids(spark).select(
+        "doc_id", F.lit(2).cast("bigint").alias("version")
+    )
+    snap.delete_versions_batch(vdel, 0)
+    snap.foreach_batch(_v2(spark), 1)
+    # this trigger folds batch 0/1 prefixes with the kill applied
+    snap.foreach_batch(
+        spark.createDataFrame([], "doc_id bigint, version bigint, text string"),
+        2,
+    )
+    # force one more fold so the un-folded tail is covered too
+    statedir.maybe_compact(
+        spark, snap.postings_dir,
+        "doc_id bigint, version bigint, word string, tf bigint, dl bigint",
+        3, every=1,
+        transform=lambda df: snap._live(df.sparkSession, df),
+    )
+    stored = statedir.read_state(
+        spark, snap.postings_dir,
+        "doc_id bigint, version bigint, word string, tf bigint, dl bigint",
+        1 << 62,
+    )
+    dead_rows = stored.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("version") <= 2)
+    )
+    assert dead_rows.count() == 0
+    # while a doc with ONLY killed versions still blocks re-admission
+    # of a redelivered killed version (the docs/ ledger keeps it)
+    assert snap.docs(spark).filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("version") == 1)
+    ).count() > 0
+
+
+def test_vacuum_handles_versioned_kills(spark, tmp_path):
+    """vacuum_versioned_retrieval_index with the in-band versioned
+    delete channel: killed versions' payload is erased, but their
+    ledger rows are KEPT (the destination has no vtombstones, so
+    dropping them would re-open first-wins admission to a redelivered
+    killed version and resurrect it). Probes are bit-equal before and
+    after; a redelivered killed version stays invisible after the
+    vacuum."""
+    from stream_cdc_spark.operators.migration import (
+        vacuum_versioned_retrieval_index,
+    )
+
+    src = VersionedRetrievalIndexSnapshot(str(tmp_path / "src"))
+    ev = _vdel_events(spark)
+    for i, (kind, b) in enumerate(ev):
+        if kind == "vdelete":
+            src.delete_versions_batch(b, i)
+        else:
+            src.foreach_batch(b, i)
+    dst = VersionedRetrievalIndexSnapshot(str(tmp_path / "dst"))
+    vacuum_versioned_retrieval_index(spark, src, dst)
+    assert _snap_bm25(dst, spark) == _snap_bm25(src, spark)
+    # killed payload gone, killed ledger rows kept
+    assert dst.postings(spark).filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("version") <= 2)
+    ).count() == 0
+    assert dst.docs(spark).filter(
+        (F.col("doc_id") % 20 == 13) & (F.col("doc_id") % 10 == 3)
+    ).count() > 0
+    # a redelivered killed version cannot resurrect through the vacuumed
+    # index: first-wins drops it at admission
+    dead_v1 = (
+        _docs(spark)
+        .filter((F.col("doc_id") % 20 == 13) & (F.col("doc_id") % 10 == 3))
+        .select(
+            "doc_id", F.lit(1).cast("bigint").alias("version"), "text"
+        )
+    )
+    dst.foreach_batch(dead_v1, 100)
+    assert _snap_bm25(dst, spark) == _snap_bm25(src, spark)

@@ -174,6 +174,65 @@ def squared_distance(a: Column, b: Column) -> Column:
     return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
 
 
+def _centroid_array(
+    centroids: DataFrame,
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """The centroid set folded into ONE broadcastable row: an array of
+    (cid, cv, cvv=<cv,cv>) structs sorted by cid. The argmin/probe
+    rewrites below cross-join this single row instead of multiplying the
+    corpus by num_cells rows, so the per-vector argmin becomes a pure
+    narrow fold — no row explosion, no corpus-wide Exchange, no window
+    sort (guide §2.4 "remove shuffles outright"). <cv,cv> is precomputed
+    per centroid (the same sequential fold the pairwise form evaluated
+    per corpus row), so the per-element work drops from three dot
+    products to one."""
+    c = centroids.select(
+        F.struct(
+            F.col(centroid_id_col).cast("long").alias("cid"),
+            F.col(centroid_vec_col).alias("cv"),
+            dot(F.col(centroid_vec_col), F.col(centroid_vec_col)).alias("cvv"),
+        ).alias("c")
+    )
+    return c.agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+
+
+_MAXLONG = (1 << 63) - 1
+
+
+def _argmin_cell(vec: Column) -> Column:
+    """struct(dist_bp, cell) of the nearest centroid in the broadcast
+    ``__cents`` array — a single sequential fold per row. dist_bp
+    reproduces squared_distance's exact double sequence
+    ((<v,v> - 2.0*<v,c>) + <c,c>) so the quantized distances are
+    bit-identical to the former crossJoin+window formulation; the
+    running minimum is F.least over (dist_bp, cid) structs, whose
+    lexicographic order IS the window's ORDER BY dist_bp, cid — ties
+    break to the lowest centroid id. <v,v> is computed once in the
+    fold's initial accumulator (not per element)."""
+    sentinel = F.struct(
+        F.lit(_MAXLONG).cast("bigint").alias("dist_bp"),
+        F.lit(_MAXLONG).cast("bigint").alias("cell"),
+    )
+    init = F.struct(dot(vec, vec).alias("vv2"), sentinel.alias("best"))
+
+    def merge(acc, c):
+        d = F.floor(
+            F.lit(10000)
+            * ((acc["vv2"] - F.lit(2.0) * dot(vec, c["cv"])) + c["cvv"])
+        ).cast("bigint")
+        return F.struct(
+            acc["vv2"].alias("vv2"),
+            F.least(
+                acc["best"],
+                F.struct(d.alias("dist_bp"), c["cid"].alias("cell")),
+            ).alias("best"),
+        )
+
+    return F.aggregate(F.col("__cents"), init, merge, lambda acc: acc["best"])
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -186,37 +245,39 @@ def ivf_assign(
     """IVF coarse quantization: assign every vector to its nearest centroid
     (argmin of quantized squared distance, ties to the lowest centroid id).
 
-    Plan: broadcast(centroids) x corpus -> narrow scoring map -> per-vector
-    min via window. At 100 TB the assignment is a scan-bandwidth pass and
-    the output is the partition key for cell-local ANN (`ivf_ann_topk`).
+    Plan: the centroid set rides ONE broadcast row as a sorted struct
+    array (`_centroid_array`) and the argmin is a narrow per-row fold
+    (`_argmin_cell`) — a true scan-bandwidth pass at 100 TB. The former
+    crossJoin + row_number window multiplied every corpus row by
+    num_cells and shuffled the corpus by vec_id (Exchange + two sorts);
+    values are bit-identical (same quantized-distance doubles, same
+    min-cid tie rule), plan-asserted in tests and re-proven against the
+    q43/q44/q136/q139 oracles.
 
-    ``carry_cols``: extra identity columns carried through and appended
-    to the argmin partition key — the versioned index assigns per
-    (vec_id, version) row (streaming/ann_index.py), with empty carry the
-    behavior is the original per-vec_id argmin.
+    ``carry_cols``: extra identity columns carried through — the
+    versioned index assigns per (vec_id, version) row
+    (streaming/ann_index.py). The argmin is per ROW either way, so carry
+    columns ride along untouched.
     """
     carry = [F.col(c) for c in carry_cols]
     v = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), *carry, F.col(vec_col).alias("vv")
     )
-    c = centroids.select(
-        F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cv")
-    )
-    dist_bp = F.floor(
-        F.lit(10000) * squared_distance(F.col("vv"), F.col("cv"))
-    ).cast("bigint")
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vec_id", *carry_cols, "vv", "cid", dist_bp.alias("dist_bp")
-    )
-    w = Window.partitionBy("vec_id", *carry_cols).orderBy(
-        F.col("dist_bp"), F.col("cid")
-    )
+    cents = _centroid_array(centroids, centroid_id_col, centroid_vec_col)
+    # F.inline evaluates the argmin struct ONCE per row (selecting
+    # .cell/.dist_bp separately would duplicate the whole fold after
+    # projection collapse); the array is always length 1, so row counts
+    # are unchanged. Empty centroid set -> empty result, matching the
+    # former inner-join semantics.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        v.crossJoin(F.broadcast(cents.filter(F.size("__cents") > 0)))
         .select(
-            "vec_id", *carry_cols, "vv", F.col("cid").alias("cell"), "dist_bp"
+            "vec_id",
+            *carry_cols,
+            "vv",
+            F.inline(F.array(_argmin_cell(F.col("vv")))),
         )
+        .select("vec_id", *carry_cols, "vv", "cell", "dist_bp")
     )
 
 
@@ -259,20 +320,31 @@ def ivf_query_probes(
     versioned streaming probe (streaming/ann_index.py) so the probed-
     cell geometry cannot drift between them."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    c = centroids.select(F.col("cid"), F.col("cv"))
-    qdist = q.crossJoin(F.broadcast(c)).select(
-        "q_id",
-        "qv",
-        "cid",
-        F.floor(F.lit(10000) * squared_distance(F.col("qv"), F.col("cv")))
-        .cast("bigint")
-        .alias("dist_bp"),
+    cents = _centroid_array(centroids)
+    # Same narrow rewrite as ivf_assign: score every cell in a per-row
+    # transform over the one-row broadcast centroid array, sort the
+    # (dist_bp, cell) structs (lexicographic order == the former window's
+    # ORDER BY dist_bp, cid) and keep the first nprobe — no Exchange, no
+    # window. dist_bp reproduces squared_distance's exact double
+    # sequence, so the probed-cell geometry is bit-identical.
+    qv2 = dot(F.col("qv"), F.col("qv"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.floor(
+                F.lit(10000)
+                * ((qv2 - F.lit(2.0) * dot(F.col("qv"), c["cv"])) + c["cvv"])
+            )
+            .cast("bigint")
+            .alias("dist_bp"),
+            c["cid"].alias("cell"),
+        ),
     )
-    wq = Window.partitionBy("q_id").orderBy(F.col("dist_bp"), F.col("cid"))
+    top = F.slice(F.array_sort(scored), 1, nprobe)
     return (
-        qdist.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "qv", F.col("cid").alias("cell"))
+        q.crossJoin(F.broadcast(cents.filter(F.size("__cents") > 0)))
+        .select("q_id", "qv", F.explode(top).alias("__p"))
+        .select("q_id", "qv", F.col("__p.cell").alias("cell"))
     )
 
 

@@ -462,7 +462,27 @@ def minhash_lsh_verified_pairs(
         "id_a", "id_b"
     )
     sh = shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # n_sh per doc is a PER-ROW expression (size of the distinct-shingle
+    # array — no df cap on this path), not a count over the exploded
+    # relation: removes a corpus-sized explode + hash aggregate +
+    # Exchange (guide §2.4). The expression is evaluated inside a
+    # codegen'd Project; there is no Generate here, so the heavy-alias
+    # filter-pushdown trap (see plans/queries._shingle_pair_stats) does
+    # not arise. coalesce makes n_sh PROVABLY non-null: the verify
+    # join's ratio condition otherwise makes Catalyst infer
+    # isnotnull(n_sh) and push it below the repartition with the whole
+    # shingle expression substituted — an interpreted (non-codegen)
+    # Filter evaluating the grams build a second time per row, measured
+    # 2x on q27. The expression is never null (the CASE always yields an
+    # array), so the coalesce is value-free; it only kills the inferred
+    # filter.
+    sizes = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            F.size(F.array_distinct(shingle_array(text_col, k))).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("n_sh"),
+    )
     shared = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])

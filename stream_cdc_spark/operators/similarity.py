@@ -195,7 +195,13 @@ def _centroid_array(
             dot(F.col(centroid_vec_col), F.col(centroid_vec_col)).alias("cvv"),
         ).alias("c")
     )
-    return c.agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+    # coalesce(1) before the global aggregate: a one-partition child
+    # already satisfies the final aggregate's SinglePartition requirement,
+    # so the Exchange(SinglePartition) + extra stage the two-phase
+    # aggregate otherwise inserts is elided. The centroid relation is
+    # tiny by definition (num_cells rows), and assign/probe callers fold
+    # it once per call — the saved stage is per admission trigger.
+    return c.coalesce(1).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
 
 
 _MAXLONG = (1 << 63) - 1

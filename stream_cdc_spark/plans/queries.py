@@ -704,19 +704,59 @@ def _shingle_pair_stats(d: DataFrame):
     Testdata max shingle df is 25 (sf0.1), so neither detector ever fires
     at oracle SF and the uncapped DuckDB oracles stay exact.
     """
-    sh = dedup.stop_shingle_filter(
-        dedup.shingles(d, "text", "doc_id", k=3), 1000, detect_rate_4096=32
-    )
     # Shape notes (measured, sf0.1): a window-attached n_sh shuffles
     # EVERY shingle row by id with no map-side combine — 23% slower and
     # strictly worse at 100 TB; the r9 group-and-combine pair block
     # (dedup.shared_pair_counts: one shingle groupBy, ordered pairs
     # expanded map-side from the sorted group, partial-aggregated) took
-    # a further 30% off the former self-join (2.45 s -> 1.73 s) with the
-    # same single corpus-sized exchange and df-cap-bounded group memory.
-    # Sizes join AFTER the pair aggregate, on the tiny candidate-pair
-    # relation.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # 30% off the former self-join (2.45 s -> 1.73 s) with the same
+    # single corpus-sized exchange and df-cap-bounded group memory.
+    from stream_cdc_spark.operators.sampling import RATE_DENOM, sample_mark
+    from stream_cdc_spark.operators.util import ensure_parallelism
+
+    max_df, rate = 1000, 32
+    threshold = max(2, (max_df * rate) // RATE_DENOM // 2)
+    # Pair path: unchanged from stop_shingle_filter's shape — explode
+    # consumes the grams expression DIRECTLY (aliasing the array in a
+    # Project first lets InferFiltersFromGenerate push a size(<full
+    # grams expr>)>0 predicate below the repartition as an interpreted
+    # Filter: measured 4x on the whole query — the known heavy-alias
+    # pushdown trap).
+    sh_all = dedup.shingles(d, "text", "doc_id", k=3)
+    hot = (
+        sh_all.filter(
+            sample_mark(F.concat_ws("|", "id", "shingle"), rate, "hot-df")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > threshold)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    # Sizes: n_sh per doc is a PER-ROW expression — the df-capped
+    # distinct-shingle array's size, with the (tiny by construction) hot
+    # list riding ONE broadcast collect_list row and subtracted via
+    # array_except, which equals the exploded anti-join per doc. No
+    # explode -> no inferred generate filter; no groupBy -> no Exchange.
+    # The former sizes branch re-scanned + re-exploded the corpus,
+    # re-ran its own hot-detector copy and paid a corpus-wide count
+    # aggregate before the same two joins (guide §2.4). The identical
+    # hot-detection subtree here and in the anti-join dedupes at runtime
+    # via exchange reuse. Carrying n_sh through the pair expansion
+    # instead was measured 3-4x worse (collect_list over (id, n) structs
+    # turns the long-array aggregate into object serialization).
+    hot_row = hot.agg(F.sort_array(F.collect_list("shingle")).alias("hot_arr"))
+    sizes = ensure_parallelism(d).crossJoin(F.broadcast(hot_row)).select(
+        F.col("doc_id").alias("id"),
+        F.size(
+            F.array_except(
+                F.array_distinct(dedup.shingle_array("text", 3)),
+                F.col("hot_arr"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_sh"),
+    )
     shared = dedup.shared_pair_counts(sh)
     joined = shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id")).join(
         sizes.alias("sb"), F.col("id_b") == F.col("sb.id")
@@ -4579,8 +4619,13 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     batch = d.filter(F.col("doc_id") % 7 == 3)
     corpus = d.filter(F.col("doc_id") % 7 != 3)
+    # pin=True: the candidate set feeds four downstream branches (two
+    # shingle semi-joins, the verify aggregate, the keep/dup_of rollup);
+    # unpinned, each branch re-derives the whole LSH candidate subtree
+    # (banding + bucket joins) — measured 7.55 s -> 4.68 s at sf0.1
+    # (guide §5 localCheckpoint to cut repeated lineage).
     return (
-        dedup.incremental_verified_dedup(batch, corpus)
+        dedup.incremental_verified_dedup(batch, corpus, pin=True)
         .select("doc_id", "keep", "dup_of")
         .orderBy("doc_id")
     )

@@ -879,12 +879,40 @@ def connected_components(
     reference has no graph ops at all; this consumes the pair lists its
     dedup queries produce (SURVEY.md §7 north-star operators).
     """
+    # Both edge directions via ONE narrow explode, not a self-union: the
+    # union form evaluated the whole upstream `edges` subtree twice
+    # before the pin (for q130 that is two full runs of the Arrow-UDF
+    # dHash pipeline + band join) — guide §2.4 / §1.2-1. Rows are
+    # identical; only the evaluation topology changes.
     und = edges.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    ).union(
-        edges.select(F.col(id_b).cast("long").alias("u"), F.col(id_a).cast("long").alias("v"))
-    )
-    und = und.localCheckpoint(eager=True)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(id_a).cast("long").alias("u"),
+                    F.col(id_b).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.col(id_b).cast("long").alias("u"),
+                    F.col(id_a).cast("long").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    # Route the pin through ONE AQE-sized shuffle keyed on the join key:
+    # the checkpointed RDD's partition count is then scale-adaptive (a
+    # tiny graph coalesces to 1 partition instead of inheriting ~10
+    # near-empty upstream tasks re-scheduled every propagation round; a
+    # huge graph gets target-size partitions), and each vertex's
+    # in-edges are co-located which bounds per-task fan-in skew. NOTE:
+    # localCheckpoint does NOT preserve the hash partitioning (the
+    # pinned scan reports UnknownPartitioning — verified on 4.1), so
+    # this is a task-sizing win, not per-round Exchange elision: the
+    # round join still shuffles both sides (executed plans in
+    # plans/r14/q64_cc_round_join_*.txt). The headline win of this
+    # rewrite is the single subtree evaluation above
+    # (plans/r14/q64_cc_edges_*.txt: HashAggregate 56 -> 28, Exchange
+    # tree nodes 30 -> 16 for q64's edge build).
+    und = und.repartition("v").localCheckpoint(eager=True)
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
     changed = 0
     for _ in range(max_iter):
@@ -893,6 +921,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # (A pointer-jumping variant — additionally following the hopped
+        # label through the previous round's map — was measured and
+        # rejected: it cut rounds only 10 -> 8 on the sf0.1 graph while
+        # adding a join per round; min-propagation over BOTH edge
+        # directions already spreads labels fast.)
         new_labels = (
             labels.join(nbr_min, "u", "left")
             .select(

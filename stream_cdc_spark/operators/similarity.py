@@ -97,13 +97,73 @@ def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
 
 
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign-bit pattern of `bits` dots."""
+    """Random-hyperplane LSH bucket id: sign-bit pattern of `bits` dots.
+
+    Expression tier — reference semantics. Hot paths use
+    ``lsh_buckets_arrow`` (bit-identical, proven by
+    test_dedup_similarity::test_lsh_bucket_tiers_identical): the
+    interpreted higher-order fold here costs ~4 us per (row, plane) and
+    the per-table literal plane arrays make a 2k-literal expression tree
+    whose first-execution setup alone is seconds per session."""
     bucket = F.lit(0)
     for b in range(bits):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b, seed)])
         bit = (dot(vec, plane) > 0).cast("int")
         bucket = F.shiftleft(bucket, 1) + bit
     return bucket
+
+
+def lsh_buckets_arrow(
+    vec: Column, dim: int, bits: int, seeds: "list[int]"
+) -> Column:
+    """All requested hyperplane signatures in ONE Arrow pass: returns
+    ``array<long>`` with one bucket id per entry of ``seeds``.
+
+    Bit-identical to ``lsh_bucket`` per seed (guide §4: Arrow batches +
+    heavyweight init once, only the vector column crosses the boundary):
+    products are formed per element in float64 exactly like dot()'s
+    ``x.cast(double) * y.cast(double)`` zip, and summed STRICTLY
+    left-to-right via ``np.cumsum`` — NOT a BLAS matmul, whose pairwise
+    summation could round a near-zero dot to the other side of 0 and
+    flip a sign bit. The plane matrix is built once per task at UDF
+    construction; per (row, plane) cost drops from an interpreted
+    ~4 us fold to a vectorized C loop (~1000x measured on q29/q30
+    shapes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [[_hyperplane(dim, b, s) for b in range(bits)] for s in seeds],
+        dtype=np.float64,
+    ).reshape(len(seeds) * bits, dim)
+    n_seeds = len(seeds)
+
+    def _buckets(col):
+        null_mask = col.isna()
+        if null_mask.any():
+            fill = [0.0] * dim
+            col = col.where(~null_mask, other=None).apply(
+                lambda v: fill if v is None else v
+            )
+        X = np.array(col.tolist(), dtype=np.float64)
+        sign_bits = np.empty((X.shape[0], planes.shape[0]), dtype=np.int64)
+        for p in range(planes.shape[0]):
+            # strict sequential left fold of the per-element products —
+            # cumsum's last element reproduces dot()'s rounding exactly
+            dots = np.cumsum(X * planes[p], axis=1)[:, -1]
+            sign_bits[:, p] = dots > 0
+        buckets = np.zeros((X.shape[0], n_seeds), dtype=np.int64)
+        for s in range(n_seeds):
+            for b in range(bits):
+                buckets[:, s] = (buckets[:, s] << 1) + sign_bits[:, s * bits + b]
+        out = pd.Series(buckets.tolist())
+        if null_mask.any():
+            out[null_mask.to_numpy()] = None
+        return out
+
+    _buckets.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<long>")(vec)
 
 
 def lsh_ann_topk(
@@ -130,19 +190,14 @@ def lsh_ann_topk(
     output can be checked value-for-value against a SQL oracle."""
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        # one Arrow pass computes all L tables' signatures (bit-equal to
+        # the per-table lsh_bucket expressions — see lsh_buckets_arrow);
+        # posexplode's index IS the table id
         cols = [F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")]
-        tabs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tab"),
-                    lsh_bucket(F.col(vec_col), dim, bits, seed=42 + 101 * t).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
+        tabs = lsh_buckets_arrow(
+            F.col(vec_col), dim, bits, [42 + 101 * t for t in range(tables)]
         )
-        return df.select(*cols, F.explode(tabs).alias("bk")).select(
-            f"{prefix}_id", f"{prefix}_vec", "bk.tab", "bk.bucket"
-        )
+        return df.select(*cols, F.posexplode(tabs).alias("tab", "bucket"))
 
     c = bucketed(ensure_parallelism(corpus), "c")
     q = bucketed(queries, "q")
@@ -433,6 +488,7 @@ def split_hot_buckets(
     seed: int,
     extra_bits: int = 8,
     rounds: int = 2,
+    refined_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Bound per-bucket population by adaptively refining hot buckets with
     extra hyperplane bits (the stop_shingle_filter pattern applied to LSH).
@@ -449,7 +505,17 @@ def split_hot_buckets(
     Residual risk, documented: vectors with identical sign patterns under
     every refinement seed can never separate; such a cluster is a genuine
     near-dup clique whose pairs the caller wants anyway (its d^2 is output
-    cost, not waste). Expects columns (id, vec, bucket)."""
+    cost, not waste). Expects columns (id, vec, bucket).
+
+    ``refined_cols``: optional names of ``rounds`` precomputed
+    refinement-signature columns (seed + 7001*(r+1), ``extra_bits`` wide
+    — what the default path computes inline). Callers that pin the
+    bucketed relation (embedding_near_dup_pairs) precompute these in the
+    SAME Arrow pass as the base bucket so every derived branch —
+    hot-bucket detection per round plus both self-join sides — reads the
+    materialized relation instead of re-running the signature UDF per
+    reference (measured 52 ArrowEvalPython nodes in q30's plan without
+    this). The columns are dropped from the output."""
     out = bucketed
     for r in range(rounds):
         hot = (
@@ -458,9 +524,15 @@ def split_hot_buckets(
             .filter(F.col("n") > max_bucket)
             .select("bucket")
         )
-        refined_bits = lsh_bucket(
-            F.col("vec"), dim, extra_bits, seed=seed + 7001 * (r + 1)
-        )
+        if refined_cols is not None:
+            refined_bits = F.col(refined_cols[r])
+        else:
+            refined_bits = F.element_at(
+                lsh_buckets_arrow(
+                    F.col("vec"), dim, extra_bits, [seed + 7001 * (r + 1)]
+                ),
+                1,
+            )
         is_hot = F.col("__hot").isNotNull()
         out = (
             out.join(
@@ -475,6 +547,8 @@ def split_hot_buckets(
             )
             .drop("__hot")
         )
+    if refined_cols is not None:
+        out = out.drop(*refined_cols)
     return out
 
 
@@ -499,15 +573,47 @@ def embedding_near_dup_pairs(
     100 TB — recall for pairs split apart is covered by the second seed
     pass, whose refinement planes are independent."""
     df = ensure_parallelism(df)
-    out = None
-    for seed in (42, 1337):
-        b = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            lsh_bucket(F.col(vec_col), dim, bits, seed).alias("bucket"),
+    seeds = (42, 1337)
+    rounds = 2
+    # Every signature any branch will need — both seed passes' base buckets
+    # plus their split_hot_buckets refinement bits — in ONE Arrow projection,
+    # pinned once. Unpinned, each of the derived branches (hot-bucket
+    # detection per round, both self-join sides, per seed) re-evaluated the
+    # signature UDF over the corpus: q30's executed plan had 52
+    # ArrowEvalPython nodes and zero ReusedExchange before this.
+    base = lsh_buckets_arrow(F.col(vec_col), dim, bits, list(seeds))
+    refined = (
+        lsh_buckets_arrow(
+            F.col(vec_col),
+            dim,
+            8,
+            [s + 7001 * (r + 1) for s in seeds for r in range(rounds)],
         )
+        if max_bucket is not None
+        else None
+    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    per_seed: list[tuple[int, str, list[str]]] = []
+    for i, seed in enumerate(seeds):
+        bname = f"b{i}"
+        cols.append(F.element_at(base, i + 1).alias(bname))
+        rnames = []
+        if refined is not None:
+            for r in range(rounds):
+                rn = f"r{i}_{r}"
+                rnames.append(rn)
+                cols.append(
+                    F.element_at(refined, i * rounds + r + 1).alias(rn)
+                )
+        per_seed.append((seed, bname, rnames))
+    sigs = df.select(*cols).localCheckpoint(eager=True)
+    out = None
+    for seed, bname, rnames in per_seed:
+        b = sigs.select("id", "vec", F.col(bname).alias("bucket"), *rnames)
         if max_bucket is not None:
-            b = split_hot_buckets(b, dim, max_bucket, seed, rounds=2)
+            b = split_hot_buckets(
+                b, dim, max_bucket, seed, rounds=rounds, refined_cols=rnames
+            )
         x, y = b.alias("x"), b.alias("y")
         pairs = (
             x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))

@@ -318,3 +318,34 @@ def test_hot_bucket_split_preserves_planted_recall(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 999999) in got
+
+def test_lsh_bucket_tiers_identical(spark):
+    """The Arrow signature tier must be bit-identical to the expression
+    tier on real embedding data (the strict left-fold cumsum argument:
+    a BLAS matmul's pairwise summation could flip a near-zero sign).
+    Covers multi-seed (lsh_ann_topk's tables) and the refinement-bit
+    widths split_hot_buckets uses."""
+    emb = load(spark, SF_SMALL, "embeddings")
+    seeds = [42, 143, 244, 1337, 42 + 7001]
+    expr = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                similarity.lsh_bucket(F.col("embedding"), 64, 8, s).cast("long")
+                for s in seeds
+            ]
+        ).alias("b"),
+        similarity.lsh_bucket(F.col("embedding"), 64, 2, 42)
+        .cast("long")
+        .alias("b2"),
+    )
+    arrow = emb.select(
+        "vec_id",
+        similarity.lsh_buckets_arrow(F.col("embedding"), 64, 8, seeds).alias("b"),
+        F.element_at(
+            similarity.lsh_buckets_arrow(F.col("embedding"), 64, 2, [42]), 1
+        ).alias("b2"),
+    )
+    a = {(r.vec_id, tuple(r.b), r.b2) for r in expr.collect()}
+    b = {(r.vec_id, tuple(r.b), r.b2) for r in arrow.collect()}
+    assert a == b

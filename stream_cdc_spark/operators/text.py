@@ -565,13 +565,23 @@ def chunk_documents(
         )
     else:
         toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # Materialize the token array ONCE per document in a Project BELOW the
+    # explode. Inlining `toks` into both the generator's sequence bound and
+    # the post-explode slice projection (the old single-select shape) made
+    # the tokenizer re-evaluate once per CHUNK plus once per doc — for the
+    # BPE tier that is the whole merge chain per window, O(len^2) work per
+    # document (q133's before-plan carries the 16-replace chain in both
+    # Generate (3) and the post-Generate Project (4)). Catalyst does not
+    # collapse a Project into a Generate, so the alias is evaluated once
+    # and the generator/slices read the materialized column.
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size(F.col("_t"))
     starts = F.sequence(
         F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
     )
-    d = df.select(
+    d = base.select(
         F.col(id_col),
-        toks.alias("_t"),
+        F.col("_t"),
         F.explode(starts).alias("_s"),
     )
     piece = F.slice(F.col("_t"), F.col("_s") + F.lit(1), F.lit(chunk_tokens))

@@ -33,9 +33,29 @@ SCALE = 10**12
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected view of an edge list: both directions, distinct."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    """Undirected view of an edge list: both directions, distinct.
+
+    Both directions come from ONE narrow explode, not a self-union — the
+    union form planned and executed the whole upstream ``edges`` subtree
+    twice (for q88 that is the orders x lineitem join, twice) before any
+    consumer even touched it. Rows are identical; only the evaluation
+    topology changes (the connected_components edge-build pattern)."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("src"), F.col(dst).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("src"), F.col(src).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
 
 
 def pagerank_fixed_point(
@@ -57,6 +77,12 @@ def pagerank_fixed_point(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     )
+    # Pin the edge list once: it is referenced by nodes, deg and every
+    # iteration's contribution join (2 + iters references) — unpinned,
+    # each reference re-executed the whole upstream edge build + the
+    # symmetrize distinct. The pin inherits the distinct's AQE-coalesced
+    # partitioning, so no extra shuffle is introduced.
+    e = e.localCheckpoint(eager=True)
     # Symmetric edges => every node occurs as src, and deg = out-degree.
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -69,6 +95,10 @@ def pagerank_fixed_point(
         F.expr(f"{scale} div n_nodes").alias("r"),
         F.expr(f"(({scale} div n_nodes) * {d_den - d_num}) div {d_den}").alias("base"),
     )
+    # base seeds the ranks AND re-enters every iteration's rebuild
+    # (iters + 1 references): pin it so the node-distinct + count
+    # aggregate run once. O(nodes) rows — bounded by the edge list.
+    base = base.localCheckpoint(eager=True)
     ranks = base  # columns: node, r, base
 
     for _ in range(iters):

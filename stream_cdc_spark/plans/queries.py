@@ -4171,7 +4171,14 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.002)).alias("embedding"),
     )
     aug = emb.unionByName(planted)
-    cells = similarity.ivf_assign(aug, cents).select("vec_id", "vv", "cell")
+    # Pin the assigned-cells relation: both self-join sides otherwise
+    # re-execute the whole ivf_assign subtree (centroid broadcast fold +
+    # argmin over every vector) — the q110 pin pattern.
+    cells = (
+        similarity.ivf_assign(aug, cents)
+        .select("vec_id", "vv", "cell")
+        .localCheckpoint(eager=True)
+    )
     hi, lo = cells.alias("hi"), cells.alias("lo")
     return (
         hi.join(

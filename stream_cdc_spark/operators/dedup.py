@@ -722,20 +722,33 @@ def containment_pairs(
     joined = shared.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-    # Both orientations from the ordered pair relation.
-    fwd = joined.select(
-        F.col("id_a").alias("id_in"),
-        F.col("id_b").alias("id_out"),
-        (F.lit(1_000_000.0) * F.col("shared") / F.col("n_a")).alias("ratio"),
-    )
-    rev = joined.select(
-        F.col("id_b").alias("id_in"),
-        F.col("id_a").alias("id_out"),
-        (F.lit(1_000_000.0) * F.col("shared") / F.col("n_b")).alias("ratio"),
-    )
+    # Both orientations from the ordered pair relation via ONE narrow
+    # explode — the fwd.union(rev) form planned and executed the whole
+    # shared-pair subtree (shingle explodes, pair aggregate, both size
+    # joins) twice; rows are identical, only the evaluation topology
+    # changes (the connected_components / symmetrize pattern).
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_in"),
+                    F.col("id_b").alias("id_out"),
+                    (
+                        F.lit(1_000_000.0) * F.col("shared") / F.col("n_a")
+                    ).alias("ratio"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_in"),
+                    F.col("id_a").alias("id_out"),
+                    (
+                        F.lit(1_000_000.0) * F.col("shared") / F.col("n_b")
+                    ).alias("ratio"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.id_in", "e.id_out", "e.ratio")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("ratio") >= F.lit(float(threshold_ppm)))
+        both.filter(F.col("ratio") >= F.lit(float(threshold_ppm)))
         .select(
             "id_in",
             "id_out",

@@ -435,52 +435,72 @@ def bm25_topk_over_batches(
     the accumulated inverted index — the in-memory harness for the q137
     registry entry and the equality tests. Bit-equal to `text.bm25_topk`
     over the union of the batches (shared scoring body; df/N/L are the
-    maintained monoids, idf re-quantized at read)."""
+    maintained monoids, idf re-quantized at read).
+
+    The fold is computed as ONE plan with a single pin (guide §1.2-1 /
+    §5): first-wins admission per doc_id is, by definition, "the text
+    from the EARLIEST batch containing the id, min(text) as the
+    intra-batch tie-break" — exactly ``min(struct(batch_index,
+    text_is_null, text))`` per doc_id over the tagged union of the
+    batches (the null flag keeps min-ignores-null semantics inside the
+    winning batch). Tokenized admitted docs are pinned ONCE per drain —
+    the corpus stats (N, L over every admitted doc) and the term-pruned
+    postings both read the pinned relation — where the former loop paid
+    THREE eager localCheckpoints per batch (toks, ledger, postings),
+    re-materializing the whole accumulated prefix every time: 9 serial
+    driver jobs per 3-batch drain, the measured r14 floor of this bench
+    entry. Postings are also term-pruned BEFORE the tf aggregate now
+    (filter commutes with the per-(doc, word) count), so only query-term
+    rows ride the aggregate instead of the full vocabulary. The statedir
+    sink (RetrievalIndexSnapshot) keeps the true per-trigger incremental
+    path — a real stream cannot see future batches; this harness is
+    handed the full drain up front, so folding it pairwise was pure
+    overhead."""
     if not doc_batches:
         raise ValueError("bm25_topk_over_batches: no document batches given")
-    postings: DataFrame | None = None
-    ledger: DataFrame | None = None
-    for b in doc_batches:
-        docs = (
-            b.select(
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.col(text_col).cast("string").alias("text"),
-            )
-            .groupBy("doc_id")
-            .agg(F.min("text").alias("text"))
+    tagged = [
+        b.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+            F.lit(i).alias("__bi"),
         )
-        if ledger is not None:
-            docs = docs.join(ledger.select("doc_id"), "doc_id", "left_anti")
-        # pinned once per batch: the ledger and postings checkpoints
-        # below both derive from it, so the anti-join + tokenize run
-        # once per batch (same rule as _build)
-        toks = docs.select(
-            "doc_id", text.tokens(F.col("text")).alias("t")
-        ).localCheckpoint(eager=True)
-        new_postings = (
-            toks.select(
-                "doc_id",
-                F.size("t").cast("bigint").alias("dl"),
-                F.explode("t").alias("word"),
-            )
-            .groupBy("doc_id", "dl", "word")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-            .select("doc_id", "word", "tf", "dl")
+        for i, b in enumerate(doc_batches)
+    ]
+    allb = tagged[0]
+    for t in tagged[1:]:
+        allb = allb.unionByName(t)
+    docs = (
+        allb.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__bi"),
+                    F.col("text").isNull().alias("__tnull"),
+                    F.col("text"),
+                )
+            ).alias("__first")
         )
-        new_docs = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
-        ledger = (
-            ledger.unionByName(new_docs) if ledger is not None else new_docs
-        ).localCheckpoint(eager=True)
-        postings = (
-            postings.unionByName(new_postings)
-            if postings is not None
-            else new_postings
-        ).localCheckpoint(eager=True)
-    corpus = ledger.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dl").cast("bigint").alias("l"),
+        .select("doc_id", F.col("__first.text").alias("text"))
     )
-    matching = postings.filter(F.col("word").isin(list(query_terms)))
+    # pin ONCE per drain: corpus stats and postings both read it
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("t")
+    ).localCheckpoint(eager=True)
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("t")).cast("bigint").alias("l"),
+    )
+    matching = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("word"),
+        )
+        .filter(F.col("word").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("doc_id", "word", "tf", "dl")
+    )
     return text.bm25_topk_from_postings(matching, corpus, top_k)
 
 
@@ -1060,110 +1080,120 @@ def versioned_bm25_over_events(
     future); 'vdelete' is the in-band CDC Delete carrying its sequence
     (kills versions <= it; a later re-insert is live again — ADVICE
     r13). Bit-equal to `text.bm25_topk` over the compacted corpus
-    (latest live version per doc)."""
+    (latest live version per doc).
+
+    Computed as ONE plan with a single pin (guide §1.2-1 / §5, the
+    bm25_topk_over_batches collapse widened by versions): first-wins
+    admission per (doc_id, version) is ``min(struct(event_index,
+    text_is_null, text))`` over the tagged union of the upsert events;
+    both delete channels are order-insensitive accumulations (a
+    distinct id set, a max-version watermark per id) folding as plain
+    aggregates; the version-max read rule is ``max(struct(version,
+    text))`` per live id (versions unique per id after admission, so
+    the text field never decides). Only the LATEST LIVE image is
+    tokenized — postings of a (doc, version) are a pure function of its
+    text, so tokenizing superseded/killed versions (as the former
+    per-event loop did before filtering them out) was discarded work.
+    The tokenized latest-live relation is pinned ONCE per drain (corpus
+    stats + term-pruned postings both read it) where the former loop
+    paid 11 eager localCheckpoints on the q138 event sequence. The
+    statedir sink (VersionedRetrievalIndexSnapshot) keeps the true
+    per-trigger incremental path. Precondition (as before): upsert
+    versions are non-null — the sinks' VersionedTombstoneLog refuses
+    null versions loudly on the real path."""
     if not events:
         raise ValueError("versioned_bm25_over_events: no events given")
-    ledger: DataFrame | None = None
-    postings: DataFrame | None = None
-    tombs: DataFrame | None = None
-    vtombs: DataFrame | None = None
-    for kind, b in events:
+    upserts: list[DataFrame] = []
+    tomb_ids: list[DataFrame] = []
+    vtomb_marks: list[DataFrame] = []
+    for ei, (kind, b) in enumerate(events):
         if kind == "delete":
-            ids = b.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-            tombs = (
-                tombs.unionByName(ids).distinct() if tombs is not None else ids
-            ).localCheckpoint(eager=True)
+            tomb_ids.append(
+                b.select(F.col(id_col).cast("long").alias("doc_id"))
+            )
             continue
         if kind == "vdelete":
-            w = b.select(
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.col(version_col).cast("long").alias("dead_version"),
-            )
-            vtombs = (
-                (vtombs.unionByName(w) if vtombs is not None else w)
-                .groupBy("doc_id")
-                .agg(F.max("dead_version").alias("dead_version"))
-                .localCheckpoint(eager=True)
+            vtomb_marks.append(
+                b.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(version_col).cast("long").alias("dead_version"),
+                )
             )
             continue
         if kind != "upsert":
             raise ValueError(f"unknown event kind {kind!r}")
-        docs = (
+        upserts.append(
             b.select(
                 F.col(id_col).cast("long").alias("doc_id"),
                 F.col(version_col).cast("long").alias("version"),
                 F.col(text_col).cast("string").alias("text"),
+                F.lit(ei).alias("__ei"),
             )
-            .groupBy("doc_id", "version")
-            .agg(F.min("text").alias("text"))
         )
-        if ledger is not None:
-            docs = docs.join(
-                ledger.select("doc_id", "version"),
-                ["doc_id", "version"],
-                "left_anti",
-            )
-        toks = docs.select(
-            "doc_id", "version", text.tokens(F.col("text")).alias("t")
-        ).localCheckpoint(eager=True)
-        new_docs = toks.select(
-            "doc_id", "version", F.size("t").cast("bigint").alias("dl")
-        )
-        new_postings = (
-            toks.select(
-                "doc_id",
-                "version",
-                F.size("t").cast("bigint").alias("dl"),
-                F.explode("t").alias("word"),
-            )
-            .groupBy("doc_id", "version", "dl", "word")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-            .select("doc_id", "version", "word", "tf", "dl")
-        )
-        ledger = (
-            ledger.unionByName(new_docs) if ledger is not None else new_docs
-        ).localCheckpoint(eager=True)
-        postings = (
-            postings.unionByName(new_postings)
-            if postings is not None
-            else new_postings
-        ).localCheckpoint(eager=True)
-    if ledger is None:
+    if not upserts:
         raise ValueError("versioned_bm25_over_events: no upsert events")
-
-    def _apply_deletes(df: DataFrame) -> DataFrame:
-        if tombs is not None:
-            df = df.join(tombs, "doc_id", "left_anti")
-        if vtombs is not None:
-            df = (
-                df.join(vtombs, "doc_id", "left")
-                .filter(
-                    F.col("dead_version").isNull()
-                    | (F.col("version") > F.col("dead_version"))
+    allu = upserts[0]
+    for u in upserts[1:]:
+        allu = allu.unionByName(u)
+    members = (
+        allu.groupBy("doc_id", "version")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__ei"),
+                    F.col("text").isNull().alias("__tnull"),
+                    F.col("text"),
                 )
-                .drop("dead_version")
+            ).alias("__first")
+        )
+        .select("doc_id", "version", F.col("__first.text").alias("text"))
+    )
+    live = members
+    if tomb_ids:
+        tombs = tomb_ids[0]
+        for t in tomb_ids[1:]:
+            tombs = tombs.unionByName(t)
+        live = live.join(tombs.distinct(), "doc_id", "left_anti")
+    if vtomb_marks:
+        vt = vtomb_marks[0]
+        for v in vtomb_marks[1:]:
+            vt = vt.unionByName(v)
+        vtombs = vt.groupBy("doc_id").agg(
+            F.max("dead_version").alias("dead_version")
+        )
+        live = (
+            live.join(vtombs, "doc_id", "left")
+            .filter(
+                F.col("dead_version").isNull()
+                | (F.col("version") > F.col("dead_version"))
             )
-        return df
-
-    live = _apply_deletes(ledger)
-    latest = live.groupBy("doc_id").agg(
-        F.max("version").alias("version"),
-        F.max_by("dl", "version").alias("dl"),
+            .drop("dead_version")
+        )
+    latest = (
+        live.groupBy("doc_id")
+        .agg(F.max(F.struct("version", "text")).alias("__latest"))
+        .select("doc_id", F.col("__latest.text").alias("text"))
     )
-    corpus = latest.agg(
+    # pin ONCE per drain: corpus stats and postings both read it
+    toks = latest.select(
+        "doc_id", text.tokens(F.col("text")).alias("t")
+    ).localCheckpoint(eager=True)
+    corpus = toks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("l"),
+        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("bigint").alias("l"),
     )
-    matching = _apply_deletes(
-        postings.filter(F.col("word").isin(list(query_terms)))
+    matching = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("word"),
+        )
+        .filter(F.col("word").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("doc_id", "word", "tf", "dl")
     )
-    matching = matching.join(
-        F.broadcast(latest.select("doc_id", "version")),
-        ["doc_id", "version"],
-    )
-    return text.bm25_topk_from_postings(
-        matching.select("doc_id", "word", "tf", "dl"), corpus, top_k
-    )
+    return text.bm25_topk_from_postings(matching, corpus, top_k)
 
 
 def cdc_upserts_and_deletes(

@@ -915,44 +915,64 @@ def connected_components(
     # the checkpointed RDD's partition count is then scale-adaptive (a
     # tiny graph coalesces to 1 partition instead of inheriting ~10
     # near-empty upstream tasks re-scheduled every propagation round; a
-    # huge graph gets target-size partitions), and each vertex's
-    # in-edges are co-located which bounds per-task fan-in skew. NOTE:
-    # localCheckpoint does NOT preserve the hash partitioning (the
-    # pinned scan reports UnknownPartitioning — verified on 4.1), so
-    # this is a task-sizing win, not per-round Exchange elision: the
-    # round join still shuffles both sides (executed plans in
-    # plans/r14/q64_cc_round_join_*.txt). The headline win of this
-    # rewrite is the single subtree evaluation above
+    # huge graph gets target-size partitions). The headline win of this
+    # shape is the single subtree evaluation above
     # (plans/r14/q64_cc_edges_*.txt: HashAggregate 56 -> 28, Exchange
     # tree nodes 30 -> 16 for q64's edge build).
-    und = und.repartition("v").localCheckpoint(eager=True)
-    labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
-    changed = 0
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels.withColumnRenamed("u", "w"), F.col("v") == F.col("w"))
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # (A pointer-jumping variant — additionally following the hopped
-        # label through the previous round's map — was measured and
-        # rejected: it cut rounds only 10 -> 8 on the sf0.1 graph while
-        # adding a join per round; min-propagation over BOTH edge
-        # directions already spreads labels fast.)
-        new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                "lbl",
+    pinned = und.repartition("v").localCheckpoint(eager=True)
+    # Co-partition ONCE and keep it (guide §2.2): localCheckpoint does
+    # NOT preserve hash partitioning (the pinned scan reports
+    # UnknownPartitioning — verified on 4.1, r14 round-join plans), so
+    # in r14 every propagation round re-exchanged BOTH sides — iters x
+    # the full edge list, the dominant per-round cost at graph scale. A
+    # persisted repartition(n, v) DOES advertise HashPartitioning(v, n)
+    # from the InMemoryTableScan, so each round's join now exchanges
+    # only the label side (|V| rows), never the 2|E| edge rows
+    # (executed plans in plans/r15/q64_cc_round_join_*.txt). n is the
+    # AQE-sized pin's own partition count — scale-adaptive, 1 for a
+    # tiny graph, target-size partitions for a huge one. The cache is
+    # function-scoped (unpersisted in the finally), and the checkpoint
+    # below it keeps round plans flat.
+    n_part = max(1, pinned.rdd.getNumPartitions())
+    # A single-partition pin (tiny graph) gains nothing from the cache
+    # layer — EnsureRequirements re-exchanges a 1-partition child to the
+    # session parallelism anyway, and the rows are trivially few; keep
+    # r14's exact shape there.
+    und = (
+        pinned.repartition(n_part, F.col("v")).persist()
+        if n_part > 1
+        else pinned
+    )
+    try:
+        labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
+        changed = 0
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(labels.withColumnRenamed("u", "w"), F.col("v") == F.col("w"))
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbr_lbl"))
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = new_labels.select("u", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
+            # (A pointer-jumping variant — additionally following the hopped
+            # label through the previous round's map — was measured and
+            # rejected: it cut rounds only 10 -> 8 on the sf0.1 graph while
+            # adding a join per round; min-propagation over BOTH edge
+            # directions already spreads labels fast.)
+            new_labels = (
+                labels.join(nbr_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                        "new_lbl"
+                    ),
+                    "lbl",
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+            labels = new_labels.select("u", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

@@ -68,54 +68,91 @@ def pagerank_fixed_point(
     """PageRank over a symmetric, deduplicated (src, dst) edge list.
 
     Returns DataFrame(node BIGINT, rank BIGINT) — rank in fixed-point
-    units of 1/scale. The plan is lazy: node count enters as a broadcast
-    one-row aggregate (no eager .count() at build time), and the fixed
-    iteration count keeps lineage shallow (for large `iters` interleave
-    localCheckpoint like connected_components does).
+    units of 1/scale, materialized (localCheckpoint) so the edge cache
+    below can be released before returning.
+
+    Round shape (guide §2.2 co-partition once + §1.2-1): the pinned edge
+    list is persisted hash-partitioned on src, so every iteration's
+    contribution join reads it WITHOUT an Exchange (localCheckpoint
+    alone reports UnknownPartitioning and r14's shape re-shuffled the
+    2|E| edge rows every round — the dominant per-round cost at graph
+    scale); only the |V|-row rank relation moves per round. deg is
+    folded into the per-node base state, so the former second per-round
+    join (and its per-round re-aggregation of the edge list) is gone —
+    the per-edge share r div deg is computed once per node in the rank
+    rebuild instead, the identical integer sequence.
     """
-    e = edges.select(
+    e0 = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     )
-    # Pin the edge list once: it is referenced by nodes, deg and every
-    # iteration's contribution join (2 + iters references) — unpinned,
-    # each reference re-executed the whole upstream edge build + the
-    # symmetrize distinct. The pin inherits the distinct's AQE-coalesced
-    # partitioning, so no extra shuffle is introduced.
-    e = e.localCheckpoint(eager=True)
-    # Symmetric edges => every node occurs as src, and deg = out-degree.
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n_row = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    # Pin the edge list once: referenced by deg/n_nodes and every
+    # iteration's contribution join — unpinned, each reference
+    # re-executed the whole upstream edge build + the symmetrize
+    # distinct. The pin inherits the distinct's AQE-coalesced
+    # partitioning; the persisted repartition below it advertises
+    # HashPartitioning(src, n) to every round (n = the AQE-sized pin's
+    # own partition count: scale-adaptive, 1 for a tiny graph).
+    pinned = e0.localCheckpoint(eager=True)
+    n_part = max(1, pinned.rdd.getNumPartitions())
+    # single-partition pins (tiny graphs) gain nothing from the cache
+    # layer (EnsureRequirements re-exchanges a 1-partition child) —
+    # keep the bare checkpoint there
+    e = (
+        pinned.repartition(n_part, F.col("src")).persist()
+        if n_part > 1
+        else pinned
     )
-
-    base = nodes.join(F.broadcast(n_row)).select(
-        "node",
-        F.expr(f"{scale} div n_nodes").alias("r"),
-        F.expr(f"(({scale} div n_nodes) * {d_den - d_num}) div {d_den}").alias("base"),
-    )
-    # base seeds the ranks AND re-enters every iteration's rebuild
-    # (iters + 1 references): pin it so the node-distinct + count
-    # aggregate run once. O(nodes) rows — bounded by the edge list.
-    base = base.localCheckpoint(eager=True)
-    ranks = base  # columns: node, r, base
-
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks.select("node", "r"), e.src == F.col("node"))
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("node") == F.col("dnode"))
-            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+    try:
+        # Symmetric edges => every node occurs as src, and deg =
+        # out-degree — so deg IS the node relation (no separate
+        # distinct).
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            base.select("node", "base")
-            .join(sums, base.node == sums.dst, "left")
-            .select(
-                "node",
-                "base",
-                F.expr(f"base + ({d_num} * coalesce(s, 0L)) div {d_den}").alias("r"),
+        n_row = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+        base = deg.join(F.broadcast(n_row)).select(
+            "node",
+            "deg",
+            F.expr(f"{scale} div n_nodes").alias("r"),
+            F.expr(
+                f"(({scale} div n_nodes) * {d_den - d_num}) div {d_den}"
+            ).alias("base"),
+        )
+        # base seeds the ranks AND re-enters every iteration's rebuild
+        # (iters + 1 references): pin it so the degree + count
+        # aggregates run once. O(nodes) rows — bounded by the edge list.
+        base = base.localCheckpoint(eager=True)
+        ranks = base  # columns: node, deg, r, base
+
+        for _ in range(iters):
+            contrib = (
+                e.join(
+                    ranks.select("node", F.expr("r div deg").alias("c")),
+                    e.src == F.col("node"),
+                )
+                .select(F.col("dst"), "c")
             )
-        )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = (
+                base.select("node", "deg", "base")
+                .join(sums, base.node == sums.dst, "left")
+                .select(
+                    "node",
+                    "deg",
+                    "base",
+                    F.expr(
+                        f"base + ({d_num} * coalesce(s, 0L)) div {d_den}"
+                    ).alias("r"),
+                )
+            )
 
-    return ranks.select("node", F.col("r").alias("rank"))
+        # materialize before releasing the edge cache (the returned
+        # relation must not depend on the unpersisted plan)
+        out = ranks.select(
+            "node", F.col("r").alias("rank")
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out

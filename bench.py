@@ -67,10 +67,16 @@ def _round_files() -> list[tuple[int, str]]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # STRICT basename match: the driver also records side files like
+    # BENCH_r14_c8.json (its low-core scaling run) whose loose prefix
+    # match sorted AFTER BENCH_r14.json at the same round id, silently
+    # making the 8-core record the drift baseline (seen at r15 open:
+    # drift block said vs BENCH_r14_c8.json). Only the canonical
+    # BENCH_r{N}.json per-round records are comparable baselines.
     return sorted(
         (int(m.group(1)), p)
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)", p))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
     )
 
 

@@ -65,21 +65,38 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     sf0.1) without shuffling the corpus-sized shingle relation — one
     exchange removed from every consumer (q24/q39/q64/q110/q111 and the
     MinHash verify path), measured ~30% off the q24 pair pipeline.
+
+    Gram build (r15, guide §4.1 built-ins-first): k-grams come from
+    ``arrays_zip`` of k shifted ``slice``s — whole-stage-codegen
+    expressions — with the string concat deferred PAST the explode, so
+    the per-element interpreted ``transform`` lambda (the q103-class
+    fold VERDICT r14 item 5 flags) is gone entirely. Values are
+    identical: tokens are space-split and thus space-free, so
+    ``concat_ws(" ", t1..tk)`` is injective for fixed k and
+    array_distinct over the gram STRUCTS equals distinct over the
+    concatenated strings (A/B: byte-equal output, pair pipeline ~25%
+    faster at sf0.1; an Arrow tier was considered and rejected — string
+    tokens would pay JVM->Python serialization for work codegen does in
+    place).
     """
     df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array())
+    n = F.size(toks)
+    empty_t = "array<struct<" + ",".join(
+        f"`{j}`:string" for j in range(k)
+    ) + ">>"
+    zipped = F.when(
+        n >= k,
+        F.arrays_zip(*[F.slice(toks, j + 1, n - F.lit(k - 1)) for j in range(k)]),
+    ).otherwise(F.array().cast(empty_t))
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(F.array_distinct(zipped)).alias("__g"),
+    ).select(
+        "id",
+        F.concat_ws(" ", *[F.col("__g")[str(j)] for j in range(k)]).alias(
+            "shingle"
+        ),
     )
 
 

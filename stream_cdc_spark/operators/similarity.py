@@ -119,13 +119,22 @@ def lsh_buckets_arrow(
     """All requested hyperplane signatures in ONE Arrow pass: returns
     ``array<long>`` with one bucket id per entry of ``seeds``.
 
-    Bit-identical to ``lsh_bucket`` per seed (guide §4: Arrow batches +
-    heavyweight init once, only the vector column crosses the boundary):
-    products are formed per element in float64 exactly like dot()'s
-    ``x.cast(double) * y.cast(double)`` zip, and summed STRICTLY
-    left-to-right via ``np.cumsum`` — NOT a BLAS matmul, whose pairwise
-    summation could round a near-zero dot to the other side of 0 and
-    flip a sign bit. The plane matrix is built once per task at UDF
+    Bit-identical to ``lsh_bucket`` per seed — including on unclean
+    rows: NaN dots take sign bit 1 (Spark's NaN-greatest ordering), and
+    null vectors and wrong-length vectors yield NULL buckets exactly
+    like the expression tier's null algebra (a whole-row NULL array
+    here; every consumer reads entries via element_at, for which the
+    two are indistinguishable). Documented divergence: a null ELEMENT
+    inside a vector crosses the Arrow boundary as NaN (list<float>
+    nulls are unrepresentable in the numpy view), so such a row buckets
+    under NaN ordering where the expression tier yields NULL — no
+    in-repo corpus produces null elements (guide §4: Arrow batches +
+    heavyweight init once, only the vector column crosses the
+    boundary). Products are formed per element
+    in float64 exactly like dot()'s ``x.cast(double) * y.cast(double)``
+    zip, and summed STRICTLY left-to-right via ``np.cumsum`` — NOT a
+    BLAS matmul, whose pairwise summation could round a near-zero dot to
+    the other side of 0 and flip a sign bit. The plane matrix is built once per task at UDF
     construction; per (row, plane) cost drops from an interpreted
     ~4 us fold to a vectorized C loop (~1000x measured on q29/q30
     shapes)."""
@@ -140,26 +149,45 @@ def lsh_buckets_arrow(
     n_seeds = len(seeds)
 
     def _buckets(col):
-        null_mask = col.isna()
-        if null_mask.any():
-            fill = [0.0] * dim
-            col = col.where(~null_mask, other=None).apply(
-                lambda v: fill if v is None else v
-            )
-        X = np.array(col.tolist(), dtype=np.float64)
-        sign_bits = np.empty((X.shape[0], planes.shape[0]), dtype=np.int64)
+        # Row validation mirrors the expression tier's null algebra
+        # (ADVICE r14): a null vector and a vector whose length != dim
+        # (zip_with pads the short side with nulls -> null products ->
+        # null fold) yield a NULL bucket in lsh_bucket — mark those rows
+        # bad and emit None instead of letting np.array build a ragged
+        # object array (which raised, failing the whole task where the
+        # expression tier degraded gracefully). Explicit row-wise fill,
+        # not pandas.where(other=None) (version-dependent None
+        # coercion). Null ELEMENTS arrive as NaN (docstring divergence);
+        # the except is a belt-and-braces for object-typed rows.
+        vals = col.tolist()
+        n = len(vals)
+        bad = np.zeros(n, dtype=bool)
+        X = np.zeros((n, dim), dtype=np.float64)
+        for r, v in enumerate(vals):
+            if v is None or len(v) != dim:
+                bad[r] = True
+                continue
+            try:
+                X[r] = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):  # null element in the array
+                bad[r] = True
+        sign_bits = np.empty((n, planes.shape[0]), dtype=np.int64)
         for p in range(planes.shape[0]):
             # strict sequential left fold of the per-element products —
             # cumsum's last element reproduces dot()'s rounding exactly
             dots = np.cumsum(X * planes[p], axis=1)[:, -1]
-            sign_bits[:, p] = dots > 0
-        buckets = np.zeros((X.shape[0], n_seeds), dtype=np.int64)
+            # ~(dots <= 0), NOT dots > 0: Spark orders NaN greater than
+            # every number, so a NaN dot takes sign bit 1 in the
+            # expression tier; IEEE `NaN > 0` is False and would
+            # silently bucket the row differently (ADVICE r14)
+            sign_bits[:, p] = ~(dots <= 0)
+        buckets = np.zeros((n, n_seeds), dtype=np.int64)
         for s in range(n_seeds):
             for b in range(bits):
                 buckets[:, s] = (buckets[:, s] << 1) + sign_bits[:, s * bits + b]
         out = pd.Series(buckets.tolist())
-        if null_mask.any():
-            out[null_mask.to_numpy()] = None
+        if bad.any():
+            out[bad] = None
         return out
 
     _buckets.__annotations__ = {"col": pd.Series, "return": pd.Series}
@@ -317,8 +345,14 @@ def ivf_assign(
 
     ``carry_cols``: extra identity columns carried through — the
     versioned index assigns per (vec_id, version) row
-    (streaming/ann_index.py). The argmin is per ROW either way, so carry
-    columns ride along untouched.
+    (streaming/ann_index.py).
+
+    Contract (ADVICE r14): the argmin is per INPUT ROW — one output row
+    per input row. The pre-r14 window formulation instead emitted one
+    row per (vec_id, carry) partition, so duplicate-key inputs
+    deduplicated silently there; callers must supply unique keys (every
+    in-repo caller aggregates per key first — groupBy + min — before
+    assigning).
     """
     carry = [F.col(c) for c in carry_cols]
     v = ensure_parallelism(corpus).select(
@@ -560,6 +594,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 100_000,
+    pin: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs are
     only scored within a bucket (plus one rotated-seed pass to reduce
@@ -606,7 +641,14 @@ def embedding_near_dup_pairs(
                     F.element_at(refined, i * rounds + r + 1).alias(rn)
                 )
         per_seed.append((seed, bname, rnames))
-    sigs = df.select(*cols).localCheckpoint(eager=True)
+    # ``pin=False`` keeps composition fully lazy (no job at
+    # plan-construction time — Spark Connect / composition contexts,
+    # ADVICE r14) at the cost of re-running the signature UDF per
+    # derived branch; the hot-path default pins (52 ArrowEvalPython
+    # nodes in q30's plan without it).
+    sigs = df.select(*cols)
+    if pin:
+        sigs = sigs.localCheckpoint(eager=True)
     out = None
     for seed, bname, rnames in per_seed:
         b = sigs.select("id", "vec", F.col(bname).alias("bucket"), *rnames)

@@ -745,7 +745,35 @@ def _shingle_pair_stats(d: DataFrame):
     # via exchange reuse. Carrying n_sh through the pair expansion
     # instead was measured 3-4x worse (collect_list over (id, n) structs
     # turns the long-array aggregate into object serialization).
-    hot_row = hot.agg(F.sort_array(F.collect_list("shingle")).alias("hot_arr"))
+    # Bound the broadcast hot list LOUDLY (VERDICT r14 item 8 / guide
+    # §1.6 no-silent-caps): hot shingles are those with df > max_df=1000,
+    # so |hot| <= |shingle rows| / 1000 — Zipf corpora keep this tiny
+    # (testdata: 0 entries), but it is corpus-proportional in the
+    # adversarial limit. 1M entries (~tens of MB broadcast) is far past
+    # any healthy corpus; blowing through it raises with migration
+    # guidance instead of silently building an over-sized broadcast row.
+    # The guard is one size() comparison on the single aggregate row.
+    hot_cap = 1_000_000
+    # NOTE the guard form: when(assert.isNull(), x) with NO otherwise —
+    # when(c, x).otherwise(x) has equal branches and SimplifyConditionals
+    # folds the whole conditional away, silently dropping the assertion
+    # (verified on 4.1). assert_true runtime-replaces to
+    # if(cond, null, raise_error(msg)) in the optimized plan.
+    hot_row = hot.agg(
+        F.sort_array(F.collect_list("shingle")).alias("hot_arr")
+    ).select(
+        F.when(
+            F.assert_true(
+                F.size("hot_arr") <= hot_cap,
+                f"hot-shingle list exceeds {hot_cap} entries: the df-cap "
+                "broadcast row is no longer planning-sized for this "
+                "corpus — switch the sizes branch to the exploded "
+                "anti-join form (dedup.stop_shingle_filter) instead of "
+                "the broadcast array subtraction",
+            ).isNull(),
+            F.col("hot_arr"),
+        ).alias("hot_arr")
+    )
     sizes = ensure_parallelism(d).crossJoin(F.broadcast(hot_row)).select(
         F.col("doc_id").alias("id"),
         F.size(
@@ -4091,18 +4119,15 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     lm = text.bigram_lm(d).select("w1", "w2", "p_q")
     toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    # bigrams via arrays_zip of shifted slices — codegen, not the
+    # interpreted transform fold (r15 change, guide §4.1; identical rows)
+    n_t = F.size("l")
     grams = F.when(
-        F.size("l") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("l") - 1),
-            lambda i: F.struct(
-                F.element_at("l", i).alias("w1"),
-                F.element_at("l", i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array())
+        n_t >= 2,
+        F.arrays_zip(F.slice("l", 1, n_t - 1), F.slice("l", 2, n_t - 1)),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
     dbg = toks.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        "doc_id", F.col("g")["0"].alias("w1"), F.col("g")["1"].alias("w2")
     )
     return (
         dbg.join(lm, ["w1", "w2"])

@@ -349,3 +349,75 @@ def test_lsh_bucket_tiers_identical(spark):
     a = {(r.vec_id, tuple(r.b), r.b2) for r in expr.collect()}
     b = {(r.vec_id, tuple(r.b), r.b2) for r in arrow.collect()}
     assert a == b
+
+
+def test_lsh_bucket_tiers_identical_unclean_vectors(spark):
+    """Tier identity on UNCLEAN rows (ADVICE r14): NaN elements (Spark
+    orders NaN greatest, so a NaN dot takes sign bit 1 in BOTH tiers),
+    null vectors and wrong-length vectors (which the expression tier's
+    null algebra buckets to NULL) must come out of the Arrow tier
+    identically — the old fast path raised on ragged input and IEEE
+    `NaN > 0` flipped the NaN sign bit. A null ELEMENT inside a vector
+    is the documented divergence (Arrow surfaces it as NaN): asserted
+    explicitly below so a behavior change is loud."""
+    dim = 4
+    rows = [
+        (1, [0.5, -0.25, 0.125, 0.75]),          # clean
+        (2, [float("nan"), 0.1, -0.2, 0.3]),     # NaN element -> NaN dot
+        (3, None),                               # null vector
+        (4, [0.1, 0.2]),                         # too short
+        (5, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]),     # too long
+        (7, [0.0, 0.0, 0.0, 0.0]),               # zero vector (dot == 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    seeds = [42, 1337]
+    expr = df.select(
+        "vec_id",
+        F.array(
+            *[
+                similarity.lsh_bucket(F.col("embedding"), dim, 8, s).cast("long")
+                for s in seeds
+            ]
+        ).alias("b"),
+    )
+    arrow = df.select(
+        "vec_id",
+        similarity.lsh_buckets_arrow(F.col("embedding"), dim, 8, seeds).alias("b"),
+    )
+
+    def norm(rs):
+        # a whole-NULL array and an array of NULL entries are
+        # indistinguishable to every consumer (element_at reads)
+        return {
+            (
+                r.vec_id,
+                None
+                if r.b is None or all(x is None for x in r.b)
+                else tuple(r.b),
+            )
+            for r in rs
+        }
+
+    got_expr = norm(expr.collect())
+    got_arrow = norm(arrow.collect())
+    assert got_expr == got_arrow
+    by_id = dict(got_arrow)
+    for vid in (3, 4, 5):
+        assert by_id[vid] is None
+    # NaN rows have DEFINED sign bits (NaN-greatest), not null buckets
+    assert by_id[2] is not None
+    # documented divergence: a null ELEMENT crosses Arrow as NaN, so the
+    # Arrow tier buckets it (NaN ordering) where the expression tier
+    # yields NULL — keep it loud, not silent
+    nulled = spark.createDataFrame(
+        [(6, [0.1, None, 0.3, 0.4])], "vec_id bigint, embedding array<float>"
+    )
+    e6 = nulled.select(
+        similarity.lsh_bucket(F.col("embedding"), dim, 8, 42).alias("b")
+    ).collect()[0].b
+    a6 = nulled.select(
+        F.element_at(
+            similarity.lsh_buckets_arrow(F.col("embedding"), dim, 8, [42]), 1
+        ).alias("b")
+    ).collect()[0].b
+    assert e6 is None and a6 is not None

@@ -79,6 +79,7 @@ def test_drained_topk_equals_batch_operator(spark, tmp_path):
     assert _snap_topk(snap, spark) == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_overlapping_batches_admit_exactly_once(spark, tmp_path):
     snap = AnnIndexSnapshot(str(tmp_path / "s"), _centroids(spark))
     for i, b in enumerate(_slices(spark)):
@@ -89,6 +90,7 @@ def test_overlapping_batches_admit_exactly_once(spark, tmp_path):
     assert vecs.select("vec_id").distinct().count() == n
 
 
+@pytest.mark.slow
 def test_replay_and_restart_preserve_equality(spark, tmp_path):
     """Replaying the in-flight batch (torn-write crash model) and
     continuing through a fresh sink object over the same state dir — the
@@ -141,6 +143,7 @@ def test_conflicting_intra_batch_duplicates_admit_deterministically(
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_drifted_sink_refuses_before_restructuring_statedir(spark, tmp_path):
     """The stamp guard must fire BEFORE maybe_compact: a sink built with
     mismatched centroids must not fold/delete batch dirs of an index it
@@ -171,6 +174,7 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
     assert c["batch"] == 1, c
 
 
+@pytest.mark.slow
 def test_centroid_drift_refused_on_probe_and_admit(spark, tmp_path):
     """Same parameters under a different centroid set share NO cell
     geometry — a probe would silently score the wrong cells. Both the
@@ -194,6 +198,7 @@ def test_centroid_drift_refused_on_probe_and_admit(spark, tmp_path):
     assert _snap_topk(ok, spark) == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_probe_plan_prunes_cells_and_never_shuffles_corpus(spark, tmp_path):
     """The probe's scale shape: the probed-cell set reaches the parquet
     scan as a pushed IN filter (row-group pruning on the cell-sorted
@@ -213,6 +218,7 @@ def test_probe_plan_prunes_cells_and_never_shuffles_corpus(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_compaction_keeps_cells_clustered(spark, tmp_path):
     """Batch commits are cell-sorted; the fold transform must keep the
     compacted snapshot cell-sorted too (within every file), or row-group
@@ -255,6 +261,7 @@ def test_in_memory_fold_matches_batch(spark):
     assert got == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_ann_index_cli_mode_drains_corpus_and_deletes(
     spark, tmp_path, monkeypatch
 ):
@@ -313,6 +320,7 @@ def _sq_ranges(spark):
     return train_sq_ranges(_emb(spark))
 
 
+@pytest.mark.slow
 def test_sq8_tier_matches_float_tier_ranking(spark, tmp_path):
     """The sq8 storage tier (int8 codes, quartered state) must reach the
     float tier's exact (q_id, c_id, rank) ranking on the real corpus —
@@ -343,6 +351,7 @@ def test_sq8_tier_matches_float_tier_ranking(spark, tmp_path):
     assert sorted(map(tuple, again.topk(spark, _queries(spark)).collect())) == got
 
 
+@pytest.mark.slow
 def test_sq8_tier_quarters_state_bytes(spark, tmp_path):
     """The point of the tier: on-disk vector payload ~1 B/dim instead of
     4 B/dim. Assert the sq8 state dir is well under half the float one
@@ -393,6 +402,7 @@ def test_sq8_stamp_guards_tier_and_ranges(spark, tmp_path):
         AnnIndexSnapshot(str(tmp_path / "x"), cents, storage="int4")
 
 
+@pytest.mark.slow
 def test_deletions_hide_vectors_from_probes(spark, tmp_path):
     """Tombstoned vec_ids vanish from topk — bit-equal to the batch
     operator over the LIVE set; delete replay, unknown ids and the
@@ -428,6 +438,7 @@ def test_deletions_hide_vectors_from_probes(spark, tmp_path):
     assert _snap_topk(snap, spark) == want
 
 
+@pytest.mark.slow
 def test_rebuild_is_the_vacuum_for_deleted_vectors(spark, tmp_path):
     """A same-parameter rebuild_ann_index reads only the live set, so
     the destination physically lacks the deleted vectors and carries no
@@ -472,6 +483,7 @@ def test_centroid_digest_is_order_insensitive_and_exact():
         AnnIndexSnapshot("/tmp/x", [])
 
 
+@pytest.mark.slow
 def test_bucketed_ledger_equality_and_shuffle_free_admission(
     spark, tmp_path
 ):
@@ -533,6 +545,7 @@ def test_bucketed_ledger_equality_and_shuffle_free_admission(
     assert n_exchanges == 1, plan
 
 
+@pytest.mark.slow
 def test_pre_ledger_state_seeds_ledger_and_keeps_first_wins(spark, tmp_path):
     """An r11-layout state root (vectors/ only — it doubled as the
     admission ledger) must upgrade in place: the next trigger seeds
@@ -560,6 +573,7 @@ def test_pre_ledger_state_seeds_ledger_and_keeps_first_wins(spark, tmp_path):
     assert resumed.ledger(spark).count() == _emb(spark).count()
 
 
+@pytest.mark.slow
 def test_folds_apply_tombstones_to_vectors(spark, tmp_path):
     """Compaction folds of vectors/ keep LIVE rows only — eventual
     physical erasure without an operator-initiated vacuum. The folded
@@ -624,6 +638,7 @@ def _moments_ref(spark):
     )
 
 
+@pytest.mark.slow
 def test_drift_moments_equal_batch_across_folds_and_restart(
     spark, tmp_path
 ):
@@ -646,6 +661,7 @@ def test_drift_moments_equal_batch_across_folds_and_restart(
     assert got == _moments_ref(spark)
 
 
+@pytest.mark.slow
 def test_drift_report_flags_synthetic_drift_and_stays_quiet(
     spark, tmp_path
 ):

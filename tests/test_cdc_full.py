@@ -214,6 +214,7 @@ def _probe(pipe, spark):
     return retr, ann
 
 
+@pytest.mark.slow
 def test_composed_drain_with_restart_matches_batch_on_both_surfaces(
     spark, tmp_path
 ):
@@ -281,6 +282,7 @@ def test_gated_update_keeps_serving_last_good_version(spark, tmp_path):
     ] == [(1, 3)]
 
 
+@pytest.mark.slow
 def test_out_of_band_delete_feed_hits_both_indexes(spark, tmp_path):
     """delete_batch (the DELETES_PATH leg) tombstones the id on BOTH
     surfaces — the two-channel right-to-be-forgotten story."""
@@ -316,6 +318,7 @@ def test_deletes_only_batch_commits_no_index_rows(spark, tmp_path):
     assert pipe.ann.tombstones(spark).count() == 0
 
 
+@pytest.mark.slow
 def test_cdc_full_cli_drains_envelopes_and_delete_feed(
     spark, tmp_path, monkeypatch
 ):
@@ -454,6 +457,7 @@ def test_cli_startup_guard_refuses_feed_missing_content_fields(
         M.main()
 
 
+@pytest.mark.slow
 def test_inband_delete_then_recreate_restores_doc(spark, tmp_path):
     """The in-band Delete channel is VERSIONED (ADVICE r13): a Delete
     envelope kills only versions at or below its CDC sequence, so the

@@ -20,6 +20,7 @@ from stream_cdc_spark.streaming.components import (
 )
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def _edges(spark, pairs):
@@ -85,6 +86,7 @@ def test_streaming_equals_batch_after_drain_and_restart(spark, tmp_path):
     assert len(want) > 0
 
 
+@pytest.mark.slow
 def test_transitive_merges_and_representative_relabel(spark, tmp_path):
     """Later batches merge existing components transitively, and a new
     smaller vertex id becomes the representative of the merged cluster —
@@ -115,6 +117,7 @@ def test_transitive_merges_and_representative_relabel(spark, tmp_path):
     assert reps == {0: 6, 30: 2}
 
 
+@pytest.mark.slow
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Re-running the same micro-batch id overwrites its own subdirs and
     changes nothing — the batch-versioned exactly-once rule."""
@@ -128,6 +131,7 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert _labels_set(snap.labels(spark)) == first
 
 
+@pytest.mark.slow
 def test_redundant_and_self_loop_edges(spark, tmp_path):
     """Edges inside an existing component commit nothing (read-exclusion
     makes the skipped dir unobservable); a self-loop registers its vertex
@@ -146,6 +150,7 @@ def test_redundant_and_self_loop_edges(spark, tmp_path):
     assert (7, 7) in _labels_set(snap.labels(spark))
 
 
+@pytest.mark.slow
 def test_leveled_compaction_restart_equality(spark, tmp_path):
     """Same equality contract with the leveled state tier active
     (compact_every=1, major_every=2: the sequence crosses L1 delta folds
@@ -219,6 +224,7 @@ def test_flatten_parent_log_compresses_chains(spark):
     assert flat == {(5, 0), (4, 0), (3, 0), (2, 0), (1, 0)}
 
 
+@pytest.mark.slow
 def test_lsh_snapshot_cluster_state_matches_batch_rollup(spark, tmp_path):
     """cluster_state=True: the LSH sink folds each batch's committed
     matches into the union-find forest in the same pass, so clusters()
@@ -261,6 +267,7 @@ def test_lsh_snapshot_cluster_state_matches_batch_rollup(spark, tmp_path):
         plain.clusters(spark)
 
 
+@pytest.mark.slow
 def test_lsh_dedup_cli_cluster_state_env_knob(spark, tmp_path, monkeypatch):
     """CLUSTER_STATE=1 on the PIPELINE=lsh_dedup entrypoint wires the
     forest through the registry/env config: after one availableNow
@@ -289,6 +296,7 @@ def test_lsh_dedup_cli_cluster_state_env_knob(spark, tmp_path, monkeypatch):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_cluster_state_late_enable_backfills_history(spark, tmp_path):
     """Enabling cluster_state on a state dir that already holds matches
     history must NOT silently ignore the historical pairs (review
@@ -327,6 +335,7 @@ def test_cluster_state_late_enable_backfills_history(spark, tmp_path):
     assert _labels_set(enabled.clusters(spark)) == got
 
 
+@pytest.mark.slow
 def test_distributed_fallback_equals_driver_union_find(spark, tmp_path, monkeypatch):
     """Past DRIVER_CC_MAX_EDGES the merge graph resolves through the
     distributed connected_components instead of the driver union-find;

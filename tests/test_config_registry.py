@@ -34,6 +34,7 @@ def test_registry_unknown_type_errors():
         datasource_registry.create("mysql-binlog-direct")
 
 
+@pytest.mark.slow
 def test_parquet_kv_state_roundtrip(spark, tmp_path):
     st = ParquetKVState(spark, str(tmp_path / "state"))
     assert st.read("mysql", "db1") is None

@@ -114,6 +114,7 @@ def test_curation_stream_restart_matches_reference(spark, tmp_path):
     assert set(by_reason) <= {None, "quality", "near_dup"}
 
 
+@pytest.mark.slow
 def test_curation_replayed_batch_is_idempotent(spark, tmp_path):
     """Re-running foreach_batch for an already-committed batch id must see
     exactly the pre-batch state and rewrite identical outputs."""
@@ -141,6 +142,7 @@ def test_curation_replayed_batch_is_idempotent(spark, tmp_path):
     assert dec[1][0] and dec[2][0]
 
 
+@pytest.mark.slow
 def test_curation_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     """PIPELINE=curation entrypoint: one availableNow drain over the
     sf0.001 corpus produces a decision per doc and a non-trivial kept
@@ -161,6 +163,7 @@ def test_curation_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     assert 0 < kept < n_docs
 
 
+@pytest.mark.slow
 def test_curation_crash_between_state_writes_recovers(spark, tmp_path):
     """Crash-consistency of the batch-versioned protocol: if the batch
     dies AFTER writing decisions but BEFORE the kept/index writes, the
@@ -294,6 +297,7 @@ def _greedy_multimodal_reference(rows, blobs, slices, max_hamming=4):
     return kept, media_dropped
 
 
+@pytest.mark.slow
 def test_multimodal_curation_hand_example(spark, tmp_path):
     """Gate precedence and state hygiene on a hand-computed batch pair:
     identical raster -> media_dup (even though the text would also be a
@@ -431,6 +435,7 @@ def test_multimodal_curation_restart_matches_reference(spark, tmp_path):
     assert dec.select("doc_id").distinct().count() == len(rows)
 
 
+@pytest.mark.slow
 def test_multimodal_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     """PIPELINE=curation MEDIA_BLOB_COL=blob entrypoint: drain a
     multimodal feed (text + raster thumbs with planted raster-twins) —

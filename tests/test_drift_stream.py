@@ -15,8 +15,10 @@ from stream_cdc_spark.operators.text import (
 from stream_cdc_spark.streaming.stateful import token_count_stream
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
+@pytest.mark.slow
 def test_drift_stream_restart_bit_equal_to_batch(spark, tmp_path):
     docs = load(spark, SF_SMALL, "documents").select("doc_id", "source", "text")
     indir, ckpt, outdir = (str(tmp_path / p) for p in ("in", "ckpt", "out"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.operators import dedup
+import pytest
 
 
 def _docs(spark, rows):
@@ -15,6 +16,7 @@ BODY = "the quick brown fox jumps over the lazy dog near the riverbank today"
 OTHER = "completely different words about astronomy telescopes and galaxies far away"
 
 
+@pytest.mark.slow
 def test_incremental_flags_corpus_and_batch_dups(spark):
     corpus = _docs(spark, [(1, BODY), (2, OTHER)])
     batch = _docs(
@@ -35,6 +37,7 @@ def test_incremental_flags_corpus_and_batch_dups(spark):
     assert out[12] == (False, 11)
 
 
+@pytest.mark.slow
 def test_incremental_prebuilt_index_matches_inline(spark):
     corpus = _docs(spark, [(1, BODY), (2, OTHER)])
     batch = _docs(spark, [(10, BODY), (11, OTHER + " plus a tail of words")])
@@ -106,6 +109,7 @@ def test_incremental_doc_below_shingle_size_is_kept(spark):
     ]
 
 
+@pytest.mark.slow
 def test_sequential_admission_matches_greedy_reference(spark):
     """The full production loop — admit batch, keep survivors, extend the
     corpus+index, repeat — must equal a chained-greedy reference run over

@@ -50,6 +50,7 @@ def _topk(snap, spark):
     return sorted(map(tuple, snap.topk(spark, _queries(spark)).collect()))
 
 
+@pytest.mark.slow
 def test_ann_rebuild_under_new_centroids_equals_fresh_drain(spark, tmp_path):
     """Migrate a float32 index (with folds in its history) to a NEW
     centroid set: the destination must pass its own stamp guard and be
@@ -75,6 +76,7 @@ def test_ann_rebuild_under_new_centroids_equals_fresh_drain(spark, tmp_path):
         stale.topk(spark, _queries(spark))
 
 
+@pytest.mark.slow
 def test_migrated_state_survives_a_stream_resuming_at_batch_zero(
     spark, tmp_path
 ):
@@ -106,6 +108,7 @@ def test_migrated_state_survives_a_stream_resuming_at_batch_zero(
     assert _topk(dst, spark) == _topk(fresh, spark)
 
 
+@pytest.mark.slow
 def test_ann_rebuild_migrates_storage_tier_both_ways(spark, tmp_path):
     """float32 -> sq8 equals a fresh sq8 drain bit-for-bit (same floats
     in, same codes out); sq8 -> float32 reconstructs through the stamped
@@ -132,6 +135,7 @@ def test_ann_rebuild_migrates_storage_tier_both_ways(spark, tmp_path):
     assert _topk(back, spark) == _topk(to_sq8, spark)
 
 
+@pytest.mark.slow
 def test_ann_rebuild_refuses_unsafe_destinations(spark, tmp_path):
     cents = _cents(spark, 100)
     src = AnnIndexSnapshot(str(tmp_path / "src"), cents)
@@ -172,6 +176,7 @@ def _lsh_state(snap, spark):
     return index, counts, sigs
 
 
+@pytest.mark.slow
 def test_lsh_rebanding_equals_fresh_one_batch_drain(spark, tmp_path):
     """Re-band a drained bands=16 snapshot to bands=8: sigs copy over
     verbatim, index/counts equal what a from-scratch bands=8 sink
@@ -209,6 +214,7 @@ def test_lsh_rebanding_equals_fresh_one_batch_drain(spark, tmp_path):
     assert m_dst == m_fresh and m_dst
 
 
+@pytest.mark.slow
 def test_lsh_rebanding_refuses_sketch_changes(spark, tmp_path):
     src = LshDedupSnapshot(str(tmp_path / "src"), bands=16)
     src.foreach_batch(_docs_slices(spark)[0], 0)

@@ -16,6 +16,7 @@ from stream_cdc_spark.streaming.stateful import (
 from stream_cdc_spark.operators import dedup
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def test_bucket_matches_emits_and_caps():
@@ -82,6 +83,7 @@ def test_bucket_matches_seen_list_is_bounded():
     assert seen[-1] == 209  # FIFO keeps the most recent ids
 
 
+@pytest.mark.slow
 def test_stream_matches_batch_candidates_across_restart(spark, tmp_path):
     """Drain the documents table through lsh_dedup_stream in two runs with
     a checkpoint restart; the distinct emitted pair set must equal the

@@ -16,6 +16,7 @@ from stream_cdc_spark.operators import dedup
 from stream_cdc_spark.streaming.lsh_snapshot import LshDedupSnapshot
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def _docs(spark, rows):
@@ -25,6 +26,7 @@ def _docs(spark, rows):
 BODY = "the quick brown fox jumps over the lazy dog near the riverbank today"
 
 
+@pytest.mark.slow
 def test_snapshot_matches_batch_candidates_across_restart(spark, tmp_path):
     """Drain the documents table in two streaming runs with a checkpoint
     restart; distinct emitted pairs must equal batch minhash_lsh_pairs
@@ -84,6 +86,7 @@ def test_snapshot_matches_batch_candidates_across_restart(spark, tmp_path):
     assert snap.processed(spark).count() == n_docs
 
 
+@pytest.mark.slow
 def test_snapshot_replayed_batch_is_idempotent(spark, tmp_path):
     """Re-running the same micro-batch id overwrites its own subdirs and
     changes nothing — the batch-versioned exactly-once rule."""
@@ -187,6 +190,7 @@ def test_partial_agreement_near_dup_is_caught(spark, tmp_path):
     assert got == {(2, 1): 1_000_000 * agree // 64}
 
 
+@pytest.mark.slow
 def test_snapshot_index_never_rides_a_shuffle_join(spark, tmp_path):
     """The 100 TB property: the corpus-side state tables (index/, sigs/)
     are probed by broadcast hash joins with the batch/candidate side
@@ -208,6 +212,7 @@ def test_snapshot_index_never_rides_a_shuffle_join(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
 
 
+@pytest.mark.slow
 def test_lsh_dedup_cli_mode_drains_corpus(spark, tmp_path, monkeypatch):
     """PIPELINE=lsh_dedup entrypoint: one availableNow drain over the
     sf0.001 corpus emits the batch LSH candidate pairs and registers
@@ -248,6 +253,7 @@ def test_snapshot_within_batch_cap_orders_by_id(spark, tmp_path):
     assert got == [(7, 5)]  # 5 admitted (smaller id), 7 matched against it
 
 
+@pytest.mark.slow
 def test_snapshot_leveled_restart_equality(spark, tmp_path):
     """Same restart-equality contract with the leveled state tier active
     (compact_every=1, major_every=2 so the two runs cross delta folds AND

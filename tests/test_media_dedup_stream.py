@@ -13,6 +13,7 @@ from stream_cdc_spark.plans.queries import _media_thumbs
 from stream_cdc_spark.streaming.media_dedup import MediaDedupSnapshot
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def _thumbs(spark):
@@ -54,6 +55,7 @@ def test_streamed_matches_equal_batch_operator(spark, tmp_path):
     assert _streamed(snap, spark) == _batch(spark)
 
 
+@pytest.mark.slow
 def test_replay_and_restart_do_not_change_matches(spark, tmp_path):
     """Replaying the fold-performing batch (torn-write crash model) and
     continuing afterwards leaves the match set identical to batch."""
@@ -106,6 +108,7 @@ def test_recall_guard():
         MediaDedupSnapshot("/tmp/x", max_hamming=8, n_bands=8)
 
 
+@pytest.mark.slow
 def test_cluster_state_matches_batch_rollup(spark, tmp_path):
     """cluster_state=True: the sink folds each batch's committed matches
     into the incremental union-find forest — clusters() equals batch

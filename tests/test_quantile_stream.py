@@ -9,8 +9,10 @@ from pyspark.sql import Window, functions as F
 from stream_cdc_spark.streaming.stateful import quantile_stream
 from stream_cdc_spark.tables import load
 from tests.conftest import SF_SMALL
+import pytest
 
 
+@pytest.mark.slow
 def test_quantile_stream_restart_within_rank_bound(spark, tmp_path):
     """Drain the events table in two runs with a checkpoint restart; each
     key's final p50/p95 estimate must land within the 1/accuracy rank
@@ -89,6 +91,7 @@ def test_quantile_stream_restart_within_rank_bound(spark, tmp_path):
             assert xs[lo] <= est <= xs[hi], (k, p, est, xs[lo], xs[hi])
 
 
+@pytest.mark.slow
 def test_percentile_gate_stream_restart_within_rank_band(spark, tmp_path):
     """The streaming twin of q124: drain the documents table in two runs
     with a checkpoint restart; each language's final streamed threshold

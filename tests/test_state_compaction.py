@@ -38,6 +38,7 @@ def _pairs(snap, spark):
     )
 
 
+@pytest.mark.slow
 def test_snapshot_results_identical_with_compaction(spark, tmp_path):
     """8 micro-batches, compact_every=3 vs compaction off: identical
     matches and processed-doc registry, bounded dirs for the compacted
@@ -58,6 +59,7 @@ def test_snapshot_results_identical_with_compaction(spark, tmp_path):
         assert c["batch"] <= 3, (sub, c)
 
 
+@pytest.mark.slow
 def test_snapshot_replay_across_compaction_boundary(spark, tmp_path):
     """Replay the exact batch whose trigger performed the fold: the
     re-fold is a no-op and the rewritten outputs equal the first run —
@@ -94,6 +96,7 @@ def test_snapshot_empty_batch_writes_nothing(spark, tmp_path):
     assert _pairs(snap, spark) == [(1, 2)]
 
 
+@pytest.mark.slow
 def test_snapshot_bucketed_mode_matches_plain(spark, tmp_path):
     """bucketed=True: same matches, and after a fold the compacted index
     is readable as its registered (band, key)-bucketed table with a
@@ -124,6 +127,7 @@ def test_snapshot_bucketed_mode_matches_plain(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curation_results_identical_with_compaction(spark, tmp_path):
     batches = _slices(spark, 6)
     plain = CurationPipeline(str(tmp_path / "plain"), compact_every=0)
@@ -168,6 +172,7 @@ def test_curation_param_drift_fails_loudly_on_restart(spark, tmp_path):
     assert d[3] is False  # near-dup of doc 1 caught through the index
 
 
+@pytest.mark.slow
 def test_snapshot_leveled_mode_matches_plain(spark, tmp_path):
     """major_every: minor L1 folds between full folds — identical
     matches/processed vs compaction-off, and the state settles into
@@ -191,6 +196,7 @@ def test_snapshot_leveled_mode_matches_plain(spark, tmp_path):
     assert saw_delta  # folds actually happened
 
 
+@pytest.mark.slow
 def test_curation_leveled_mode_matches_plain(spark, tmp_path):
     batches = _slices(spark, 6)
     plain = CurationPipeline(str(tmp_path / "plain"), compact_every=0)
@@ -205,6 +211,7 @@ def test_curation_leveled_mode_matches_plain(spark, tmp_path):
     assert a == b2
 
 
+@pytest.mark.slow
 def test_bucketed_and_leveled_compose_probe_shuffle_free_after_minor_fold(
     spark, tmp_path
 ):
@@ -281,6 +288,7 @@ def test_bucketed_and_leveled_compose_probe_shuffle_free_after_minor_fold(
     assert got == want
 
 
+@pytest.mark.slow
 def test_sinks_accept_injected_object_store_fs(spark, tmp_path):
     """Both foreachBatch sinks thread an injected StateFS through every
     statedir call: running the LSH snapshot sink entirely on the
@@ -398,6 +406,7 @@ def test_bucketed_deltas_make_major_fold_a_per_bucket_merge(spark, tmp_path):
     assert (c["compact"], c["delta"], c["batch"]) == (1, 0, 0)
 
 
+@pytest.mark.slow
 def test_bucketed_fold_preserves_column_metadata_stamp(spark, tmp_path):
     """The LSH parameter stamp rides column metadata; a bucketed major
     fold reads chain dirs through catalog tables whose DDL schema strips

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import functions as F
 
 from stream_cdc_spark.streaming import statedir
+import pytest
 
 SCHEMA = "id bigint, v string"
 
@@ -286,6 +287,7 @@ def test_delta_interrupted_delete_does_not_double_count(spark, tmp_path):
     assert _rows(spark, root, 4) == want + [(3, "v3")]
 
 
+@pytest.mark.slow
 def test_maybe_compact_leveled_schedule(spark, tmp_path):
     """every=2, major_every=3: batches fold into deltas every 2, the
     third fold is a full snapshot; reads identical to a never-compacted

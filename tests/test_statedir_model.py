@@ -53,6 +53,7 @@ def sd_root(tmp_path_factory):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=OPS)
+@pytest.mark.slow
 def test_random_interleavings_preserve_reads(spark, sd_root, ops):
     root = os.path.join(sd_root, "-".join(o[0] for o in ops))
     shutil.rmtree(root, ignore_errors=True)
@@ -305,6 +306,7 @@ OPS_S3 = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=OPS_S3)
+@pytest.mark.slow
 def test_random_interleavings_on_object_store_fake(spark, sd_root, ops):
     """The hypothesis twin of the systematic crash sweep: RANDOM
     schedules of commits and (possibly crashing, at a random metadata

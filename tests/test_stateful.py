@@ -13,6 +13,7 @@ from stream_cdc_spark.streaming.stateful import position_tracker, session_tracke
 from stream_cdc_spark.streaming.pipeline import replay_stream
 from stream_cdc_spark.tables import load, table_path
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def _drain(spark, query_name, q, want_rows_fn, timeout_s=120):
@@ -97,6 +98,7 @@ def test_session_tracker_converges_to_batch_q31(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_rocksdb_state_store_with_restart(spark, tmp_path):
     """SURVEY §7 day-one 100 TB risk: streaming state larger than executor
     heap needs the RocksDB state store. Run the position tracker under
@@ -307,6 +309,7 @@ def test_write_dedup_tracker_native_path(spark, tmp_path):
     assert all(r.c == 1 for r in got)
 
 
+@pytest.mark.slow
 def test_hll_distinct_stream_restart_converges_to_batch(spark, tmp_path):
     """Streaming sketch maintenance (twin of q90): drain the events table
     through hll_distinct_stream in two runs with a checkpoint restart in
@@ -387,6 +390,7 @@ def test_hll_distinct_stream_restart_converges_to_batch(spark, tmp_path):
         assert abs(got[r.event_type] - r.n_exact) <= 0.05 * r.n_exact
 
 
+@pytest.mark.slow
 def test_heavy_hitter_stream_restart_keeps_mg_guarantee(spark, tmp_path):
     """Streaming MG maintenance (twin of q108): drain the events table in
     two runs with a checkpoint restart in between; each key's final
@@ -490,6 +494,7 @@ def test_heavy_hitter_stream_restart_keeps_mg_guarantee(spark, tmp_path):
     assert last_batch is not None and last_batch >= 3  # restart really resumed
 
 
+@pytest.mark.slow
 def test_moments_stream_restart_equals_batch_gate(spark, tmp_path):
     """Streaming moments maintenance (twin of q126): drain the events
     table through moments_stream in two runs with a checkpoint restart in
@@ -596,6 +601,7 @@ def test_moments_stream_restart_equals_batch_gate(spark, tmp_path):
     assert stream_flagged == batch_flagged and len(batch_flagged) > 0
 
 
+@pytest.mark.slow
 def test_gram_stream_restart_equals_batch_and_pca(spark, tmp_path):
     """Streaming Gram/PCA statistics maintenance (twin of q112): drain
     the embeddings table through gram_stream in two runs with a

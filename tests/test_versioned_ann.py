@@ -137,6 +137,7 @@ def test_drained_topk_equals_batch_over_latest_images(spark, tmp_path):
     assert _snap_topk(snap, spark) == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_out_of_order_and_redelivered_versions_admit_exactly_once(
     spark, tmp_path
 ):
@@ -153,6 +154,7 @@ def test_out_of_order_and_redelivered_versions_admit_exactly_once(
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_replay_and_restart_preserve_equality(spark, tmp_path):
     events = _events(spark)
     snap = VersionedAnnIndexSnapshot(
@@ -170,6 +172,7 @@ def test_replay_and_restart_preserve_equality(spark, tmp_path):
     assert _snap_topk(snap2, spark) == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_folds_erase_superseded_and_tombstoned_rows(spark, tmp_path):
     """Every vectors/ fold keeps only rows that are the latest live
     version at fold time: superseded re-embeddings and deleted ids are
@@ -205,6 +208,7 @@ def test_folds_erase_superseded_and_tombstoned_rows(spark, tmp_path):
     ).count()
 
 
+@pytest.mark.slow
 def test_deleted_id_stays_deleted_for_future_versions(spark, tmp_path):
     """A late HIGHER version of a deleted id admits to the ledger but
     can never be read: doc-level tombstones kill current and future
@@ -228,6 +232,7 @@ def test_deleted_id_stays_deleted_for_future_versions(spark, tmp_path):
     assert _snap_topk(snap, spark) == _batch_topk(spark)
 
 
+@pytest.mark.slow
 def test_stale_version_in_probed_cell_never_matches(spark, tmp_path):
     """THE versioned-IVF correctness subtlety: a re-embedding can move
     an id to a DIFFERENT cell. When only the STALE version's cell is
@@ -264,6 +269,7 @@ def test_stale_version_in_probed_cell_never_matches(spark, tmp_path):
     assert sim_100 < 0, sim_100
 
 
+@pytest.mark.slow
 def test_conflicting_intra_batch_duplicates_admit_deterministically(
     spark, tmp_path
 ):
@@ -287,6 +293,7 @@ def test_conflicting_intra_batch_duplicates_admit_deterministically(
     assert snap.ledger(spark).count() == 2
 
 
+@pytest.mark.slow
 def test_scheme_stamp_refuses_cross_mode_and_drift(spark, tmp_path):
     cents = _centroids(spark)
     plain = AnnIndexSnapshot(str(tmp_path / "s"), cents)
@@ -310,6 +317,7 @@ def test_scheme_stamp_refuses_cross_mode_and_drift(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_probe_plan_prunes_cells_and_broadcasts_latest(spark, tmp_path):
     """Probe scale shape: the probed-cell set reaches the vectors/ scan
     as a pushed IN filter, the max-version lookup and the probes enter
@@ -328,6 +336,7 @@ def test_probe_plan_prunes_cells_and_broadcasts_latest(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_probe_broadcast_guard_falls_back_past_cap(spark, tmp_path):
     """Past broadcast_max_ids matching ids the probe drops its hints
     and the optimizer picks shuffle joins — results bit-equal."""
@@ -349,6 +358,7 @@ def test_probe_broadcast_guard_falls_back_past_cap(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.slow
 def test_bucketed_ledger_equality_and_shuffle_free_admission(
     spark, tmp_path
 ):
@@ -413,6 +423,7 @@ def test_bucketed_ledger_equality_and_shuffle_free_admission(
     assert n_exchanges == 1, plan
 
 
+@pytest.mark.slow
 def test_sq8_tier_matches_float_tier_ranking(spark, tmp_path):
     """The sq8 tier must reach the float tier's exact (q_id, c_id, rank)
     ranking over the versioned corpus, and be restart-bit-invariant on
@@ -470,6 +481,7 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
     assert not statedir.state_paths(snap.ledger_dir, 1 << 62)
 
 
+@pytest.mark.slow
 def test_versioned_cli_mode_drains_upsert_and_delete_feeds(
     spark, tmp_path, monkeypatch
 ):
@@ -500,6 +512,7 @@ def test_versioned_cli_mode_drains_upsert_and_delete_feeds(
     assert _snap_topk(snap, spark) == _batch_topk(spark)  # deletes applied
 
 
+@pytest.mark.slow
 def test_versioned_cli_refuses_missing_version_column(
     spark, tmp_path, monkeypatch
 ):
@@ -540,6 +553,7 @@ def test_versioned_cli_refuses_missing_version_column(
     )
 
 
+@pytest.mark.slow
 def test_vacuum_drops_superseded_and_tombstoned_vectors(spark, tmp_path):
     """vacuum_versioned_ann_index: the immediate, complete erasure pass
     — vectors/ keeps only the latest live rows, ledger/ keeps every
@@ -600,6 +614,7 @@ def test_vacuum_drops_superseded_and_tombstoned_vectors(spark, tmp_path):
         vacuum_versioned_ann_index(spark, src, drifted)
 
 
+@pytest.mark.slow
 def test_versioned_drift_moments_cover_every_admitted_version(
     spark, tmp_path
 ):
@@ -647,6 +662,7 @@ def test_versioned_drift_moments_cover_every_admitted_version(
     assert rep.filter(F.col("drifted")).count() == 0
 
 
+@pytest.mark.slow
 def test_versioned_delete_then_recreate_statedir_ann(spark, tmp_path):
     """delete_versions_batch on the ANN surface (in-band CDC Delete
     channel, ADVICE r13): the kill watermark removes versions <= it, a

@@ -421,3 +421,45 @@ def test_lsh_bucket_tiers_identical_unclean_vectors(spark):
         ).alias("b")
     ).collect()[0].b
     assert e6 is None and a6 is not None
+
+
+def test_ivf_assign_tiers_identical(spark):
+    """The Arrow argmin tier must be bit-identical to the expression
+    fold on real embedding data — same strict-left-fold doubles, same
+    floor quantization, same (dist_bp, cid) tie rule — and must match
+    the expression tier's null algebra on unclean rows (null vector /
+    wrong length -> dist_bp NULL, cell = min cid)."""
+    emb = load(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<float>").alias("cv"),
+    )
+
+    def rows(tier):
+        return sorted(
+            (r.vec_id, r.cell, r.dist_bp)
+            for r in similarity.ivf_assign(emb, cents, tier=tier).collect()
+        )
+
+    assert rows("arrow") == rows("expr")
+
+    dim = 64
+    unclean = spark.createDataFrame(
+        [
+            (1, [0.5] * dim),               # clean
+            (2, None),                      # null vector
+            (3, [0.1, 0.2]),                # too short
+            (4, [0.1] * (dim + 3)),         # too long
+            (5, [float("nan")] * dim),      # NaN elements
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def urows(tier):
+        return sorted(
+            (r.vec_id, r.cell, r.dist_bp)
+            for r in similarity.ivf_assign(unclean, cents, tier=tier).collect()
+        )
+
+    a, e = urows("arrow"), urows("expr")
+    assert a == e, (a, e)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from stream_cdc_spark.plans.queries import QUERIES
 from tests.conftest import SF_SMALL
+import pytest
 
 
 def _plan(spark, name: str) -> str:
@@ -69,6 +70,7 @@ def test_whole_stage_codegen_in_scan_queries(spark):
         assert "codegen id" in plan, name
 
 
+@pytest.mark.slow
 def test_no_cartesian_outside_intended(spark):
     # q25 intentionally cross-joins a 5-row broadcast side; everything else
     # must be free of cartesian/broadcast-nested-loop surprises

@@ -52,6 +52,7 @@ def test_oracle_output_types_are_transport_safe():
     assert not offenders, f"transport-fragile oracle output types: {offenders}"
 
 
+@pytest.mark.slow
 def test_spark_and_oracle_schemas_pairwise_consistent(spark):
     """Column names must match exactly and types must map 1:1 between the
     Spark result and the DuckDB oracle result for every query — the

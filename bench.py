@@ -102,9 +102,17 @@ def _load_prev_round() -> dict | None:
             pass
         if m is None:
             return None
+        # Recover the previous run's calibration too (r15): without it
+        # the drift block divided by load_factor 1.0 and flagged pure
+        # ambient load as drift (r14->r15 open: 1.7x calibration ratio,
+        # three spurious flags). The MAIN calibration block precedes the
+        # isolated embed's in the guaranteed-short stdout line, so the
+        # first match is the right yardstick.
+        cal = re.search(r'"calibration":\s*(\{[^{}]*\})', tail)
         return {
             "source": os.path.basename(path),
             "sf": rec.get("sf"),
+            "calibration": json.loads(cal.group(1)) if cal else None,
             "queries": json.loads(m.group(1)),
         }
     except (OSError, ValueError):
